@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + numeric-parity helpers shared by every registered query.
+  *
+  * Numeric policy (SURVEY.md §7.4.4): every aggregated double is first cast to
+  * DECIMAL at a scale that exactly represents the source values (prices and
+  * quantities carry ≤2 decimal digits; price×discount products carry ≤4), so
+  * Spark and the DuckDB oracle aggregate *identical exact decimals* and the
+  * result is independent of floating-point summation order. The final cast
+  * back to DOUBLE is exact and keeps the published schema double-typed.
+  */
+object Tables {
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
+  def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read it as raw nanos (`nanosAsLong`) and truncate to micros —
+    * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does on TIMESTAMP_NS, so
+    * both engines see identical microsecond timestamps.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact 2-decimal view of a double column (prices, quantities, values). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact 4-decimal view (products of two 2-decimal quantities). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent exact sum of a 2-decimal double, published as double. */
+  def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Order-independent exact sum of a 4-decimal double, published as double. */
+  def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+
+  /** Session defaults shared by Verify and Bench mains: UTC semantics, a
+    * shuffle-partition count sized to the local core budget (not Spark's
+    * default 200 — at 100 TB this is instead set to ~2-3× the executor core
+    * count by the cluster conf), AQE for runtime coalescing/skew handling.
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

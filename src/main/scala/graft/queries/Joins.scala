@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join suite from SURVEY.md §2.3 — fact×fact equi-joins, anti/semi diff
+  * joins, and the UP↔UOF profile-hash linking algorithm (J3-J6).
+  */
+object Joins {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-entity daily-profile hash: groupBy(entity, day) exact sum, format
+    * each (day, sum) pair as a canonical string, md5 the sorted join.
+    * ref: vinculacion/_linking_algorithm.py:175-280
+    */
+  private def profileHashes(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast(DateType).as("dia"))
+      .agg(sum(dec2(col("l_quantity"))).as("v"))
+      .select(col("l_suppkey"),
+        concat(col("dia").cast(StringType), lit(":"),
+          col("v").cast(StringType)).as("els"))
+      .groupBy("l_suppkey")
+      .agg(md5(array_join(sort_array(collect_list(col("els"))), ",")).as("h"))
+
+  private val profileHashSql =
+    """WITH p AS (
+         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS dia,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS v
+         FROM lineitem GROUP BY 1, 2),
+       e AS (
+         SELECT l_suppkey,
+                concat(CAST(dia AS VARCHAR), ':', CAST(v AS VARCHAR)) AS els
+         FROM p),
+       h AS (
+         SELECT l_suppkey, md5(string_agg(els, ',' ORDER BY els)) AS h
+         FROM e GROUP BY l_suppkey)"""
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // J1/W10 — session-cumulative differencing as an ordered lag window:
+    // net value = current − previous program for the same entity.
+    // ref: _procesador_i90.py:504-553 (left join cur/prev + fillna(0))
+    ("j1_session_diff",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("delta",
+            (dec2(col("value")) - dec2(lag(col("value"), 1, 0.0).over(w)))
+              .cast(DoubleType))
+          .select("event_id", "user_id", "delta")
+      },
+      Some("""SELECT event_id, user_id,
+                     CAST(CAST(value AS DECIMAL(18,2))
+                          - CAST(lag(value, 1, 0.0)
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                              AS DECIMAL(18,2)) AS DOUBLE) AS delta
+              FROM events""")),
+
+    // J2 — diario-baseline prep: filter + groupBy sum + representative id
+    // ref: _procesador_i90.py:448-502
+    ("j2_baseline_prep",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_linestatus") === "O" && col("l_returnflag") === "N")
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(dsum2(col("l_quantity")).as("volumenes"),
+          min(col("l_orderkey")).as("first_order"))
+        .withColumn("id_mercado", lit(1)),
+      Some("""SELECT l_suppkey, l_shipdate,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volumenes,
+                     min(l_orderkey) AS first_order, 1 AS id_mercado
+              FROM lineitem WHERE l_linestatus = 'O' AND l_returnflag = 'N'
+              GROUP BY l_suppkey, l_shipdate""")),
+
+    // J3 — profile-hash match join (self-match over the supplier universe,
+    // same mechanics as UP↔UOF: identical profile ⇒ identical md5 ⇒ pair).
+    // ref: _linking_algorithm.py:332-378
+    ("j3_profile_hash_match",
+      (s, d) => {
+        val h = profileHashes(s, d)
+        val a = h.select(col("l_suppkey").as("up"), col("h"))
+        val b = h.select(col("l_suppkey").as("uof"), col("h"))
+        a.join(b, "h").select("up", "uof", "h")
+      },
+      Some(profileHashSql +
+        """ SELECT a.l_suppkey AS up, b.l_suppkey AS uof, a.h AS h
+            FROM h a JOIN h b ON a.h = b.h""")),
+
+    // J5 — historical rematch round: entities unmatched in period A
+    // (anti-join) that do match in period B (semi-join).
+    // ref: _linking_algorithm.py:644-698
+    ("j5_anti_rematch",
+      (s, d) => {
+        val o = orders(s, d)
+        val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        customer(s, d)
+          .join(y95, col("c_custkey") === y95("o_custkey"), "left_anti")
+          .join(y96, col("c_custkey") === y96("o_custkey"), "left_semi")
+          .select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE year(o_orderdate) = 1995)
+                AND c_custkey IN (SELECT o_custkey FROM orders
+                                  WHERE year(o_orderdate) = 1996)""")),
+
+    // J6 — conflict resolution: keep only groups with exactly one member
+    // (count over an unordered partition window).
+    // ref: _linking_algorithm.py:426-466
+    ("j6_conflict_prune",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"), col("o_orderdate").cast(DateType))
+        orders(s, d).withColumn("c", count(lit(1)).over(w))
+          .filter(col("c") === 1).select("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       count(*) OVER (PARTITION BY o_custkey,
+                                      CAST(o_orderdate AS DATE)) AS c
+                FROM orders) t WHERE c = 1""")),
+
+    // J7 — dimension-tracking diff: new / obsolete / changed via full outer
+    // join of two snapshot aggregates.
+    // ref: tracking/UOF_tracking.py:248-412
+    ("j7_tracking_diff",
+      (s, d) => {
+        val o = orders(s, d)
+        def snap(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        val a = snap(1995).select(col("o_custkey").as("ka"), col("n").as("na"))
+        val b = snap(1996).select(col("o_custkey").as("kb"), col("n").as("nb"))
+        a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(coalesce(col("ka"), col("kb")).as("custkey"),
+            when(col("ka").isNull, "new")
+              .when(col("kb").isNull, "obsolete")
+              .when(col("na") =!= col("nb"), "changed")
+              .otherwise("same").as("status"))
+      },
+      Some("""WITH a AS (SELECT o_custkey, count(*) AS n FROM orders
+                         WHERE year(o_orderdate) = 1995 GROUP BY 1),
+                   b AS (SELECT o_custkey, count(*) AS n FROM orders
+                         WHERE year(o_orderdate) = 1996 GROUP BY 1)
+              SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+                     CASE WHEN a.o_custkey IS NULL THEN 'new'
+                          WHEN b.o_custkey IS NULL THEN 'obsolete'
+                          WHEN a.n <> b.n THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""")),
+
+    // J8 — dimension inner join (broadcast the 5-row side)
+    // ref: configs/i90_config.py:146-153
+    ("j8_dim_join",
+      (s, d) => nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name"),
+      Some("""SELECT n_nationkey, n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey""")),
+
+    // J9 — precios×volumenes-shaped fact join + time-bucketed aggregate
+    // ref: read/natlanguage_duckdb_queries.py:254-275
+    ("j9_fact_join",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                          AS DOUBLE) AS revenue,
+                     count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2"""))
+  )
+}

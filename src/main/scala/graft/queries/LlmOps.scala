@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * exact + MinHash-LSH + SimHash dedup, n-gram Jaccard, cosine top-k
+  * similarity, language ID, quality scoring, token counting, and document
+  * fingerprinting. All formulated as bucketed/banded joins — never
+  * all-pairs — so the same plan holds at 100 TB (candidate generation is
+  * a shuffle on band hash; verification touches only candidate pairs).
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-token shingles per document (docs with ≥3 tokens).
+    * element_at is 1-based, matching DuckDB list indexing.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("l")) - 2)))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("l"), col("i")),
+        element_at(col("l"), col("i") + 1),
+        element_at(col("l"), col("i") + 2)).as("s"))
+      .distinct()
+
+  private val shingleSql =
+    """sh AS (
+         SELECT DISTINCT doc_id, concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS s
+         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+               FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+               WHERE len(l) >= 3) t)"""
+
+  /** MinHash signature: 12 seed-salted md5 minima per doc (md5 hex strings
+    * compare bytewise identically in Spark and DuckDB).
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .withColumn("j", explode(sequence(lit(0), lit(11))))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast(StringType), lit("|"), col("s")))).as("mh"))
+
+  private val minhashSigSql =
+    """sig AS (
+         SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', s))) AS mh
+         FROM (SELECT doc_id, s, unnest(generate_series(0, 11)) AS j FROM sh) t
+         GROUP BY doc_id, j)"""
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact dedup: content-hash groupBy, keep min id (deterministic keeper)
+    ("llm_exact_dedup",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")),
+      Some("""SELECT h, min(doc_id) AS keeper, count(*) AS n
+              FROM (SELECT doc_id, md5(text) AS h FROM documents) t
+              GROUP BY h""")),
+
+    // MinHash + banded LSH near-dup join. b=6 bands × r=2 rows ⇒ candidate
+    // threshold ≈ (1/6)^(1/2) ≈ 0.41 Jaccard; exact Jaccard verification on
+    // candidates only. At 100 TB: candidates come from a shuffle on
+    // (band, band_hash) — cost scales with data + true-dup count, never n².
+    ("llm_minhash_dedup",
+      (s, d) => {
+        val sh = shingles(s, d).cache()
+        val bands = minhashSig(s, d)
+          .withColumn("band", expr("j div 2"))
+          .groupBy("doc_id", "band")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), ''))").as("bh"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val inter = cand
+          .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+        inter
+          .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+          .select(col("d1"), col("d2"),
+            (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
+          .filter(col("jac") >= 0.4)
+      },
+      Some("WITH " + shingleSql + ", " + minhashSigSql + """,
+            bands AS (
+              SELECT doc_id, j // 2 AS band, md5(string_agg(mh, '' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT cand.d1, cand.d2, count(*) AS ic
+              FROM cand
+              JOIN sh s1 ON s1.doc_id = cand.d1
+              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
+              GROUP BY 1, 2)
+            SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = d1
+            JOIN cnt cb ON cb.doc_id = d2
+            WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4""")),
+
+    // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
+    // bucketing on the signature gives near-dup candidates at scale.
+    ("llm_simhash",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        toks
+          .withColumn("j", explode(sequence(lit(0), lit(31))))
+          .withColumn("hval",
+            expr("instr('0123456789abcdef', substr(md5(tok), 1 + j div 4, 1)) - 1"))
+          .withColumn("bit", expr("shiftright(hval, j % 4) & 1"))
+          .groupBy("doc_id", "j")
+          .agg(sum(col("w") * (col("bit") * 2 - 1)).as("v"))
+          .withColumn("b", when(col("v") >= 0, "1").otherwise("0"))
+          .groupBy("doc_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(j, b))), x -> x.b), '')").as("sig"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, tok, count(*) AS w
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents) u
+                GROUP BY 1, 2),
+              bits AS (
+                SELECT doc_id, j,
+                       SUM(w * (((strpos('0123456789abcdef',
+                                         substr(md5(tok), 1 + j // 4, 1)) - 1
+                                  >> (j % 4)) & 1) * 2 - 1)) AS v
+                FROM (SELECT doc_id, tok, w, unnest(generate_series(0, 31)) AS j
+                      FROM t) x
+                GROUP BY doc_id, j)
+              SELECT doc_id,
+                     string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY j) AS sig
+              FROM bits GROUP BY doc_id""")),
+
+    // Brute-force cosine top-k (the correctness baseline for ANN; the scale
+    // path is the banded variant in graft.llm.Similarity). zip_with +
+    // aggregate keep the dot product inside codegen — no UDF, no explode.
+    ("llm_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val withNorm = e.withColumn("nrm",
+          expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+        val q = withNorm.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = withNorm
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        val scored = q.join(c, col("qid") =!= col("cid"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("cos_r", round(col("dot") / (col("qn") * col("cn")), 4))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("cid"), col("cos_r"),
+            col("rn").cast(IntegerType).as("rn"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings) t),
+              n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+              dots AS (
+                SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+                FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10
+                                 AND c.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+              scored AS (
+                SELECT qid, cid,
+                       round(dot / (nq.nrm * nc.nrm), 4) AS cos_r
+                FROM dots
+                JOIN n nq ON nq.vec_id = qid
+                JOIN n nc ON nc.vec_id = cid)
+              SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+              FROM (SELECT qid, cid, cos_r,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY cos_r DESC, cid) AS rn
+                    FROM scored) t
+              WHERE rn <= 5""")),
+
+    // Token counting: whitespace tokens + regex word tokens + char length
+    ("llm_token_count",
+      (s, d) => documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("n_tok_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_tok_re"),
+        length(col("text")).as("n_chars_calc")),
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS n_tok_ws,
+                     CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tok_re,
+                     CAST(length(text) AS INTEGER) AS n_chars_calc
+              FROM documents""")),
+
+    // Quality scoring: length / stopword signals, exact integer-derived math
+    ("llm_quality_score",
+      (s, d) => documents(s, d)
+        .withColumn("n_chars_calc", length(col("text")))
+        .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
+        .withColumn("n_stop", size(regexp_extract_all(col("text"), lit(" the "), lit(0))))
+        .withColumn("avg_word_len", col("n_chars_calc").cast(DoubleType) / col("n_tok"))
+        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tok"))
+        // no round(): both engines evaluate the identical IEEE expression on
+        // identical operands, so the raw double already matches bit-for-bit;
+        // rounding would *introduce* ties at the half-ulp boundary.
+        .withColumn("score",
+          lit(0.5) * least(lit(1.0), col("avg_word_len") / 10)
+            + lit(0.5) * least(lit(1.0), col("stop_ratio") * 10))
+        .select("doc_id", "n_tok", "n_stop", "avg_word_len", "stop_ratio", "score"),
+      Some("""SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+                     CAST(n_stop AS INTEGER) AS n_stop,
+                     CAST(n_chars_calc AS DOUBLE) / n_tok AS avg_word_len,
+                     CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+                     0.5 * least(1.0, (CAST(n_chars_calc AS DOUBLE) / n_tok) / 10)
+                       + 0.5 * least(1.0, (CAST(n_stop AS DOUBLE) / n_tok) * 10) AS score
+              FROM (SELECT doc_id, length(text) AS n_chars_calc,
+                           len(regexp_extract_all(text, '[^ ]+')) AS n_tok,
+                           len(regexp_extract_all(text, ' the ')) AS n_stop
+                    FROM documents) t""")),
+
+    // Language ID: marker-token scoring with deterministic priority tiebreak
+    ("llm_langid",
+      (s, d) => {
+        def cnt(p: String) = size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        documents(s, d)
+          .withColumn("c_en", cnt("\\bthe\\b"))
+          .withColumn("c_es", cnt("\\bsort\\b"))
+          .withColumn("c_de", cnt("\\bmerge\\b"))
+          .withColumn("c_fr", cnt("\\bjoin\\b"))
+          .withColumn("lang_pred",
+            when(col("c_en") >= greatest(col("c_es"), col("c_de"), col("c_fr"))
+              && col("c_en") > 0, "en")
+              .when(col("c_es") >= greatest(col("c_de"), col("c_fr"))
+                && col("c_es") > 0, "es")
+              .when(col("c_de") >= col("c_fr") && col("c_de") > 0, "de")
+              .when(col("c_fr") > 0, "fr")
+              .otherwise("zh"))
+          .select(col("doc_id"), col("lang").as("lang_actual"), col("lang_pred"))
+      },
+      Some("""SELECT doc_id, lang AS lang_actual,
+                     CASE WHEN c_en >= greatest(c_es, c_de, c_fr) AND c_en > 0 THEN 'en'
+                          WHEN c_es >= greatest(c_de, c_fr) AND c_es > 0 THEN 'es'
+                          WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+                          WHEN c_fr > 0 THEN 'fr'
+                          ELSE 'zh' END AS lang_pred
+              FROM (SELECT doc_id, lang,
+                           len(regexp_extract_all(text, '\bthe\b')) AS c_en,
+                           len(regexp_extract_all(text, '\bsort\b')) AS c_es,
+                           len(regexp_extract_all(text, '\bmerge\b')) AS c_de,
+                           len(regexp_extract_all(text, '\bjoin\b')) AS c_fr
+                    FROM documents) t""")),
+
+    // Document fingerprint: md5 over the sorted distinct token set
+    ("llm_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(md5(array_join(sort_array(collect_list(col("tok"))), ",")).as("fp")),
+      Some("""WITH t AS (SELECT DISTINCT doc_id, tok
+                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                               FROM documents) u)
+              SELECT doc_id, md5(string_agg(tok, ',' ORDER BY tok)) AS fp
+              FROM t GROUP BY doc_id""")),
+
+    // Multimodal metadata plumbing: opaque binary payload + typed metadata.
+    // The decode/feature step is the stubbed mapPartitions in
+    // graft.llm.Multimodal; this query is the schema/checksum surface.
+    ("llm_multimodal_meta",
+      (s, d) => documents(s, d)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          expr("instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1")
+            .cast(IntegerType).as("shard")),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                     md5(text) AS checksum,
+                     CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+                          AS INTEGER) AS shard
+              FROM documents"""))
+  )
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators from SURVEY.md §2.2/§2.4/§2.6/§2.7/§2.8,
+  * re-expressed over the driver's TPC-H-ish tables. Each entry pairs a
+  * DataFrame program with a DuckDB oracle (column names aligned on both
+  * sides; see Tables for the decimal-exact aggregation policy).
+  *
+  * Reference semantics cited per query (file:line under /root/reference).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (name, spark program, oracle SQL — None ⇒ rows-only check) */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // F1 — transform-mode date filter, range mode
+    // ref: transform/esios_transform.py:38-111
+    ("f1_date_filter",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+              FROM orders
+              WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'""")),
+
+    // F1/O2 — transform-mode "latest" filter: rows of the max date
+    // ref: transform/esios_transform.py:67-75
+    ("f1_latest_day",
+      (s, d) => {
+        val o = orders(s, d)
+        o.join(broadcast(o.agg(max(col("o_orderdate")).as("mx"))),
+            col("o_orderdate") === col("mx"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+              WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")),
+
+    // F2 — conditional filter: restricted types must pass an extra predicate
+    // ref: transform/procesadores/_procesador_esios.py:100-132 (geo filter)
+    ("f2_conditional_filter",
+      (s, d) => events(s, d)
+        .filter(!col("event_type").isin("purchase", "signup") || col("user_id") < 50)
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+              WHERE event_type NOT IN ('purchase','signup') OR user_id < 50""")),
+
+    // F3 — config-driven market filter + literal id tag + union
+    // ref: _procesador_i90.py:35-124, configs/i90_config.py:483-599
+    ("f3_market_filter_union",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val legs = Seq( // (id_mercado, sentido-like flag, redespacho-like statuses)
+          (1, "R", Seq("F")),
+          (2, "A", Seq("F", "O")),
+          (3, "N", Seq("O")))
+        legs.map { case (id, flag, sts) =>
+          li.filter(col("l_returnflag") === flag && col("l_linestatus").isin(sts: _*))
+            .withColumn("id_mercado", lit(id))
+            .select("l_orderkey", "l_linenumber", "id_mercado", "l_quantity")
+        }.reduce(_ unionByName _)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 1 AS id_mercado, l_quantity FROM lineitem
+              WHERE l_returnflag = 'R' AND l_linestatus IN ('F')
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 2 AS id_mercado, l_quantity FROM lineitem
+              WHERE l_returnflag = 'A' AND l_linestatus IN ('F','O')
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 3 AS id_mercado, l_quantity FROM lineitem
+              WHERE l_returnflag = 'N' AND l_linestatus IN ('O')""")),
+
+    // F6 — technology left-semi join filter (broadcast the dim side)
+    // ref: _procesador_i3.py:37-61
+    ("f6_semi_join",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_size") < 10)),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_partkey", "l_quantity"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)""")),
+
+    // F7 — curtailment filter + RTx derivation + literal market id
+    // ref: _procesador_curtailments.py:28-59
+    ("f7_case_derivation",
+      (s, d) => events(s, d)
+        .filter(col("event_type").isin("error", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          when(col("event_type") === "error", "R1").otherwise("R5").as("rtx"),
+          lit(13).as("id_mercado"), col("value").as("volumenes")),
+      Some("""SELECT event_id, user_id,
+                     CASE WHEN event_type = 'error' THEN 'R1' ELSE 'R5' END AS rtx,
+                     13 AS id_mercado, value AS volumenes
+              FROM events WHERE event_type IN ('error','purchase')""")),
+
+    // F8 — matched-units filter + buy/sell sign + power→energy ÷4
+    // ref: _procesador_omie.py:97-173 (exact: ±1 and /4 on ≤2-dec values)
+    ("f8_sign_multiplier",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (when(col("l_returnflag") === "R", -1).otherwise(1)
+            * col("l_quantity") / 4).as("volumenes")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END * l_quantity / 4
+                       AS volumenes
+              FROM lineitem WHERE l_linestatus = 'F'""")),
+
+    // F9 — empty-row cleaning: drop rows where ALL of a column subset is null
+    // ref: _procesador_omie.py:34-63
+    ("f9_na_drop",
+      (s, d) => events(s, d)
+        .withColumn("et", expr("nullif(event_type, 'view')"))
+        .withColumn("v0", expr("nullif(value, 0.0d)"))
+        .na.drop("all", Seq("et", "v0"))
+        .select("event_id", "et", "value"),
+      Some("""SELECT event_id, nullif(event_type, 'view') AS et, value FROM events
+              WHERE NOT (nullif(event_type, 'view') IS NULL
+                         AND nullif(value, 0.0) IS NULL)""")),
+
+    // F10 — column finalize: rename + project + sort
+    // ref: _procesador_i90.py:211-233
+    ("f10_finalize",
+      (s, d) => supplier(s, d)
+        .withColumnRenamed("s_suppkey", "up_id")
+        .withColumnRenamed("s_name", "up")
+        .withColumnRenamed("s_acctbal", "saldo")
+        .select("up_id", "up", "saldo")
+        .orderBy("up_id"),
+      Some("""SELECT s_suppkey AS up_id, s_name AS up, s_acctbal AS saldo
+              FROM supplier ORDER BY up_id""")),
+
+    // F11 — NA/0 value pruning (sparsity optimization at extract)
+    // ref: _descargador_i90.py:286-292
+    ("f11_nonzero_prune",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_discount").isNotNull && col("l_discount") =!= 0)
+        .select("l_orderkey", "l_linenumber", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+              WHERE l_discount IS NOT NULL AND l_discount <> 0""")),
+
+    // A1 — entity × timestamp roll-up (OMIE volume aggregation)
+    // ref: _procesador_omie.py:699-724
+    ("a1_rollup",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(dsum2(col("l_quantity")).as("volumenes"), count(lit(1)).as("n")),
+      Some("""SELECT l_suppkey, l_shipdate,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volumenes,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_suppkey, l_shipdate""")),
+
+    // A2 — 15-min → hourly downsample: numeric mean + representative label
+    // ref: utilidades/etl_date_utils.py:866-937
+    ("a2_downsample",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hora"), col("user_id"))
+        .agg(dsum2(col("value")).as("suma"), count(lit(1)).as("n"),
+          min(col("event_type")).as("primero"))
+        .withColumn("media", col("suma") / col("n")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hora, user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS suma,
+                     count(*) AS n, min(event_type) AS primero,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS media
+              FROM events GROUP BY 1, 2""")),
+
+    // A4 — keyed keep-last dedup: the lake's idempotent-upsert core.
+    // pandas' implicit "last row wins" becomes an explicit precedence order
+    // (ts DESC, event_id DESC) — SURVEY.md §7.4.2.
+    // ref: utilidades/processed_file_utils.py:28-74
+    ("a4_keep_last_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "event_type", "value")
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                                   event_id DESC) AS rn
+                FROM events) t WHERE rn = 1""")),
+
+    // A5 — exact full-row dedup (raw zone)
+    // ref: utilidades/raw_file_utils.py:27-49
+    ("a5_exact_dedup",
+      (s, d) => lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity").distinct(),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem""")),
+
+    // A6 — price sanity stats: count/null/negative/zero + mean + stddev
+    // ref: _procesador_esios.py:47-83
+    ("a6_sanity_stats",
+      (s, d) => lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_extendedprice").isNull, 1)).as("nulos"),
+        count(when(col("l_extendedprice") < 0, 1)).as("negativos"),
+        count(when(col("l_extendedprice") === 0, 1)).as("ceros"),
+        (dsum2(col("l_extendedprice")) / count(lit(1))).as("media"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("desv")),
+      Some("""SELECT count(*) AS n,
+                     count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS nulos,
+                     count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS negativos,
+                     count(CASE WHEN l_extendedprice = 0 THEN 1 END) AS ceros,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS media,
+                     round(stddev_samp(l_extendedprice), 2) AS desv
+              FROM lineitem""")),
+
+    // A7 — conflict counting (value_counts > 1)
+    // ref: vinculacion/_linking_algorithm.py:441-445
+    ("a7_conflict_count",
+      (s, d) => orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders
+              GROUP BY o_custkey HAVING count(*) > 1""")),
+
+    // A8 — distinct scan driving loops
+    // ref: _procesador_i90.py:327-352
+    ("a8_distinct",
+      (s, d) => events(s, d).select("event_type").distinct(),
+      Some("""SELECT DISTINCT event_type FROM events""")),
+
+    // A9/U2 — set-difference dimension update (anti-join)
+    // ref: tecnologias_generacion/p48_tecnologias_generacion.py:27-108
+    ("a9_set_diff",
+      (s, d) => customer(s, d)
+        .join(events(s, d), col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+              WHERE c_custkey NOT IN (SELECT user_id FROM events)""")),
+
+    // O4 — deterministic top-k per group (ranking window)
+    ("o4_topk_per_group",
+      (s, d) => {
+        val j = orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast(IntegerType).as("rn"))
+      },
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+              FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders JOIN customer ON o_custkey = c_custkey) t
+              WHERE rn <= 3""")),
+
+    // U1 — UNION ALL by name with missing columns (null-filled)
+    // ref: pd.concat sites, e.g. _descargador_i90.py:282
+    ("u1_union_by_name",
+      (s, d) => {
+        val a = orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey").as("id"), lit("order").as("src"),
+            col("o_totalprice").as("val"))
+        val b = lineitem(s, d).filter(col("l_quantity") === 50)
+          .select(col("l_orderkey").as("id"), lit("line").as("src"),
+            col("l_quantity").as("val"), col("l_linenumber").as("ln"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS val
+              FROM orders WHERE o_orderstatus = 'P'
+              UNION ALL BY NAME
+              SELECT l_orderkey AS id, 'line' AS src, l_quantity AS val,
+                     l_linenumber AS ln
+              FROM lineitem WHERE l_quantity = 50""")),
+
+    // U3 — intersect
+    // ref: p48_tecnologias_generacion.py:88
+    ("u3_intersect",
+      (s, d) => orders(s, d).select(col("o_custkey").as("k"))
+        .intersect(customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("k"))),
+      Some("""SELECT o_custkey AS k FROM orders
+              INTERSECT
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0""")),
+
+    // SC1 — string function family (split head, lpad code, replace)
+    // ref: configs/i90_config.py:97, _descargador_omie.py:367-383
+    ("sc1_string_fns",
+      (s, d) => part(s, d).select(col("p_partkey"),
+        upper(split(col("p_name"), " ").getItem(0)).as("head"),
+        lpad(col("p_size").cast(StringType), 3, "0").as("size_code"),
+        regexp_replace(col("p_type"), " ", "_").as("type_code")),
+      Some("""SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS head,
+                     lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_code,
+                     replace(p_type, ' ', '_') AS type_code
+              FROM part""")),
+
+    // SC2 — date/time function family
+    ("sc2_datetime_fns",
+      (s, d) => orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dd"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+                     CAST(month(o_orderdate) AS INTEGER) AS m,
+                     CAST(day(o_orderdate) AS INTEGER) AS dd,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS mes
+              FROM orders WHERE o_orderkey % 10 = 0""")),
+
+    // SC3 — math family; money products published via exact DECIMAL(18,4)
+    ("sc3_math_fns",
+      (s, d) => lineitem(s, d).filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DoubleType).as("neto"),
+          abs(col("l_quantity") - 25).as("dist"),
+          signum(col("l_discount") - 0.05).cast(IntegerType).as("sgn")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                          AS DOUBLE) AS neto,
+                     abs(l_quantity - 25) AS dist,
+                     CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn
+              FROM lineitem WHERE l_orderkey % 7 = 0""")),
+
+    // SC4 — map-literal lookup (config-as-data dictionary)
+    // ref: _procesador_esios.py:159-188
+    ("sc4_map_lookup",
+      (s, d) => {
+        val m = typedLit(Map(0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA",
+          3 -> "EUROPE", 4 -> "MIDDLE EAST"))
+        nation(s, d).select(col("n_nationkey"), col("n_name"),
+          m(col("n_regionkey")).as("region_name"))
+      },
+      Some("""SELECT n_nationkey, n_name,
+                     CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                          WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE'
+                          WHEN 4 THEN 'MIDDLE EAST' END AS region_name
+              FROM nation""")),
+
+    // SC5 — md5(concat_ws) profile hash primitive
+    // ref: _linking_algorithm.py:175-190
+    ("sc5_md5_hash",
+      (s, d) => customer(s, d).select(col("c_custkey"),
+        md5(concat_ws(",", col("c_name"), col("c_custkey").cast(StringType),
+          col("c_mktsegment"))).as("h")),
+      Some("""SELECT c_custkey,
+                     md5(concat_ws(',', c_name, CAST(c_custkey AS VARCHAR),
+                                   c_mktsegment)) AS h
+              FROM customer""")),
+
+    // SC6 — JSON field extraction (from_json on the Spark side)
+    // ref: _descargador_esios.py:204-239
+    ("sc6_json_extract",
+      (s, d) => events(s, d)
+        .withColumn("j", from_json(col("props"), StructType(Seq(
+          StructField("k", IntegerType)))))
+        .select(col("event_id"), col("j.k").as("k")),
+      Some("""SELECT event_id,
+                     CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+              FROM events""")),
+
+    // S9/O3 — latest-partition discovery as a pruning aggregate
+    // ref: utilidades/raw_file_utils.py:316-419
+    ("s9_latest_partition",
+      (s, d) => orders(s, d).agg(max(col("o_orderdate")).as("mx"))
+        .select(year(col("mx")).as("y"), month(col("mx")).as("m")),
+      Some("""SELECT CAST(year(mx) AS INTEGER) AS y, CAST(month(mx) AS INTEGER) AS m
+              FROM (SELECT max(o_orderdate) AS mx FROM orders) t""")),
+
+    // S11 — predicate-pushdown scan (filters reach the parquet reader)
+    // ref: utilidades/db_utils.py:224-301
+    ("s11_pruned_scan",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= "2000-01-01" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_shipdate", "l_quantity"),
+      Some("""SELECT l_orderkey, l_shipdate, l_quantity FROM lineitem
+              WHERE l_shipdate >= '2000-01-01' AND l_quantity > 45"""))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series kernels from SURVEY.md §2.5 expressed over the `events` and
+  * `orders` tables: interval-index parsing, hourly-label parsing, explode
+  * upsampling, rolling windows, and gap sessionization (the batch shape of
+  * the streaming sessionizer in graft.streaming).
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // W3 — hourly label build + parse ("HH-HH+1" → hour), regex-based
+    // ref: utilidades/etl_date_utils.py:361-438
+    ("w3_hour_label_parse",
+      (s, d) => events(s, d)
+        .withColumn("label", concat(
+          lpad(hour(col("ts")).cast(StringType), 2, "0"), lit("-"),
+          lpad((hour(col("ts")) + 1).cast(StringType), 2, "0")))
+        .select(col("event_id"), col("label"),
+          regexp_extract(col("label"), "^(\\d+)", 1).cast(IntegerType).as("hora")),
+      Some("""SELECT event_id, label,
+                     CAST(regexp_extract(label, '^(\d+)', 1) AS INTEGER) AS hora
+              FROM (SELECT event_id,
+                           concat(lpad(CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP))
+                                            AS VARCHAR), 2, '0'), '-',
+                                  lpad(CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) + 1
+                                            AS VARCHAR), 2, '0')) AS label
+                    FROM events) t""")),
+
+    // W4 — 1-based 15-min interval index ↔ UTC timestamp arithmetic:
+    // utc = local_midnight + (idx-1)×15min. The UTC formulation makes the
+    // reference's DST special-casing (92/100-interval days) unnecessary.
+    // ref: utilidades/etl_date_utils.py:440-577
+    ("w4_interval_parse",
+      (s, d) => events(s, d)
+        .withColumn("idx",
+          (hour(col("ts")) * 4 + floor(minute(col("ts")) / 15) + 1)
+            .cast(IntegerType))
+        .select(col("event_id"), col("idx"),
+          expr("timestampadd(MINUTE, (idx - 1) * 15, date_trunc('day', ts))")
+            .as("datetime_utc")),
+      Some("""SELECT event_id, idx,
+                     date_trunc('day', CAST(ts AS TIMESTAMP))
+                       + to_minutes(CAST((idx - 1) * 15 AS BIGINT)) AS datetime_utc
+              FROM (SELECT event_id, ts,
+                           CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 4
+                                + EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) // 15
+                                + 1 AS INTEGER) AS idx
+                    FROM events) t""")),
+
+    // W5 — hourly → 15-min upsample: explode ×4, volumes ÷4
+    // ref: utilidades/etl_date_utils.py:826-863
+    ("w5_upsample",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hora"))
+        .agg(dsum2(col("value")).as("v"))
+        .withColumn("q", explode(sequence(lit(0), lit(3))))
+        .select(expr("timestampadd(MINUTE, q * 15, hora)").as("datetime_utc"),
+          (col("v") / 4).as("volumenes")),
+      Some("""WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hora,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                         FROM events GROUP BY 1)
+              SELECT hora + to_minutes(CAST(q * 15 AS BIGINT)) AS datetime_utc,
+                     v / 4 AS volumenes
+              FROM h, generate_series(0, 3) t(q)""")),
+
+    // W11 — 24-row rolling mean over a daily series
+    // ref: read/natlanguage_duckdb_queries.py:246-252
+    ("w11_rolling_avg",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast(DateType).as("dia"))
+          .agg(dsum2(col("o_totalprice")).as("v"))
+        val w = Window.orderBy("dia").rowsBetween(-23, 0)
+        daily.select(col("dia"),
+          (sum(dec2(col("v"))).over(w).cast(DoubleType)
+            / count(lit(1)).over(w)).as("media24"))
+      },
+      Some("""WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS dia,
+                                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+                          FROM orders GROUP BY 1)
+              SELECT dia,
+                     CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / COUNT(*) OVER w AS media24
+              FROM dd
+              WINDOW w AS (ORDER BY dia ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")),
+
+    // W12 — gap sessionization (30-min inactivity gap → new session), the
+    // batch twin of streaming/Sessionize. Exact integer µs gap arithmetic.
+    ("w12_sessionize",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800L * 1000000L
+        events(s, d)
+          .withColumn("pt", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("brk",
+            when(col("pt").isNull || unix_micros(col("ts")) - col("pt") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+                   y AS (SELECT user_id, event_id, t,
+                                lag(epoch_us(t)) OVER (PARTITION BY user_id
+                                                       ORDER BY t, event_id) AS pt
+                         FROM x),
+                   z AS (SELECT user_id, event_id, t,
+                                CAST(SUM(CASE WHEN pt IS NULL
+                                               OR epoch_us(t) - pt > 1800000000 THEN 1
+                                          ELSE 0 END)
+                                  OVER (PARTITION BY user_id ORDER BY t, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                         FROM y)
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(event_id) AS first_event
+              FROM z GROUP BY 1, 2"""))
+  )
+}
