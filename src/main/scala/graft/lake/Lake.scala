@@ -1,0 +1,113 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet lake with idempotent keyed upsert — SURVEY.md §1.4,
+  * S5-S7 + A4 (utilidades/processed_file_utils.py:28-135, 252-369).
+  *
+  * The reference's read-merge-dedup-rewrite per partition file becomes:
+  * derive partition columns → union incoming with the *overlapping*
+  * partitions only → keep-last via row_number over the dedup key ordered by
+  * an explicit precedence column → dynamic partition overwrite. pandas'
+  * implicit "last concatenated row wins" does not exist in Spark, so
+  * precedence is explicit data (SURVEY §7.4.2): callers pass a batch id /
+  * load timestamp; higher wins.
+  *
+  * Scale: only partitions present in the incoming batch are read back and
+  * rewritten (partition pruning on the union's existing side), so a daily
+  * merge touches O(days-in-batch) partitions no matter how big the lake is.
+  */
+object Lake {
+
+  val PartitionCols: Seq[String] = Seq("mercado", "id_mercado", "year", "month")
+
+  /** Derive year/month partition columns from datetime_utc and tag mercado.
+    * ref: processed_file_utils.py:76-89
+    */
+  def withPartitionCols(df: DataFrame, mercado: String): DataFrame = df
+    .withColumn("mercado", lit(mercado))
+    .withColumn("year", year(col("datetime_utc")))
+    .withColumn("month", month(col("datetime_utc")))
+
+  /** Keep-last keyed dedup: one survivor per key, highest precedence wins.
+    * ref: processed_file_utils.py:28-74 (A4 key sets per dataset)
+    */
+  def keepLast(df: DataFrame, keys: Seq[String], precedence: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(precedence.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent upsert into the partitioned lake. `dedupKeys` empty ⇒
+    * append-only (the `continuo`/MIC rule, processed_file_utils.py:65-67).
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, path: String,
+      mercado: String, dedupKeys: Seq[String], precedenceCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val tagged = withPartitionCols(incoming, mercado)
+    if (dedupKeys.isEmpty) { // append-only datasets (MIC): duplicates allowed
+      tagged.sortWithinPartitions("datetime_utc")
+        .write.mode(SaveMode.Append).partitionBy(PartitionCols: _*)
+        .option("compression", "zstd").parquet(path)
+      return
+    }
+    // incoming batches can carry intra-batch duplicates (re-downloads) —
+    // keep-last applies to the batch itself as well as the merge
+    val merged =
+      if (!new java.io.File(path).exists())
+        keepLast(tagged, dedupKeys, col(precedenceCol))
+      else {
+        val existing = spark.read.parquet(path)
+        // prune the existing side to only the partitions the batch touches
+        val touched = tagged.select(PartitionCols.map(col): _*).distinct()
+        val overlap = existing.join(broadcast(touched), PartitionCols, "left_semi")
+          .select(tagged.columns.map(col): _*)
+        keepLast(overlap.unionByName(tagged), dedupKeys, col(precedenceCol))
+      }
+    merged
+      .sortWithinPartitions("datetime_utc") // O1: sorted runs → better RLE + stats
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(PartitionCols: _*)
+      .option("compression", "zstd") // ref: processed_file_utils.py:349-357
+      .parquet(path)
+  }
+
+  /** Partition-pruned read (S11): mercado/id/date-range predicates land on
+    * partition columns so Catalyst prunes directories before any IO.
+    * ref: db_utils.py:224-301
+    */
+  def read(spark: SparkSession, path: String, mercado: Option[String] = None,
+      ids: Seq[Int] = Nil, from: Option[String] = None,
+      to: Option[String] = None): DataFrame = {
+    var df = spark.read.parquet(path)
+    mercado.foreach(m => df = df.filter(col("mercado") === m))
+    if (ids.nonEmpty) df = df.filter(col("id_mercado").isin(ids: _*))
+    from.foreach { f =>
+      df = df.filter(col("datetime_utc") >= f &&
+        // partition-aligned predicate so year/month dirs prune too
+        (col("year") > year(lit(f).cast("date")) ||
+          (col("year") === year(lit(f).cast("date")) &&
+            col("month") >= month(lit(f).cast("date")))))
+    }
+    to.foreach { t =>
+      df = df.filter(col("datetime_utc") <= t &&
+        (col("year") < year(lit(t).cast("date")) ||
+          (col("year") === year(lit(t).cast("date")) &&
+            col("month") <= month(lit(t).cast("date")))))
+    }
+    df
+  }
+
+  /** S9/O3 — latest loaded partition (descending year/month walk becomes a
+    * partition-only aggregate; no data files are read).
+    * ref: raw_file_utils.py:316-419
+    */
+  def latestPartition(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(path)
+      .select(col("year"), col("month")).distinct()
+      .orderBy(col("year").desc, col("month").desc).limit(1).collect()(0)
+    (r.getInt(0), r.getInt(1))
+  }
+}

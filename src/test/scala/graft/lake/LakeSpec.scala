@@ -1,0 +1,65 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(prec: Int, rows: (String, Int, Double)*) =
+    rows.toSeq.toDF("dt", "id_mercado", "precio")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+      .withColumn("batch_id", lit(prec))
+
+  test("S7/A4 upsert is an idempotent keep-last merge per key") {
+    val path = tmpDir() + "/lake"
+    Lake.upsert(spark, batch(1,
+      ("2024-01-01 00:00:00", 1, 10.0), ("2024-01-01 00:15:00", 1, 11.0),
+      ("2024-02-01 00:00:00", 1, 20.0)),
+      path, "diario", Seq("datetime_utc", "id_mercado"), "batch_id")
+    // second batch: corrects one row, adds one, leaves feb untouched
+    Lake.upsert(spark, batch(2,
+      ("2024-01-01 00:00:00", 1, 99.0), ("2024-01-01 00:30:00", 1, 12.0)),
+      path, "diario", Seq("datetime_utc", "id_mercado"), "batch_id")
+    val got = spark.read.parquet(path)
+      .select(col("datetime_utc").cast("string"), col("precio"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map(
+      "2024-01-01 00:00:00" -> 99.0, // corrected by batch 2 (keep-last)
+      "2024-01-01 00:15:00" -> 11.0,
+      "2024-01-01 00:30:00" -> 12.0,
+      "2024-02-01 00:00:00" -> 20.0))
+    // hive layout exists
+    assert(new java.io.File(s"$path/mercado=diario/id_mercado=1/year=2024/month=1")
+      .exists())
+  }
+
+  test("upsert with empty dedup keys is append-only (MIC rule)") {
+    val path = tmpDir() + "/mic"
+    Lake.upsert(spark, batch(1, ("2024-01-01 00:00:00", 1, 5.0)),
+      path, "continuo", Nil, "batch_id")
+    Lake.upsert(spark, batch(2, ("2024-01-01 00:00:00", 1, 5.0)),
+      path, "continuo", Nil, "batch_id")
+    assert(spark.read.parquet(path).count() == 2) // duplicates allowed
+  }
+
+  test("S11 read prunes partitions (PartitionFilters in the plan)") {
+    val path = tmpDir() + "/lake2"
+    Lake.upsert(spark, batch(1,
+      ("2024-01-01 00:00:00", 1, 1.0), ("2024-06-01 00:00:00", 2, 2.0)),
+      path, "diario", Seq("datetime_utc", "id_mercado"), "batch_id")
+    val df = Lake.read(spark, path, Some("diario"), Seq(1),
+      Some("2024-01-01"), Some("2024-01-31"))
+    assert(df.collect().map(_.getAs[Double]("precio")).sameElements(Array(1.0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("id_mercado"))
+  }
+
+  test("S9 latest partition") {
+    val path = tmpDir() + "/lake3"
+    Lake.upsert(spark, batch(1,
+      ("2023-12-01 00:00:00", 1, 1.0), ("2024-03-01 00:00:00", 1, 2.0)),
+      path, "diario", Seq("datetime_utc", "id_mercado"), "batch_id")
+    assert(Lake.latestPartition(spark, path) == (2024, 3))
+  }
+}

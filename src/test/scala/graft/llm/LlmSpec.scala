@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ANN LSH bucketing: high recall vs brute force, far fewer pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(emb, col("vec_id") < 10,
+        nBits = 4, nTables = 3, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // 3 tables × 4 bits on 500 vecs
+    assert(approx.size <= exact.size * 2)
+  }
+
+  test("LSH signature is deterministic across evaluations") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = emb.select(col("vec_id"), Similarity.lshSignature(spark, "v", 64, 8).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = emb.select(col("vec_id"), Similarity.lshSignature(spark, "v", 64, 8).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 8))
+  }
+
+  test("multimodal feature extraction: deterministic stub, real batch shape") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.checksum.length == 32))
+    // determinism: same input ⇒ same features
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(r => r.doc_id -> r.checksum).toMap
+    assert(rows.forall(r => again(r.doc_id) == r.checksum))
+    // checksum matches the SQL-surface md5 (llm_multimodal_meta parity)
+    val sqlMd5 = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rows.forall(r => sqlMd5(r.doc_id) == r.checksum))
+  }
+
+  test("minhash near-dup query finds the planted near-duplicates") {
+    val dups = graft.SparkEntry.queries("llm_minhash_dedup")(spark, sfDir)
+    val n = dups.count()
+    assert(n > 0, "expected planted near-dups at sf0.001")
+    // every reported pair really has Jaccard ≥ 0.4 (the verify threshold)
+    assert(dups.filter(col("jac") < 0.4).count() == 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class SessionizeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState closes sessions on 30-min gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    // user 1: two events 5 min apart, then a 2-hour gap, then one more —
+    // the gap closes session 1 within the stream itself
+    input.addData(
+      Sessionize.Event(1L, 1L, ts("2024-01-01 10:00:00")),
+      Sessionize.Event(1L, 2L, ts("2024-01-01 10:05:00")),
+      Sessionize.Event(1L, 3L, ts("2024-01-01 12:30:00")),
+      Sessionize.Event(2L, 4L, ts("2024-01-01 10:00:00")))
+    val query = Sessionize.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val closed = spark.table("sessions")
+      .as[Sessionize.SessionOut].collect()
+    // the first session of user 1 must be closed (gap emitted it)
+    val u1 = closed.filter(_.user_id == 1L)
+    assert(u1.length == 1)
+    assert(u1.head.n_events == 2 && u1.head.first_event == 1L)
+    assert(u1.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(u1.head.session_end == ts("2024-01-01 10:05:00"))
+  }
+
+  test("batch twin (w12_sessionize) and stream agree on session structure") {
+    import spark.implicits._
+    // run the registered batch sessionizer on sf0.001 and sanity-check
+    val batch = graft.SparkEntry.queries("w12_sessionize")(spark, sfDir)
+    val n = batch.count()
+    assert(n > 0)
+    // session event counts must sum to the event count
+    val total = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .as[Long].head()
+    assert(total == graft.Tables.events(spark, sfDir).count())
+  }
+}
