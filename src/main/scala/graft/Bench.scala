@@ -13,8 +13,21 @@ object Bench {
     val spark = Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm-up: exercise the scan/join/agg/window/regexp codegen paths once
+    // so JVM + whole-stage-codegen compilation isn't billed to whichever
+    // measured query happens to run first
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("o_orderpriority"))))
+        .filter(regexp_extract(col("o_orderpriority"), "(\\d)", 1) =!= "9")
+        .write.format("noop").mode("overwrite").save()
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -48,7 +48,8 @@ object Similarity {
     * never an all-pairs cross join.
     */
   def annTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
-      dims: Int = 64, nBits: Int = 8, nTables: Int = 3, k: Int = 5): DataFrame = {
+      dims: Int = 64, nBits: Int = 8, nTables: Int = 3, k: Int = 5,
+      roundScale: Int = -1): DataFrame = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -65,13 +66,64 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .drop("bucket")
       .dropDuplicates("qid", "cid") // pairs colliding in several tables
+    val rawCos = col("dot") / (col("qn") * col("cn"))
+    val cosCol = if (roundScale >= 0) round(rawCos, roundScale) else rawCos
+    val cosName = if (roundScale >= 0) "cos_r" else "cos"
     val scored = cand
       .withColumn("dot",
         expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
-      .withColumn("cos", col("dot") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      .withColumn(cosName, cosCol)
+    val w = Window.partitionBy("qid").orderBy(col(cosName).desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("qid", "cid", "cos", "rn")
+      .select(col("qid"), col("cid"), col(cosName),
+        col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle SQL for annTopK (same hyperplanes, same left-associated
+    * IEEE arithmetic — the generated coefficient literals round-trip
+    * identically through both parsers, so bucket signatures and cosines
+    * match bit-for-bit; only the final round() can differ, at half-ulp
+    * boundaries).
+    */
+  def annOracleSql(dims: Int, nBits: Int, nTables: Int, k: Int,
+      roundScale: Int): String = {
+    def acc(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    def sig(salt: Int): String = {
+      val bits = (0 until nBits).map { p =>
+        val terms = (1 to dims)
+          .map(i => s"${acc("e", i)} * ${planeCoef(salt, p, i - 1)}")
+          .mkString(" + ")
+        s"CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"concat('$salt:', ${bits.mkString(", ")})"
+    }
+    val ebLegs = (0 until nTables)
+      .map(t => s"SELECT e.vec_id, ${sig(t)} AS bucket FROM embeddings e")
+      .mkString("\n UNION ALL\n ")
+    val normChain = (1 to dims)
+      .map(i => s"${acc("e", i)} * ${acc("e", i)}").mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${acc("a", i)} * ${acc("b", i)}").mkString(" + ")
+    s"""WITH eb AS ($ebLegs),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+          FROM eb x JOIN eb y ON x.bucket = y.bucket
+          WHERE x.vec_id < 10 AND y.vec_id <> x.vec_id),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        scored AS (
+          SELECT qid, cid,
+                 round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+          FROM cand
+          JOIN embeddings a ON a.vec_id = qid
+          JOIN embeddings b ON b.vec_id = cid
+          JOIN n na ON na.vec_id = qid
+          JOIN n nb ON nb.vec_id = cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
   }
 
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */

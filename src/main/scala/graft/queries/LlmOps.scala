@@ -40,12 +40,26 @@ object LlmOps {
 
   /** MinHash signature: 12 seed-salted md5 minima per doc (md5 hex strings
     * compare bytewise identically in Spark and DuckDB).
+    *
+    * Cost shape: the 12 hashes are computed once per *distinct* shingle
+    * (vocabulary), not once per (doc, shingle, seed); per-doc minima are an
+    * element-wise array fold — min is order-independent, so the result is
+    * identical to the naive per-row formulation the oracle uses.
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .withColumn("j", explode(sequence(lit(0), lit(11))))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast(StringType), lit("|"), col("s")))).as("mh"))
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val vocab = sh.select("s").distinct()
+      .withColumn("hs", expr(
+        "transform(sequence(0, 11), j -> md5(concat(CAST(j AS STRING), '|', s)))"))
+    sh.join(vocab, "s")
+      .groupBy("doc_id")
+      .agg(expr(
+        """aggregate(collect_list(hs),
+                     array_repeat('g', 12),
+                     (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))""")
+        .as("mhs"))
+      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("j", "mh")))
+  }
 
   private val minhashSigSql =
     """sig AS (
@@ -115,21 +129,31 @@ object LlmOps {
 
     // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
     // bucketing on the signature gives near-dup candidates at scale.
+    // Cost shape: the 32 bit-values are derived once per distinct token
+    // (vocabulary) as an array; per-doc votes are an element-wise integer
+    // array sum — exact and order-independent, so identical to the oracle's
+    // naive per-(doc,token,bit) formulation.
     ("llm_simhash",
       (s, d) => {
         val toks = documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-        toks
-          .withColumn("j", explode(sequence(lit(0), lit(31))))
-          .withColumn("hval",
-            expr("instr('0123456789abcdef', substr(md5(tok), 1 + j div 4, 1)) - 1"))
-          .withColumn("bit", expr("shiftright(hval, j % 4) & 1"))
-          .groupBy("doc_id", "j")
-          .agg(sum(col("w") * (col("bit") * 2 - 1)).as("v"))
-          .withColumn("b", when(col("v") >= 0, "1").otherwise("0"))
+        val vocab = toks.select("tok").distinct()
+          .withColumn("bits", expr(
+            """transform(sequence(0, 31), j ->
+                 CAST((shiftright(instr('0123456789abcdef',
+                                        substr(md5(tok), 1 + j div 4, 1)) - 1,
+                                  j % 4) & 1) * 2 - 1 AS BIGINT))"""))
+        toks.join(vocab, "tok")
+          .withColumn("wb", expr("transform(bits, b -> b * w)"))
           .groupBy("doc_id")
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(j, b))), x -> x.b), '')").as("sig"))
+          .agg(expr(
+            """aggregate(collect_list(wb),
+                         array_repeat(CAST(0 AS BIGINT), 32),
+                         (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""").as("v"))
+          .select(col("doc_id"), expr(
+            "array_join(transform(v, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+            .as("sig"))
       },
       Some("""WITH t AS (
                 SELECT doc_id, tok, count(*) AS w
@@ -194,6 +218,16 @@ object LlmOps {
                                               ORDER BY cos_r DESC, cid) AS rn
                     FROM scored) t
               WHERE rn <= 5""")),
+
+    // LSH-bucketed ANN join — the 100 TB path: candidates from a shuffle on
+    // (table, signature) bucket, exact cosine only within buckets. The
+    // oracle SQL is generated from the identical hyperplane family.
+    ("llm_ann_lsh",
+      (s, d) => graft.llm.Similarity.annTopK(embeddings(s, d),
+        col("vec_id") < 10, dims = 64, nBits = 4, nTables = 2, k = 5,
+        roundScale = 4),
+      Some(graft.llm.Similarity.annOracleSql(
+        dims = 64, nBits = 4, nTables = 2, k = 5, roundScale = 4))),
 
     // Token counting: whitespace tokens + regex word tokens + char length
     ("llm_token_count",
