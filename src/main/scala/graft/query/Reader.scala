@@ -1,0 +1,52 @@
+package graft.query
+
+import graft.lake.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed read facade — SURVEY.md §3.3 (read/_parquet_reader.py:36-165,
+  * read/precios_reader.py:21-253, db_utils.py:224-301).
+  *
+  * The query surface the reference's NL layer generates: partition-pruned
+  * date-range + market(+id) scans, precios×volumenes equi-joins on
+  * (datetime_utc, id_mercado), UTC↔Madrid at the display edge, and rolling
+  * windows. All plain Spark SQL over the lake.
+  */
+object Reader {
+
+  final case class UnknownMarket(m: String)
+    extends IllegalArgumentException(s"unknown mercado: $m")
+
+  /** market folder → valid id set (read/market_map.json equivalent). */
+  val MarketIds: Map[String, Seq[Int]] = Map(
+    "diario" -> Seq(1), "intra" -> Seq(2, 3, 4, 5, 6, 7, 8),
+    "secundaria" -> Seq(9, 10), "terciaria" -> Seq(11, 12), "rr" -> Seq(13))
+
+  /** Validated, partition-pruned precios scan (S11 + F1). */
+  def precios(spark: SparkSession, lakePath: String, mercado: String,
+      ids: Seq[Int], from: String, to: String): DataFrame = {
+    val valid = MarketIds.getOrElse(mercado, throw UnknownMarket(mercado))
+    val bad = ids.filterNot(valid.contains)
+    require(bad.isEmpty, s"ids $bad not valid for $mercado (valid: $valid)")
+    Lake.read(spark, lakePath, Some(mercado),
+      if (ids.isEmpty) valid else ids, Some(from), Some(to))
+  }
+
+  /** J9 — the prescribed precios×volumenes CTE join shape. */
+  def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame): DataFrame =
+    precios.join(volumenes, Seq("datetime_utc", "id_mercado"))
+      .withColumn("importe", col("precio") * col("volumenes"))
+
+  /** W11 — 24-slot rolling mean over an ordered series, per market. */
+  def rollingAvg(df: DataFrame, valueCol: String, slots: Int = 24): DataFrame = {
+    val w = Window.partitionBy("id_mercado").orderBy("datetime_utc")
+      .rowsBetween(-(slots - 1), 0)
+    df.withColumn(s"${valueCol}_rolling", avg(col(valueCol)).over(w))
+  }
+
+  /** Display-edge Madrid local time (TZ rule: filter in UTC, show local). */
+  def withMadridTime(df: DataFrame): DataFrame =
+    df.withColumn("datetime_local",
+      from_utc_timestamp(col("datetime_utc"), graft.time.MadridTime.Zone))
+}

@@ -1,0 +1,68 @@
+package graft.transform
+
+import graft.ingest.Ingest
+import graft.model.Schemas
+import graft.time.MadridTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** I90 volumenes pipeline — SURVEY.md §3.2 (_procesador_i90.py:556-632):
+  * melt → market filters + id tag → datetime standardization (W2 dispatch
+  * by granularity) → finalize → validate, plus the intra cumulative
+  * differencing chain (SessionDiff).
+  */
+object I90Transform {
+
+  import MarketFilters.MarketLeg
+
+  /** Default market legs (config-as-data; ref configs/i90_config.py:483-599). */
+  val DefaultLegs: Seq[MarketLeg] = Seq(
+    MarketLeg(3, "Subir", Seq("Terciaria")),
+    MarketLeg(4, "Bajar", Seq("Terciaria")),
+    MarketLeg(10, "Subir", Seq("UPLPVPV", "UPLPVPCBN")),
+    MarketLeg(11, "Bajar", Seq("UPLPVPV", "UPLPVPCBN")))
+
+  /** W2 — datetime standardization dispatcher: one declarative path per
+    * granularity, no DST special-casing (the UTC-arithmetic kernels absorb
+    * the 92/100-interval days). Input has `fecha` (date), and either `hora`
+    * hourly labels ("00-01", "02-03a/b") or a 1-based 15-min index.
+    * `transition_type` comes from the W1 calendar joined on fecha.
+    */
+  def standardizeDatetime(df: DataFrame, calendar: DataFrame): DataFrame = {
+    val withCal = df.join(broadcast(calendar),
+      df("fecha") === calendar("fecha"), "left")
+      .drop(calendar("fecha"))
+    withCal.withColumn("datetime_utc",
+      when(col("granularity") === "Quince minutos",
+        MadridTime.utcFromQuarterIndex(col("fecha"), col("hora").cast(IntegerType)))
+        .otherwise(MadridTime.utcFromHourLabel(col("fecha"), col("hora"),
+          col("transition_type"))))
+      .drop("transition_type", "quarters_in_day")
+  }
+
+  /** Wide sheet → processed volumenes (diario path). */
+  def transform(spark: SparkSession, wide: DataFrame, idCols: Seq[String],
+      hourCols: Seq[String], legs: Seq[MarketLeg] = DefaultLegs): DataFrame = {
+    val long = Ingest.pruneZeroValues(
+      Ingest.melt(wide, idCols, hourCols, "hora", "volumenes"))
+    val tagged = MarketFilters.filterSinglePass(long, legs, "Sentido", "Redespacho")
+    val cal = MadridTime.calendarDim(spark, 2020, 2030)
+    val std = standardizeDatetime(tagged, cal)
+    val fin = std
+      .withColumnRenamed("Unidad de Programación", "up")
+      .select("datetime_utc", "up", "volumenes", "id_mercado")
+      .orderBy("datetime_utc", "up")
+    Schemas.validate(fin, Schemas.volumenesI90)
+  }
+
+  /** Intra path: diario baseline + cumulative sessions → net volumes
+    * (ref: _procesador_i90.py:361-446; SessionDiff holds the window logic).
+    */
+  def transformIntra(diario: Option[DataFrame],
+      sessions: Seq[(Int, DataFrame)]): DataFrame =
+    SessionDiff.intraNetVolumes(diario, sessions, "up",
+      tipoCol = diario.flatMap(d =>
+        if (d.columns.contains("tipo_transaccion")) Some("tipo_transaccion")
+        else None))
+}

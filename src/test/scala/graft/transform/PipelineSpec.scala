@@ -1,0 +1,93 @@
+package graft.transform
+
+import graft.SparkSpec
+import graft.lake.Lake
+import graft.query.Reader
+import org.apache.spark.sql.functions._
+
+/** End-to-end slices — SURVEY.md §7.2 step 4 (ESIOS) and steps 5-6 (I90),
+  * through transform → lake → typed read.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ESIOS slice: raw → transform → lake → pruned typed read") {
+    val raw = Seq(
+      // hourly indicator 600 (diario): explodes ×4, price replicated
+      ("2024-07-15 10:00:00", 50.125, 600, "Hora", "España"),
+      // quarter-hour indicator 612: passes through
+      ("2024-07-15 10:00:00", 60.0, 612, "Quince minutos", "España"),
+      // restricted indicator with foreign geo: dropped by F2
+      ("2024-07-15 10:00:00", 99.0, 600, "Hora", "Francia"))
+      .toDF("dt", "value", "indicador_id", "granularidad", "geo_name")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+    val out = EsiosTransform.transform(raw)
+    assert(out.count() == 5) // 4 quarters + 1 quarter row
+    // price standardization rounds to 2 decimals
+    assert(out.filter(col("id_mercado") === 1)
+      .select("precio").as[Float].collect().forall(_ == 50.13f))
+    // lake roundtrip with pruned read
+    val path = tmpDir() + "/esios"
+    Lake.upsert(spark, out.withColumn("batch_id", lit(1)), path, "diario",
+      Seq("datetime_utc", "id_mercado"), "batch_id")
+    val back = Reader.precios(spark, path, "diario", Seq(1),
+      "2024-07-15", "2024-07-16")
+    assert(back.count() == 4)
+    intercept[Reader.UnknownMarket] {
+      Reader.precios(spark, path, "nope", Nil, "2024-07-15", "2024-07-16")
+    }
+  }
+
+  test("I90 slice: wide sheet → melt → filters → DST datetime → schema") {
+    // fall-back day 2024-10-27: labels 02-03a (CEST) and 02-03b (CET)
+    val wide = Seq(
+      ("UP1", "2024-10-27", "Subir", "Terciaria", "Hora", Some(10.0), Some(20.0), None),
+      ("UP2", "2024-10-27", "Bajar", "Terciaria", "Hora", Some(5.0), None, Some(7.0)),
+      ("UP3", "2024-10-27", "Subir", "NoMatch", "Hora", Some(9.0), Some(9.0), Some(9.0)))
+      .toDF("Unidad de Programación", "fecha_s", "Sentido", "Redespacho",
+        "granularity", "02-03a", "02-03b", "03-04")
+      .withColumn("fecha", col("fecha_s").cast("date")).drop("fecha_s")
+    val out = I90Transform.transform(spark, wide,
+      Seq("Unidad de Programación", "fecha", "Sentido", "Redespacho", "granularity"),
+      Seq("02-03a", "02-03b", "03-04"))
+    val got = out.select(col("up"), col("datetime_utc").cast("string"),
+      col("volumenes"), col("id_mercado").cast("int"))
+      .as[(String, String, Float, Int)].collect().toSet
+    assert(got == Set(
+      ("UP1", "2024-10-27 00:00:00", 10.0f, 3), // 02a = CEST = 00:00Z
+      ("UP1", "2024-10-27 01:00:00", 20.0f, 3), // 02b = CET  = 01:00Z
+      ("UP2", "2024-10-27 00:00:00", 5.0f, 4),
+      ("UP2", "2024-10-27 02:00:00", 7.0f, 4))) // 03 after fall-back = +1
+    // UP3's Redespacho matches no leg ⇒ filtered out entirely
+    assert(!got.exists(_._1 == "UP3"))
+  }
+
+  test("I90 intra chain composes with the pipeline output shape") {
+    val ts = "2024-07-15 10:00:00"
+    def f(rows: (String, Double)*) = rows.toSeq.toDF("up", "volumenes")
+      .withColumn("datetime_utc", lit(ts).cast("timestamp"))
+    val diario = f(("UP1", 100.0)).withColumn("tipo_transaccion", lit("Mercado"))
+    val out = I90Transform.transformIntra(Some(diario),
+        Seq(1 -> f(("UP1", 120.0)), 2 -> f(("UP1", 90.0))))
+      .select("session", "volumenes").as[(Int, Double)].collect().toSet
+    assert(out == Set((1, 20.0), (2, -30.0)))
+  }
+
+  test("Reader: precios×volumenes join + rolling avg surface") {
+    val p = Seq(("2024-07-15 10:00:00", 1, 50.0), ("2024-07-15 10:15:00", 1, 60.0))
+      .toDF("dt", "id_mercado", "precio")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+    val v = Seq(("2024-07-15 10:00:00", 1, 2.0), ("2024-07-15 10:15:00", 1, 4.0))
+      .toDF("dt", "id_mercado", "volumenes")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+    val j = Reader.joinPreciosVolumenes(p, v)
+    assert(j.agg(sum("importe")).as[Double].head() == 100.0 + 240.0)
+    val r = Reader.rollingAvg(j, "precio", slots = 2)
+      .orderBy("datetime_utc").select("precio_rolling").as[Double].collect()
+    assert(r.sameElements(Array(50.0, 55.0)))
+    val local = Reader.withMadridTime(j)
+      .orderBy("datetime_utc")
+      .select(col("datetime_local").cast("string")).as[String].head()
+    assert(local == "2024-07-15 12:00:00") // CEST = UTC+2
+  }
+}
