@@ -56,6 +56,7 @@ object Tables {
     * count by the cluster conf), AQE for runtime coalescing/skew handling.
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")

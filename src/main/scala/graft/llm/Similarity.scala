@@ -53,7 +53,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
     val eb = e.withColumn("bucket", explode(buckets))
@@ -71,7 +71,7 @@ object Similarity {
     val cosName = if (roundScale >= 0) "cos_r" else "cos"
     val scored = cand
       .withColumn("dot",
-        expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        expr("vec_dot(qv, cv)"))
       .withColumn(cosName, cosCol)
     val w = Window.partitionBy("qid").orderBy(col(cosName).desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -131,14 +131,14 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .withColumn("dot",
-        expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        expr("vec_dot(qv, cv)"))
       .withColumn("cos", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -181,14 +181,14 @@ object LlmOps {
         val e = embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         val withNorm = e.withColumn("nrm",
-          expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+          expr("sqrt(vec_dot(v, v))"))
         val q = withNorm.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val c = withNorm
           .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
         val scored = q.join(c, col("qid") =!= col("cid"))
           .withColumn("dot",
-            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+            expr("vec_dot(qv, cv)"))
           .withColumn("cos_r", round(col("dot") / (col("qn") * col("cn")), 4))
         val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
