@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // G1's concurrent machinery thrashes with 32 allocation-heavy task
+  // threads on small-SF workloads (measured 3-10x wall-time inflation on
+  // local[32]); throughput GC restores linear scaling
+  "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -19,6 +19,10 @@ object Bench {
     locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
+      Seq("documents", "embeddings", "customer", "events").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () } // events needs nanosAsLong; set in configure
+      }
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -61,6 +61,10 @@ object Tables {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // coalesce small shuffles all the way down to the size target instead
+    // of stopping at defaultParallelism — with 32 local cores and small
+    // stages, per-task overhead otherwise dominates wall time
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 }

@@ -46,8 +46,7 @@ object LlmOps {
     * element-wise array fold — min is order-independent, so the result is
     * identical to the naive per-row formulation the oracle uses.
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  private def minhashSig(sh: DataFrame): DataFrame = {
     val vocab = sh.select("s").distinct()
       .withColumn("hs", expr(
         "transform(sequence(0, 11), j -> md5(concat(CAST(j AS STRING), '|', s)))"))
@@ -86,7 +85,7 @@ object LlmOps {
     ("llm_minhash_dedup",
       (s, d) => {
         val sh = shingles(s, d).cache()
-        val bands = minhashSig(s, d)
+        val bands = minhashSig(sh)
           .withColumn("band", expr("j div 2"))
           .groupBy("doc_id", "band")
           .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), ''))").as("bh"))
