@@ -126,6 +126,68 @@ object Similarity {
         WHERE rn <= $k"""
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH candidates, exact cosine,
+    * threshold filter, each unordered pair once (qid < cid). The dedup
+    * variant of annTopK — same bucket-shuffle cost shape.
+    */
+  def nearDupPairs(embeddings: DataFrame, dims: Int, nBits: Int,
+      nTables: Int, tau: Double, roundScale: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val buckets = array((0 until nTables).map(t =>
+      concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
+    val eb = e.withColumn("bucket", explode(buckets))
+    val a = eb.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket"))
+    val b = eb.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("qid") < col("cid"))
+      .drop("bucket").dropDuplicates("qid", "cid")
+      .withColumn("cos_r",
+        round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), roundScale))
+      .filter(col("cos_r") >= tau)
+      .select("qid", "cid", "cos_r")
+  }
+
+  /** DuckDB oracle for nearDupPairs (same construction as annOracleSql). */
+  def nearDupOracleSql(dims: Int, nBits: Int, nTables: Int, tau: Double,
+      roundScale: Int): String = {
+    def acc(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    def sig(salt: Int): String = {
+      val bits = (0 until nBits).map { p =>
+        val terms = (1 to dims)
+          .map(i => s"${acc("e", i)} * ${planeCoef(salt, p, i - 1)}")
+          .mkString(" + ")
+        s"CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"concat('$salt:', ${bits.mkString(", ")})"
+    }
+    val ebLegs = (0 until nTables)
+      .map(t => s"SELECT e.vec_id, ${sig(t)} AS bucket FROM embeddings e")
+      .mkString("\n UNION ALL\n ")
+    val normChain = (1 to dims)
+      .map(i => s"${acc("e", i)} * ${acc("e", i)}").mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${acc("a", i)} * ${acc("b", i)}").mkString(" + ")
+    s"""WITH eb AS ($ebLegs),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+          FROM eb x JOIN eb y ON x.bucket = y.bucket
+          WHERE x.vec_id < y.vec_id),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e)
+        SELECT qid, cid,
+               round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+        FROM cand
+        JOIN embeddings a ON a.vec_id = qid
+        JOIN embeddings b ON b.vec_id = cid
+        JOIN n na ON na.vec_id = qid
+        JOIN n nb ON nb.vec_id = cid
+        WHERE round(($dotChain) / (na.nrm * nb.nrm), $roundScale) >= $tau"""
+  }
+
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */
   def bruteForceTopK(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {

@@ -228,6 +228,14 @@ object LlmOps {
       Some(graft.llm.Similarity.annOracleSql(
         dims = 64, nBits = 4, nTables = 2, k = 5, roundScale = 4))),
 
+    // Embedding-cosine near-dup pairs above a similarity threshold —
+    // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
+    ("llm_embed_neardup",
+      (s, d) => graft.llm.Similarity.nearDupPairs(embeddings(s, d),
+        dims = 64, nBits = 4, nTables = 2, tau = 0.2, roundScale = 4),
+      Some(graft.llm.Similarity.nearDupOracleSql(
+        dims = 64, nBits = 4, nTables = 2, tau = 0.2, roundScale = 4))),
+
     // Token counting: whitespace tokens + regex word tokens + char length
     ("llm_token_count",
       (s, d) => documents(s, d).select(col("doc_id"),

@@ -93,6 +93,38 @@ object Windows {
               FROM dd
               WINDOW w AS (ORDER BY dia ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")),
 
+    // W4 (flagship DST conformance) — the Madrid time kernel proved against
+    // an independent engine: DuckDB's ICU timezone machinery computes the
+    // same local-midnight instant; both sides then add (idx−1)×15 min on
+    // the UTC axis. Covers spring-forward (92), normal (96) and fall-back
+    // (100) days for 2024 and 2025 — the reference's de-facto conformance
+    // corpus (etl_date_utils.py:440-577, SURVEY §7.4.1). epoch-µs
+    // arithmetic keeps the oracle independent of DuckDB's session TZ.
+    ("w4_madrid_dst",
+      (s, d) => {
+        import s.implicits._
+        val dates = Seq(("2024-03-31", 92), ("2024-07-15", 96),
+          ("2024-10-27", 100), ("2025-03-30", 92), ("2025-10-26", 100))
+          .toDF("fecha", "n")
+        dates
+          .withColumn("idx", explode(sequence(lit(1), col("n"))))
+          .select(col("fecha"), col("idx").cast(IntegerType).as("idx"),
+            graft.time.MadridTime.utcFromQuarterIndex(
+              to_date(col("fecha")), col("idx")).as("datetime_utc"))
+      },
+      Some("""WITH dates(fecha, n) AS (
+                VALUES ('2024-03-31', 92), ('2024-07-15', 96),
+                       ('2024-10-27', 100), ('2025-03-30', 92),
+                       ('2025-10-26', 100)),
+              q AS (SELECT fecha, unnest(generate_series(1, n)) AS idx
+                    FROM dates)
+              SELECT fecha, CAST(idx AS INTEGER) AS idx,
+                     make_timestamp(
+                       epoch_us(timezone('Europe/Madrid',
+                                         CAST(fecha AS TIMESTAMP)))
+                       + (CAST(idx AS BIGINT) - 1) * 900000000) AS datetime_utc
+              FROM q""")),
+
     // W12 — gap sessionization (30-min inactivity gap → new session), the
     // batch twin of streaming/Sessionize. Exact integer µs gap arithmetic.
     ("w12_sessionize",

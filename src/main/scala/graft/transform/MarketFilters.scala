@@ -57,6 +57,16 @@ object MarketFilters {
   def unmappedCount(df: DataFrame): Long =
     df.filter(col("id_mercado").isNull).count()
 
+  /** Known-bad publication days are masked before transform — the
+    * reference keeps an error-date table per market.
+    * ref: configs/i90_config.py:196-215, _descargador_i90.py:77-86
+    */
+  def maskErrorDates(df: DataFrame, dateCol: String,
+      errorDates: Seq[String]): DataFrame =
+    if (errorDates.isEmpty) df
+    else df.filter(!col(dateCol).cast(DateType).isin(
+      errorDates.map(java.sql.Date.valueOf): _*))
+
   /** F7 — curtailment RTx derivation + direction filter.
     * ref: _procesador_curtailments.py:28-59
     */
