@@ -32,11 +32,14 @@ object Similarity {
     */
   def lshSignature(spark: SparkSession, vecCol: String, dims: Int,
       nBits: Int, salt: Int = 0): org.apache.spark.sql.Column = {
+    // vec_dot against a constant coefficient array: same left-to-right
+    // accumulation as the oracle's chained `+` (bit-identical), but the
+    // plan carries one small expression per bit instead of a dims-term
+    // tree (512-term chains measurably slow planning/codegen).
     val bits = (0 until nBits).map { p =>
-      val terms = (0 until dims).map { i =>
-        s"element_at($vecCol, ${i + 1}) * ${planeCoef(salt, p, i)}"
-      }.mkString(" + ")
-      s"CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END"
+      val coefs = (0 until dims).map(i => s"${planeCoef(salt, p, i)}D")
+        .mkString(", ") // D suffix: double literal under ANSI parsing
+      s"CASE WHEN vec_dot($vecCol, array($coefs)) >= 0 THEN '1' ELSE '0' END"
     }
     expr(s"concat(${bits.mkString(", ")})")
   }

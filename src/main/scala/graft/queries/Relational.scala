@@ -237,6 +237,17 @@ object Relational {
       Some("""SELECT c_custkey FROM customer
               WHERE c_custkey NOT IN (SELECT user_id FROM events)""")),
 
+    // ROLLUP — hierarchical subtotals (the reference's NL layer prescribes
+    // ROLLUP in its SQL surface, natlanguage_duckdb_queries.py:242)
+    ("a10_rollup",
+      (s, d) => orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(dsum2(col("o_totalprice")).as("total"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     count(*) AS n
+              FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""")),
+
     // O4 — deterministic top-k per group (ranking window)
     ("o4_topk_per_group",
       (s, d) => {
