@@ -22,6 +22,11 @@ object LlmOps {
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // the corpus lands as few large files; spread docs across the core
+      // budget BEFORE the explode so shingling parallelizes (row-to-shingle
+      // fan-out is ~100x — without this the fan-out runs on the file's
+      // partition count, a single task for a single-file corpus)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 3)
       .withColumn("i", explode(sequence(lit(1), size(col("l")) - 2)))
@@ -135,6 +140,7 @@ object LlmOps {
     ("llm_simhash",
       (s, d) => {
         val toks = documents(s, d)
+          .repartition(col("doc_id")) // parallelize the token fan-out
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
         val vocab = toks.select("tok").distinct()
@@ -227,6 +233,52 @@ object LlmOps {
         roundScale = 4),
       Some(graft.llm.Similarity.annOracleSql(
         dims = 64, nBits = 4, nTables = 2, k = 5, roundScale = 4))),
+
+    // n-gram Jaccard similarity join, bucketed by rare shingles: docs
+    // sharing a low-frequency shingle become candidates, exact Jaccard on
+    // candidates only (a frequency-filtered inverted index — the classic
+    // way to bound candidate generation without MinHash).
+    ("llm_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d).cache()
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("f"))
+          .filter(col("f").between(2, 4)).select("s")
+        val cand = sh.join(rare, "s").as("a")
+          .join(sh.join(rare, "s").as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val inter = cand
+          .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+        inter
+          .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+          .select(col("d1"), col("d2"),
+            (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
+          .filter(col("jac") >= 0.3)
+      },
+      Some("WITH " + shingleSql + """,
+            rare AS (SELECT s FROM (SELECT s, count(*) AS f FROM sh GROUP BY s)
+                     WHERE f BETWEEN 2 AND 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s) a
+              JOIN (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s) b
+                ON a.s = b.s AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT cand.d1, cand.d2, count(*) AS ic
+              FROM cand
+              JOIN sh s1 ON s1.doc_id = cand.d1
+              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
+              GROUP BY 1, 2)
+            SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = d1
+            JOIN cnt cb ON cb.doc_id = d2
+            WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3""")),
 
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
