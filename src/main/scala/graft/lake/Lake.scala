@@ -100,6 +100,20 @@ object Lake {
     df
   }
 
+  /** Bucketed fact table: pre-shuffles on the join key at write time so
+    * fact-fact joins on that key are co-located — no Exchange at query
+    * time. The 100 TB tool for repeated precios×volumenes-style joins:
+    * pay the shuffle once on ingest, never per query. (Bucketing requires
+    * the table catalog, hence saveAsTable rather than a path write.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("compression", "zstd")
+      .saveAsTable(table)
+
   /** S9/O3 — latest loaded partition (descending year/month walk becomes a
     * partition-only aggregate; no data files are read).
     * ref: raw_file_utils.py:316-419

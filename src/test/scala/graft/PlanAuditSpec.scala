@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality gates: the properties that make these operators survive a
+  * 100 TB scale-up, asserted on the actual physical plans in `sbt test`
+  * so a regression (lost pushdown, surprise cartesian, lost map-side
+  * combine) fails the build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("aggregations keep map-side partial aggregation") {
+    for (q <- Seq("a1_rollup", "j9_fact_join", "a2_downsample"))
+      assert(plan(q).contains("partial_"), s"$q lost partial aggregation")
+  }
+
+  test("semi/dim joins broadcast the small side") {
+    for (q <- Seq("f6_semi_join", "j8_dim_join"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q not broadcast")
+  }
+
+  test("candidate-generation joins are never cartesian") {
+    for (q <- Seq("llm_minhash_dedup", "llm_ann_lsh", "llm_embed_neardup",
+        "llm_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    for (q <- Seq("s11_pruned_scan", "f1_date_filter", "f11_nonzero_prune")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$q lost pushdown")
+    }
+  }
+
+  test("bucketed fact tables join without an exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.lake.Lake
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      val or = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice")
+      Lake.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), 4)
+      Lake.writeBucketed(or, "b_orders", Seq("o_orderkey"), 4)
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      j.write.format("noop").mode("overwrite").save()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(j.count() == li.count()) // every lineitem matches its order
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
