@@ -169,6 +169,17 @@ object Relational {
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS media
               FROM events GROUP BY 1, 2""")),
 
+    // A3 — linking hourly sum: per-entity hour-of-day profile aggregation
+    // ref: vinculacion/_linking_algorithm.py:126-129, 158-161
+    ("a3_hourly_sum",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"), hour(col("ts")).as("hora"))
+        .agg(dsum2(col("value")).as("volumenes")),
+      Some("""SELECT user_id,
+                     CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hora,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volumenes
+              FROM events GROUP BY 1, 2""")),
+
     // A4 — keyed keep-last dedup: the lake's idempotent-upsert core.
     // pandas' implicit "last row wins" becomes an explicit precedence order
     // (ts DESC, event_id DESC) — SURVEY.md §7.4.2.

@@ -125,6 +125,67 @@ object Windows {
                        + (CAST(idx AS BIGINT) - 1) * 900000000) AS datetime_utc
               FROM q""")),
 
+    // W6 — OMIE 1-based hour index → UTC across 23/24/25-hour Madrid days,
+    // proved against DuckDB ICU like w4_madrid_dst.
+    ("w6_hour_index_madrid",
+      (s, d) => {
+        import s.implicits._
+        val dates = Seq(("2024-03-31", 23), ("2024-07-15", 24),
+          ("2024-10-27", 25), ("2025-10-26", 25)).toDF("fecha", "n")
+        dates.withColumn("hora", explode(sequence(lit(1), col("n"))))
+          .select(col("fecha"), col("hora").cast(IntegerType).as("hora"),
+            graft.time.MadridTime.utcFromHourIndex(
+              to_date(col("fecha")), col("hora")).as("datetime_utc"))
+      },
+      Some("""WITH dates(fecha, n) AS (
+                VALUES ('2024-03-31', 23), ('2024-07-15', 24),
+                       ('2024-10-27', 25), ('2025-10-26', 25)),
+              q AS (SELECT fecha, unnest(generate_series(1, n)) AS hora
+                    FROM dates)
+              SELECT fecha, CAST(hora AS INTEGER) AS hora,
+                     make_timestamp(
+                       epoch_us(timezone('Europe/Madrid',
+                                         CAST(fecha AS TIMESTAMP)))
+                       + (CAST(hora AS BIGINT) - 1) * 3600000000) AS datetime_utc
+              FROM q""")),
+
+    // W7 — OMIE "HxQy" 15-minute label parse (build from events, parse back)
+    ("w7_h2q4_parse",
+      (s, d) => events(s, d)
+        .withColumn("periodo", concat(lit("H"), (hour(col("ts")) + 1), lit("Q"),
+          (floor(minute(col("ts")) / 15) + 1)))
+        .select(col("event_id"), col("periodo"),
+          graft.time.MadridTime.quarterIndexFromH2Q4(col("periodo")).as("idx")),
+      Some("""SELECT event_id, periodo,
+                     CAST((CAST(regexp_extract(periodo, 'H(\d+)Q(\d)', 1) AS INTEGER) - 1) * 4
+                          + CAST(regexp_extract(periodo, 'H(\d+)Q(\d)', 2) AS INTEGER)
+                       AS INTEGER) AS idx
+              FROM (SELECT event_id,
+                           concat('H',
+                                  EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) + 1,
+                                  'Q',
+                                  EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) // 15 + 1)
+                             AS periodo
+                    FROM events) t""")),
+
+    // W8 — MIC contract code parse (build "YYYYMMDD-HH" codes, parse back)
+    ("w8_mic_contract",
+      (s, d) => orders(s, d).filter(col("o_orderkey") % 25 === 0)
+        .withColumn("contrato", concat(
+          date_format(col("o_orderdate"), "yyyyMMdd"), lit("-"),
+          lpad((col("o_orderkey") % 24 + 1).cast(StringType), 2, "0")))
+        .select(col("o_orderkey"), col("contrato"),
+          graft.time.MadridTime.micDeliveryDate(col("contrato")).as("dia"),
+          graft.time.MadridTime.micDeliveryHour(col("contrato")).as("hora")),
+      Some("""SELECT o_orderkey, contrato,
+                     CAST(strptime(substr(contrato, 1, 8), '%Y%m%d') AS DATE) AS dia,
+                     CAST(substr(contrato, 10, 2) AS INTEGER) AS hora
+              FROM (SELECT o_orderkey,
+                           concat(strftime(o_orderdate, '%Y%m%d'), '-',
+                                  lpad(CAST(o_orderkey % 24 + 1 AS VARCHAR), 2, '0'))
+                             AS contrato
+                    FROM orders WHERE o_orderkey % 25 = 0) t""")),
+
     // W12 — gap sessionization (30-min inactivity gap → new session), the
     // batch twin of streaming/Sessionize. Exact integer µs gap arithmetic.
     ("w12_sessionize",
