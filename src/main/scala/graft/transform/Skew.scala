@@ -1,0 +1,50 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation toolkit. AQE's skew-join splitting handles most cases at
+  * runtime; these are the explicit tools for the pathologies AQE can't fix:
+  * a single hot key inside an aggregation (one reducer gets the hot group
+  * no matter how the partitions split) and a hot key joining a dim table.
+  *
+  * Salts are derived deterministically (content hash, or content hash +
+  * stable per-partition row position for the join — never rand()), so task
+  * retries recompute identical salts and results are reproducible.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: phase 1 aggregates (keys + salt) — the
+    * hot key's rows spread across `salts` reducers — phase 2 combines the
+    * partials. Caller supplies algebraic partial/final pairs (sum/sum,
+    * count→sum, min/min, max/max...).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int, out: String = "total"): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(valueCol)), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(out))
+  }
+
+  /** Salted fact×dim join for a skewed fact key: the fact side gets a
+    * content-derived salt in [0, salts); the dim side is replicated ×salts
+    * (explode of a literal range — dims are small by definition). The join
+    * key becomes (key, salt), so the hot key's rows spread over `salts`
+    * tasks instead of one.
+    */
+  def saltedDimJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(factKey), monotonically_increasing_id()), lit(salts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+          saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
+}
