@@ -56,6 +56,25 @@ object I90Transform {
     Schemas.validate(fin, Schemas.volumenesI90)
   }
 
+  /** Precios variant (SURVEY §7.2 step 5: same as volumenes minus intra):
+    * wide sheet with `precios` values → standardized precios schema.
+    * ref: transform/procesadores/_procesador_i90.py (precios path),
+    * raw schema `precios_i90` in data_validation_utils.py:26-31.
+    */
+  def transformPrecios(spark: SparkSession, wide: DataFrame, idCols: Seq[String],
+      hourCols: Seq[String], legs: Seq[MarketLeg] = DefaultLegs): DataFrame = {
+    val long = Ingest.melt(wide, idCols, hourCols, "hora", "precios")
+      .filter(col("precios").isNotNull)
+    val tagged = MarketFilters.filterSinglePass(long, legs, "Sentido", "Redespacho")
+    val cal = MadridTime.calendarDim(spark, 2020, 2030)
+    val std = standardizeDatetime(tagged, cal)
+    val fin = std
+      .withColumn("precio", round(col("precios"), 2)) // price standardization
+      .select("datetime_utc", "id_mercado", "precio")
+      .orderBy("datetime_utc")
+    Schemas.validate(fin, Schemas.precios)
+  }
+
   /** Intra path: diario baseline + cumulative sessions → net volumes
     * (ref: _procesador_i90.py:361-446; SessionDiff holds the window logic).
     */

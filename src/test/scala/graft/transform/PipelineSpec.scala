@@ -62,6 +62,21 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(_._1 == "UP3"))
   }
 
+  test("I90 precios variant: melt → filters → DST datetime → precios schema") {
+    val wide = Seq(
+      ("2024-10-27", "Subir", "Terciaria", "Hora", Some(50.555), Some(60.0)))
+      .toDF("fecha_s", "Sentido", "Redespacho", "granularity", "02-03a", "02-03b")
+      .withColumn("fecha", col("fecha_s").cast("date")).drop("fecha_s")
+    val out = I90Transform.transformPrecios(spark, wide,
+      Seq("fecha", "Sentido", "Redespacho", "granularity"),
+      Seq("02-03a", "02-03b"))
+    val got = out.select(col("datetime_utc").cast("string"), col("precio"),
+      col("id_mercado").cast("int")).as[(String, Float, Int)].collect().toSet
+    assert(got == Set(
+      ("2024-10-27 00:00:00", 50.56f, 3), // rounded to 2 decimals, 02a=CEST
+      ("2024-10-27 01:00:00", 60.0f, 3)))
+  }
+
   test("I90 intra chain composes with the pipeline output shape") {
     val ts = "2024-07-15 10:00:00"
     def f(rows: (String, Double)*) = rows.toSeq.toDF("up", "volumenes")
