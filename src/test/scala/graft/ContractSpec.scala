@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract regression gate: Verify must dump one parquet dir per
+  * registered query plus parseable oracle JSON; Bench must emit one valid
+  * JSON line with a time per query and an empty error map.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("Verify.run dumps every query and valid oracle_sql.json") {
+    val out = tmpDir() + "/vout"
+    Verify.run(spark, sfDir, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    val missing = SparkEntry.queries.keySet.diff(dirs)
+    assert(missing.isEmpty, s"queries without dumps: $missing")
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    // parse with Spark's bundled JSON parser as an independent check
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    assert(node.size() == SparkEntry.oracleSql.size)
+    SparkEntry.oracleSql.keys.foreach(k => assert(node.has(k), k))
+  }
+
+  test("Bench.run emits valid JSON with a time per query, no errors") {
+    val line = Bench.run(spark, sfDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("queries").size() == SparkEntry.queries.size)
+    assert(node.get("errors").size() == 0,
+      s"bench errors: ${node.get("errors")}")
+    val it = node.get("queries").elements()
+    while (it.hasNext) assert(it.next().asDouble() >= 0)
+  }
+}
