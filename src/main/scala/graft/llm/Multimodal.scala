@@ -48,6 +48,38 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** STUB resize — a real implementation decodes, scales to (w, h) and
+    * re-encodes; the stub deterministically truncates/pads the payload to
+    * the target byte budget so the batch shape (binary in → binary out,
+    * bounded size) is exercised end-to-end.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out = java.util.Arrays.copyOf(r.payload, targetBytes)
+      r.copy(payload = out)
+    })
+  }
+
+  /** STUB frame sampling — a real implementation demuxes video and emits
+    * one row per sampled frame; the stub slices the payload into
+    * `frames` deterministic chunks. One input row fans out to `frames`
+    * rows, the shape that matters for downstream partition sizing.
+    */
+  case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  def sampleFramesStub(media: Dataset[MediaRow], frames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(1, r.payload.length / frames)
+      (0 until frames).iterator.map { i =>
+        val from = math.min(i * n, r.payload.length)
+        val to = math.min(from + n, r.payload.length)
+        FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
+      }
+    }
+  }
+
   /** Wrap a text/bytes table into the media shape (fixture path: the test
     * corpus has no real media, so payload = utf-8 bytes).
     */

@@ -47,6 +47,16 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(r => sqlMd5(r.doc_id) == r.checksum))
   }
 
+  test("multimodal resize and frame-sample stubs keep the batch shape") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sfDir).limit(20))
+    val resized = Multimodal.resizeStub(media, targetBytes = 64).collect()
+    assert(resized.length == 20 && resized.forall(_.payload.length == 64))
+    val frames = Multimodal.sampleFramesStub(media, frames = 4)
+    assert(frames.count() == 80) // 20 docs × 4 frames
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.values.forall(_.map(_.frame_idx).sorted.sameElements(0 until 4)))
+  }
+
   test("minhash near-dup query finds the planted near-duplicates") {
     val dups = graft.SparkEntry.queries("llm_minhash_dedup")(spark, sfDir)
     val n = dups.count()
