@@ -191,6 +191,49 @@ object Similarity {
         WHERE round(($dotChain) / (na.nrm * nb.nrm), $roundScale) >= $tau"""
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * vector to its nearest centroid; queries probe only the `nProbe`
+    * closest centroid lists. The second classic scale path next to LSH:
+    * candidate generation is a shuffle on centroid id, cost ∝ probed-list
+    * sizes. Deterministic seed; centroids are a broadcast-sized dim.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nLists: Int = 16, nProbe: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("feat", array_to_vector(col("v")))
+      .cache()
+    val km = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("feat").setPredictionCol("list_id").fit(e)
+    val assigned = km.transform(e).drop("feat")
+    // centroid table (tiny) — each query ranks centroids and probes nProbe
+    val centroids = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("c_id", "c_vec")
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cd", expr("vec_dot(qv, c_vec)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd").desc, col("c_id"))))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("c_id").as("list_id"))
+    val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("list_id"))
+    val scored = probes.join(c, Seq("list_id")) // shuffle on centroid list
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
+
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */
   def bruteForceTopK(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {

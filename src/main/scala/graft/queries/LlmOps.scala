@@ -280,6 +280,14 @@ object LlmOps {
             JOIN cnt cb ON cb.doc_id = d2
             WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3""")),
 
+    // IVF ANN (k-means inverted lists, nProbe probing) — the second scale
+    // path next to LSH. No oracle: the coarse quantizer isn't expressible
+    // in DuckDB; recall vs brute force is asserted in LlmSpec instead.
+    ("llm_ann_ivf",
+      (s, d) => graft.llm.Similarity.ivfTopK(embeddings(s, d),
+        col("vec_id") < 10, nLists = 8, nProbe = 3, k = 5),
+      None),
+
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",

@@ -33,6 +33,30 @@ object Reader {
       if (ids.isEmpty) valid else ids, Some(from), Some(to))
   }
 
+  /** Regulatory-date indicator selection — the reference picks which ESIOS
+    * indicator (and hence which stored series) answers a price query based
+    * on the date: intra-session reduction on 2024-06-13 (7→3 sessions),
+    * secundaria dual-price from 2024-11-20, terciaria single-price from
+    * 2024-12-10. ref: read/precios_reader.py:140-227,
+    * configs/esios_config.py:126-151.
+    */
+  def indicatorFor(mercado: String, date: java.time.LocalDate): Seq[Int] = {
+    val intraReduction = java.time.LocalDate.parse("2024-06-13")
+    val secundariaDual = java.time.LocalDate.parse("2024-11-20")
+    val terciariaSingle = java.time.LocalDate.parse("2024-12-10")
+    mercado match {
+      case "diario" => Seq(600)
+      case "intra" =>
+        if (date.isBefore(intraReduction)) Seq(612, 613, 614, 615, 616, 617, 618)
+        else Seq(612, 613, 614)
+      case "secundaria" =>
+        if (date.isBefore(secundariaDual)) Seq(634) else Seq(634, 2130)
+      case "terciaria" =>
+        if (date.isBefore(terciariaSingle)) Seq(676, 677) else Seq(2197)
+      case m => throw UnknownMarket(m)
+    }
+  }
+
   /** J9 — the prescribed precios×volumenes CTE join shape. */
   def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame): DataFrame =
     precios.join(volumenes, Seq("datetime_utc", "id_mercado"))

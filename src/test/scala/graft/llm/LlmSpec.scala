@@ -18,6 +18,21 @@ class LlmSpec extends SparkSpec {
     assert(approx.size <= exact.size * 2)
   }
 
+  test("IVF ANN: k-means lists give high recall without a cross join") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10,
+        nLists = 8, nProbe = 3, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // 3 of 8 lists probed
+    val plan = Similarity.ivfTopK(emb, col("vec_id") < 10, 8, 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin") == false)
+  }
+
   test("LSH signature is deterministic across evaluations") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
