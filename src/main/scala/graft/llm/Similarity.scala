@@ -59,7 +59,11 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
-    val eb = e.withColumn("bucket", explode(buckets))
+    // eagerly materialized: eb feeds both the query and candidate sides of
+    // the bucket join — otherwise the signature expressions (nTables ×
+    // nBits dims-length dot products) evaluate twice over the corpus, and
+    // a lazy cache leaves the two sides racing to materialize it
+    val eb = e.withColumn("bucket", explode(buckets)).localCheckpoint()
     val q = eb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
@@ -141,7 +145,8 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
-    val eb = e.withColumn("bucket", explode(buckets))
+    // eagerly materialized for the same reason as annTopK: self-join sides
+    val eb = e.withColumn("bucket", explode(buckets)).localCheckpoint()
     val a = eb.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"), col("bucket"))
     val b = eb.select(col("vec_id").as("cid"), col("v").as("cv"),
@@ -205,8 +210,11 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .withColumn("feat", array_to_vector(col("v")))
-      .cache()
-    val km = new KMeans().setK(nLists).setSeed(42L)
+      .localCheckpoint() // eager: k-means iterates over it, then transform
+    // maxIter 8: the coarse quantizer only partitions space — recall comes
+    // from nProbe probing, so quantizer convergence past a few iterations
+    // buys nothing (default 20 iterations ≈ 20 scheduled jobs of overhead)
+    val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("feat").setPredictionCol("list_id").fit(e)
     val assigned = km.transform(e).drop("feat")
     // centroid table (tiny) — each query ranks centroids and probes nProbe

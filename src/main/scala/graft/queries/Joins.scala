@@ -82,7 +82,10 @@ object Joins {
     // ref: _linking_algorithm.py:332-378
     ("j3_profile_hash_match",
       (s, d) => {
-        val h = profileHashes(s, d)
+        // eager materialization: h (one row per supplier) feeds both sides
+        // of the self-join — without it the whole two-shuffle lineitem
+        // aggregation pipeline executes twice
+        val h = profileHashes(s, d).localCheckpoint()
         val a = h.select(col("l_suppkey").as("up"), col("h"))
         val b = h.select(col("l_suppkey").as("uof"), col("h"))
         a.join(b, "h").select("up", "uof", "h")
@@ -130,15 +133,19 @@ object Joins {
     // ref: tracking/UOF_tracking.py:248-412
     ("j7_tracking_diff",
       (s, d) => {
-        val o = orders(s, d)
-        def snap(y: Int) = o.filter(year(col("o_orderdate")) === y)
-          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-        val a = snap(1995).select(col("o_custkey").as("ka"), col("n").as("na"))
-        val b = snap(1996).select(col("o_custkey").as("kb"), col("n").as("nb"))
-        a.join(b, col("ka") === col("kb"), "full_outer")
-          .select(coalesce(col("ka"), col("kb")).as("custkey"),
-            when(col("ka").isNull, "new")
-              .when(col("kb").isNull, "obsolete")
+        // single-scan formulation of the two-snapshot full-outer diff: one
+        // pass over orders, conditional counts per snapshot, then the
+        // new/obsolete/changed derivation — one shuffle instead of two
+        // aggregates + a full-outer join (same result: a count of 0 here
+        // is exactly "absent from that snapshot")
+        val y = year(col("o_orderdate"))
+        orders(s, d).filter(y.isin(1995, 1996))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(when(y === 1995, 1)).as("na"),
+            count(when(y === 1996, 1)).as("nb"))
+          .select(col("custkey"),
+            when(col("na") === 0, "new")
+              .when(col("nb") === 0, "obsolete")
               .when(col("na") =!= col("nb"), "changed")
               .otherwise("same").as("status"))
       },

@@ -44,7 +44,9 @@ object LlmOps {
                WHERE len(l) >= 3) t)"""
 
   /** MinHash signature: 12 seed-salted md5 minima per doc (md5 hex strings
-    * compare bytewise identically in Spark and DuckDB).
+    * compare bytewise identically in Spark and DuckDB), as one
+    * `mhs: array<string>[12]` per doc — kept as an array so downstream band
+    * hashing is element access, not a re-aggregation shuffle.
     *
     * Cost shape: the 12 hashes are computed once per *distinct* shingle
     * (vocabulary), not once per (doc, shingle, seed); per-doc minima are an
@@ -62,7 +64,6 @@ object LlmOps {
                      array_repeat('g', 12),
                      (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))""")
         .as("mhs"))
-      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("j", "mh")))
   }
 
   private val minhashSigSql =
@@ -89,11 +90,20 @@ object LlmOps {
     // (band, band_hash) — cost scales with data + true-dup count, never n².
     ("llm_minhash_dedup",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        // localCheckpoint (eager), not cache(): both feed several downstream
+        // branches (bands its own self-join) — lazy cache leaves the two
+        // join sides racing to materialize the same blocks, which measured
+        // multi-second scheduling stalls; eager materialization runs the
+        // signature pipeline exactly once, deterministically.
+        val sh = shingles(s, d).localCheckpoint()
+        // band hash straight from the signature array (b=6 bands × r=2): no
+        // per-(doc,band) re-aggregation shuffle.
         val bands = minhashSig(sh)
-          .withColumn("band", expr("j div 2"))
-          .groupBy("doc_id", "band")
-          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), ''))").as("bh"))
+          .select(col("doc_id"), expr(
+            """explode(transform(sequence(0, 5),
+                 b -> struct(b AS band, md5(concat(mhs[b*2], mhs[b*2+1])) AS bh)))""").as("x"))
+          .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+          .localCheckpoint()
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -240,7 +250,8 @@ object LlmOps {
     // way to bound candidate generation without MinHash).
     ("llm_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        // eager single materialization — sh feeds 5 downstream branches
+        val sh = shingles(s, d).localCheckpoint()
         val rare = sh.groupBy("s").agg(count(lit(1)).as("f"))
           .filter(col("f").between(2, 4)).select("s")
         val cand = sh.join(rare, "s").as("a")
