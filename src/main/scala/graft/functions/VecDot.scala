@@ -12,9 +12,14 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)` allocates
   * an intermediate array and evaluates two lambda closures per element; this
   * expression is a single fused loop with full whole-stage codegen — the
-  * hot path of every similarity/ANN operator. Accumulation is
-  * left-to-right, exactly like the HoF fold and the oracle's chained `+`,
-  * so results are bit-identical to both.
+  * hot path of every similarity/ANN operator. For equal-length arrays of
+  * non-null elements, accumulation is left-to-right, exactly like the HoF
+  * fold and the oracle's chained `+`, so results are bit-identical to both.
+  * Edge semantics: length-mismatched inputs truncate to the shorter length
+  * (the HoF's null-padded zip_with would yield NULL); a null ELEMENT makes
+  * the result NULL (exactly the HoF fold, where acc + null poisons the
+  * accumulator). When both inputs are statically containsNull=false the
+  * generated loop carries no per-element null checks at all.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,13 +34,25 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  // nullable even when both array columns are non-null: a null element
+  // yields a NULL result, so the slot must exist in the generated code
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemsNullable
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -47,10 +64,14 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elemsNullable)
+        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0d;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -49,7 +49,12 @@ object Sessionize {
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.last <= GapMs =>
-                  cur = Some(s.copy(last = e.ts.getTime, n = s.n + 1))
+                  // max, not assignment: a late (out-of-order but within
+                  // watermark) event arriving in a later micro-batch must
+                  // not regress session_end below already-seen events —
+                  // the batch twin (w12_sessionize) orders globally by ts
+                  cur = Some(s.copy(last = math.max(s.last, e.ts.getTime),
+                    n = s.n + 1))
                 case Some(s) => // gap ⇒ close previous, open new
                   out += SessionOut(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.firstEvent)

@@ -19,10 +19,17 @@ object Skew {
     * partials. Caller supplies algebraic partial/final pairs (sum/sum,
     * count→sum, min/min, max/max...).
     */
+  /** Per-ROW deterministic salt. It must vary per row, not per value: a hot
+    * key whose rows carry a constant value (repeated flags, zeros, nulls —
+    * the typical skew pathology) would hash to a single salt and get zero
+    * spread. The stable per-partition row id keeps retries deterministic.
+    */
+  private[transform] def rowSalt(valueCol: String, salts: Int): Column =
+    pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts))
+
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int, out: String = "total"): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(col(valueCol)), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(valueCol, salts))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

@@ -40,4 +40,14 @@ class VecDotSpec extends SparkSpec {
     assert(r(0).contains(3.0)) // min-length semantics
     assert(r(1).isEmpty)       // null in → null out
   }
+
+  test("vec_dot null ELEMENT poisons the result like the HoF fold") {
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 2.0), Array[java.lang.Double](1.0, 1.0, 1.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val r = df.select(expr("vec_dot(a, b)")).as[Option[Double]].collect()
+    assert(r(0).isEmpty)        // null element ⇒ NULL (HoF: acc + null)
+    assert(r(1).contains(11.0)) // nullable-typed but null-free: normal value
+  }
 }

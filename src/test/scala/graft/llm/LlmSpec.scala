@@ -29,8 +29,11 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // 3 of 8 lists probed
     val plan = Similarity.ivfTopK(emb, col("vec_id") < 10, 8, 3, 5)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") ||
-      plan.contains("BroadcastNestedLoopJoin") == false)
+    // never a real cartesian product; the only nested-loop join allowed is
+    // the intentional broadcast of the tiny centroid table (k rows)
+    assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+    val bnljCount = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljCount <= 1, s"expected at most the centroid cross join, got $bnljCount BNLJs")
   }
 
   test("LSH signature is deterministic across evaluations") {
@@ -70,6 +73,42 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() == 80) // 20 docs × 4 frames
     val byDoc = frames.collect().groupBy(_.doc_id)
     assert(byDoc.values.forall(_.map(_.frame_idx).sorted.sameElements(0 until 4)))
+  }
+
+  test("real PNG decode: ImageIO path extracts true dimensions and band luma") {
+    import spark.implicits._
+    // generate a real PNG: 32×16, left half black, right half white
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(32, 16), "image/png"),
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"), "text/plain"))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    // doc 1: REAL decode — true dims, bands 0-3 black, bands 4-7 white
+    assert(feats(1L).width == 32 && feats(1L).height == 16)
+    assert(feats(1L).features.take(4).forall(_ < 0.01f))
+    assert(feats(1L).features.drop(4).forall(_ > 0.99f))
+    // doc 2: stub fallback keeps the contract for non-image media
+    assert(feats(2L).features.length == 8 && feats(2L).checksum.length == 32)
+
+    // REAL resize: 32×16 → 8×8, then re-decode reports the new dims and
+    // preserves the left-dark/right-light structure
+    val resized = Multimodal.resizeImages(media, 8, 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    val rf = Multimodal.decodeImage(resized(1L)).get
+    assert(rf.width == 8 && rf.height == 8)
+    assert(rf.features.head < 0.2f && rf.features.last > 0.8f)
+    // non-image passes through untouched
+    assert(resized(2L).payload.sameElements("not an image".getBytes("UTF-8")))
   }
 
   test("minhash near-dup query finds the planted near-duplicates") {

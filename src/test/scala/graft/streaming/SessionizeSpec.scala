@@ -35,6 +35,37 @@ class SessionizeSpec extends SparkSpec {
     assert(u1.head.session_end == ts("2024-01-01 10:05:00"))
   }
 
+  test("late in-window event does not regress session end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // batch 1: session open, last = 10:10
+    input.addData(
+      Sessionize.Event(7L, 1L, ts("2024-01-01 10:00:00")),
+      Sessionize.Event(7L, 2L, ts("2024-01-01 10:10:00")))
+    query.processAllAvailable()
+    // batch 2: late arrival at 10:05 (within the 1h watermark) — must NOT
+    // pull `last` back from 10:10 to 10:05
+    input.addData(Sessionize.Event(7L, 3L, ts("2024-01-01 10:05:00")))
+    query.processAllAvailable()
+    // batch 3: 10:38 is within 30 min of the true last (10:10) but NOT of
+    // the regressed one (10:05) — regressing code splits the session here
+    input.addData(Sessionize.Event(7L, 4L, ts("2024-01-01 10:38:00")))
+    query.processAllAvailable()
+    // batch 4: a 2h-later event closes and emits the session
+    input.addData(Sessionize.Event(7L, 5L, ts("2024-01-01 13:00:00")))
+    query.processAllAvailable()
+    query.stop()
+    val closed = spark.table("late_sessions")
+      .as[Sessionize.SessionOut].collect().filter(_.user_id == 7L)
+    assert(closed.length == 1, s"session spuriously split: ${closed.toSeq}")
+    assert(closed.head.n_events == 4)
+    assert(closed.head.session_end == ts("2024-01-01 10:38:00"))
+  }
+
   test("batch twin (w12_sessionize) and stream agree on session structure") {
     import spark.implicits._
     // run the registered batch sessionizer on sf0.001 and sanity-check

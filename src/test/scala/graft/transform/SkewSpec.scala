@@ -19,6 +19,19 @@ class SkewSpec extends SparkSpec {
     assert(salted("hot") == 10000.0)
   }
 
+  test("constant-value hot key still spreads across salts") {
+    // the degenerate case: every hot row carries the SAME value — a salt
+    // derived from the value alone would collapse to one reducer and the
+    // mitigation would silently do nothing
+    val constHot = Seq.fill(5000)(("hot", 0.0)).toDF("k", "v")
+    val spread = constHot.select(Skew.rowSalt("v", 8).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"salt collapsed to $spread distinct value(s)")
+    val total = Skew.saltedSum(constHot, Seq("k"), "v", salts = 8)
+      .as[(String, Double)].collect().toMap
+    assert(total == Map("hot" -> 0.0))
+  }
+
   test("salted dim join equals the direct join") {
     val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("dk", "label")
     val direct = skewed.join(dim, col("k") === col("dk"))
