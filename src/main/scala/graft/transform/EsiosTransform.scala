@@ -30,13 +30,13 @@ object EsiosTransform {
     // F2 — conditional geo filter (restricted indicators must be España)
     val geo = MarketFilters.conditionalGeoFilter(raw, "indicador_id",
       RestrictedGeoIndicators, "geo_name", Seq("España"))
-    // F10 rename + SC4 map-id with fail-on-unmapped
-    val mapped = MarketFilters.mapLookup(
+    // F10 rename + SC4 map-id; the fail-on-unmapped gate is folded into
+    // the id_mercado expression itself (ref: _procesador_esios.py:179-184)
+    // — no extra full scan of the input per run
+    val mapped = MarketFilters.mapLookupStrict(
       geo.withColumnRenamed("value", "precio")
         .withColumn("indicador_id", col("indicador_id").cast(StringType)),
       "indicador_id", IndicatorToMarket)
-    require(MarketFilters.unmappedCount(mapped) == 0,
-      "unmapped indicador_id present") // ref: _procesador_esios.py:179-184
     // SC3 — price standardization: round(2) (ref :51)
     val priced = mapped.withColumn("precio", round(col("precio"), 2))
     // W5 — hourly rows explode to the 15-min grain; quarter rows pass through
@@ -45,9 +45,12 @@ object EsiosTransform {
       "datetime_utc", "precio", divideValue = false) // prices replicate
     val quarter = priced.filter(col("granularidad") =!= "Hora")
     // F10 finalize + F12 validate
+    // sortWithinPartitions, not orderBy: a global sort is a full range-
+    // partition shuffle bought purely for cosmetic row order — the lake
+    // writer re-sorts within partitions at write time anyway
     val fin = hourly.unionByName(quarter)
       .select("datetime_utc", "id_mercado", "precio")
-      .orderBy("datetime_utc")
+      .sortWithinPartitions("datetime_utc")
     Schemas.validate(fin, Schemas.precios)
   }
 }

@@ -52,7 +52,7 @@ object I90Transform {
     val fin = std
       .withColumnRenamed("Unidad de Programación", "up")
       .select("datetime_utc", "up", "volumenes", "id_mercado")
-      .orderBy("datetime_utc", "up")
+      .sortWithinPartitions("datetime_utc", "up") // no global-sort shuffle
     Schemas.validate(fin, Schemas.volumenesI90)
   }
 
@@ -71,7 +71,7 @@ object I90Transform {
     val fin = std
       .withColumn("precio", round(col("precios"), 2)) // price standardization
       .select("datetime_utc", "id_mercado", "precio")
-      .orderBy("datetime_utc")
+      .sortWithinPartitions("datetime_utc") // no global-sort shuffle
     Schemas.validate(fin, Schemas.precios)
   }
 

@@ -57,6 +57,21 @@ object MarketFilters {
   def unmappedCount(df: DataFrame): Long =
     df.filter(col("id_mercado").isNull).count()
 
+  /** mapLookup with the fail-on-unmapped gate folded INTO the output
+    * expression: an unmapped key raises when the row is materialized, so
+    * the check costs zero extra jobs (vs. an eager `unmappedCount` scan of
+    * the whole input per run). The error expression lives inside the
+    * published column — column pruning can never elide it.
+    */
+  def mapLookupStrict(df: DataFrame, keyCol: String,
+      mapping: Map[String, Int]): DataFrame = {
+    val looked = element_at(typedLit(mapping), col(keyCol))
+    df.withColumn("id_mercado",
+      when(looked.isNull, raise_error(
+        concat(lit(s"unmapped $keyCol: "), col(keyCol))))
+        .otherwise(looked).cast(ByteType))
+  }
+
   /** Known-bad publication days are masked before transform — the
     * reference keeps an error-date table per market.
     * ref: configs/i90_config.py:196-215, _descargador_i90.py:77-86

@@ -43,7 +43,8 @@ object OmieTransform {
       .groupBy(col("datetime_utc"), col("uof"))
       .agg(sum(col("volumenes")).as("volumenes"))
       .withColumn("id_mercado", lit(idMercado).cast(ByteType))
-    Schemas.validate(rolled.orderBy("datetime_utc", "uof"), Schemas.volumenesOmie)
+    Schemas.validate( // within-partition order only: no global-sort shuffle
+      rolled.sortWithinPartitions("datetime_utc", "uof"), Schemas.volumenesOmie)
   }
 
   /** Continuo / MIC trades: contract code → delivery datetime; trade grain

@@ -39,6 +39,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("transform finalizes carry no global-sort shuffle") {
+    import graft.transform.{EsiosTransform, OmieTransform}
+    import org.apache.spark.sql.types._
+    // raw-shaped micro-fixtures; the assertion is on the PLAN, not the data
+    val esiosRaw = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+          12.34, 600L, "Hora", "España")),
+      StructType(Seq(
+        StructField("datetime_utc", TimestampType), StructField("value", DoubleType),
+        StructField("indicador_id", LongType), StructField("granularidad", StringType),
+        StructField("geo_name", StringType))))
+    val omieRaw = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2024-03-01"), "U1",
+          "1.234,5", "C", "V", 1)),
+      StructType(Seq(
+        StructField("Fecha", DateType), StructField("Unidad", StringType),
+        StructField("Energía Compra/Venta", StringType),
+        StructField("Ofertada (O)/Casada (C)", StringType),
+        StructField("Tipo Oferta", StringType), StructField("Hora", IntegerType))))
+    for ((name, df) <- Seq(
+        "esios" -> EsiosTransform.transform(esiosRaw),
+        "omie" -> OmieTransform.transform(omieRaw, 1, quarterHourly = false))) {
+      val p = df.queryExecution.executedPlan.toString
+      // global Sort materializes as a range-partitioning exchange; the
+      // within-partition sort we allow shows as Sort [...], false
+      assert(!p.contains("rangepartitioning"),
+        s"$name transform plan buys a global sort:\n$p")
+    }
+  }
+
   test("bucketed fact tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
