@@ -43,20 +43,37 @@ object Lake {
   /** Idempotent upsert into the partitioned lake. `dedupKeys` empty ⇒
     * append-only (the `continuo`/MIC rule, processed_file_utils.py:65-67).
     */
+  /** Physical parquet layout matching the reference's writer settings
+    * (processed_file_utils.py:25,349-357): zstd, 122880-row row groups,
+    * data-page v2 with 64 KiB pages.
+    */
+  private def layout[T](w: org.apache.spark.sql.DataFrameWriter[T]) = w
+    .option("compression", "zstd")
+    .option("parquet.block.size", 122880L * 64) // ~row_group_size=122880 rows
+    .option("parquet.writer.version", "PARQUET_2_0")
+    .option("parquet.page.size", 64 * 1024)
+
+  /** Storage-agnostic existence check (HDFS/S3/local — wherever a 100 TB
+    * lake actually lives; `java.io.File` only works on the local FS).
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
       mercado: String, dedupKeys: Seq[String], precedenceCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val tagged = withPartitionCols(incoming, mercado)
     if (dedupKeys.isEmpty) { // append-only datasets (MIC): duplicates allowed
-      tagged.sortWithinPartitions("datetime_utc")
-        .write.mode(SaveMode.Append).partitionBy(PartitionCols: _*)
-        .option("compression", "zstd").parquet(path)
+      layout(tagged.sortWithinPartitions("datetime_utc")
+        .write.mode(SaveMode.Append).partitionBy(PartitionCols: _*))
+        .parquet(path)
       return
     }
     // incoming batches can carry intra-batch duplicates (re-downloads) —
     // keep-last applies to the batch itself as well as the merge
     val merged =
-      if (!new java.io.File(path).exists())
+      if (!pathExists(spark, path))
         keepLast(tagged, dedupKeys, col(precedenceCol))
       else {
         val existing = spark.read.parquet(path)
@@ -66,11 +83,13 @@ object Lake {
           .select(tagged.columns.map(col): _*)
         keepLast(overlap.unionByName(tagged), dedupKeys, col(precedenceCol))
       }
-    merged
+    layout(merged
       .sortWithinPartitions("datetime_utc") // O1: sorted runs → better RLE + stats
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(PartitionCols: _*)
-      .option("compression", "zstd") // ref: processed_file_utils.py:349-357
+      // per-write option, not a session-global conf mutation: only the
+      // partitions present in `merged` are replaced
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCols: _*))
       .parquet(path)
   }
 
