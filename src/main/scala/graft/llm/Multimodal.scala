@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * Media travel as opaque `binary` columns with typed metadata alongside;
   * decode / feature-extraction runs per partition in bounded batches so a
   * 100 TB corpus streams through executors without materializing more than
-  * one batch of decoded media per task. The actual codec is NOT available
-  * in this environment, so `decodeStub` derives a deterministic fake
-  * feature vector from the bytes — the Spark-side contract (schema,
-  * batching, partitioning) is real and tested; swap `decodeStub` for a
+  * one batch of decoded media per task. Image payloads decode for REAL via
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs);
+  * non-image media (audio/video, whose codecs are not in this
+  * environment) fall back to `decodeStub`, a clearly-marked deterministic
+  * fake keeping the schema/batch contract identical — swap it for a
   * JNI/codec call in production.
   */
 object Multimodal {
@@ -42,10 +43,81 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.payload.length, hex, w, h, feats)
   }
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** REAL image decode via the JDK's ImageIO. Features: mean luminance of 8
+    * equal-width vertical bands, in [0, 1] — a deterministic, resolution-
+    * independent content summary (the classic cheap perceptual signature).
+    * Returns None when the payload is not a decodable image.
+    */
+  private[llm] def decodeImage(r: MediaRow): Option[MediaFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](8)
+        val counts = new Array[Long](8)
+        var x = 0
+        while (x < w) {
+          val band = math.min(7, x * 8 / w)
+          var y = 0
+          while (y < h) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+            sums(band) += luma
+            counts(band) += 1
+            y += 1
+          }
+          x += 1
+        }
+        val feats = Array.tabulate(8)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+        Some(MediaFeatures(r.doc_id, r.payload.length, md5Hex(r.payload), w, h, feats))
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode dispatch: real ImageIO for image payloads, stub otherwise. */
+  private[llm] def decode(r: MediaRow): MediaFeatures =
+    if (r.mime.startsWith("image/")) decodeImage(r).getOrElse(decodeStub(r))
+    else decodeStub(r)
+
   /** Feature extraction over the binary column, partition-streamed. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
+  }
+
+  /** REAL image resize: decode with ImageIO, scale to (w, h) with bilinear
+    * interpolation, re-encode as PNG. Non-image payloads pass through
+    * unchanged. Same mapPartitions streaming shape as the stubs.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val resized =
+        if (!r.mime.startsWith("image/")) None
+        else try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))).map { img =>
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            r.copy(payload = buf.toByteArray, mime = "image/png")
+          }
+        } catch { case _: Exception => None }
+      resized.getOrElse(r)
+    })
   }
 
   /** STUB resize — a real implementation decodes, scales to (w, h) and
