@@ -295,6 +295,38 @@ object Relational {
                      l_linenumber AS ln
               FROM lineitem WHERE l_quantity = 50""")),
 
+    // U2 — set difference as a true EXCEPT (distinct semantics), the set
+    // face of the anti-join family (a9_set_diff / j5_anti_rematch).
+    // ref: UOF_tracking.py:279-309
+    ("u2_except",
+      (s, d) => customer(s, d).select(col("c_custkey").as("k"))
+        .except(orders(s, d).filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_custkey").as("k"))),
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT
+              SELECT o_custkey AS k FROM orders
+              WHERE year(o_orderdate) = 1995""")),
+
+    // S3 — wide sheet → long melt (native unpivot; null cells dropped like
+    // the reference's dropna). ref: _descargador_i90.py:197-304
+    ("s3_melt",
+      (s, d) => {
+        val wide = orders(s, d).filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").as("h1"),
+            (col("o_custkey") % 100).cast(DoubleType).as("h2"),
+            when(col("o_orderstatus") === "F", lit(null).cast(DoubleType))
+              .otherwise(length(col("o_orderpriority")).cast(DoubleType)).as("h3"))
+        graft.ingest.Ingest.melt(wide, Seq("o_orderkey"), Seq("h1", "h2", "h3"))
+      },
+      Some("""UNPIVOT (SELECT o_orderkey, o_totalprice AS h1,
+                              CAST(o_custkey % 100 AS DOUBLE) AS h2,
+                              CASE WHEN o_orderstatus = 'F' THEN NULL
+                                   ELSE CAST(length(o_orderpriority) AS DOUBLE)
+                              END AS h3
+                       FROM orders WHERE o_orderkey % 20 = 0)
+              ON h1, h2, h3 INTO NAME hora VALUE volumenes""")),
+
     // U3 — intersect
     // ref: p48_tecnologias_generacion.py:88
     ("u3_intersect",

@@ -149,6 +149,107 @@ object Windows {
                        + (CAST(hora AS BIGINT) - 1) * 3600000000) AS datetime_utc
               FROM q""")),
 
+    // W3 (DST arm) — hourly label parse INCLUDING the fall-back a/b suffix,
+    // proved against DuckDB ICU. The oracle derives (label, utc) in the
+    // opposite direction — enumerate the day's hours on the UTC axis, map
+    // each instant to its local label via ICU, tagging the duplicated local
+    // hour 'a'/'b' by instant order — so the kernel's label→UTC arithmetic
+    // is checked against an independent UTC→label derivation.
+    // ref: utilidades/etl_date_utils.py:361-438
+    ("w3_hour_label_dst",
+      (s, d) => {
+        import s.implicits._
+        val dates = Seq(("2024-03-31", 2, 23), ("2024-07-15", 0, 24),
+          ("2024-10-27", 1, 25)).toDF("fecha", "tt", "n")
+        val i = col("i")
+        val lh = when(col("tt") === 2 && i >= 3, i)       // skipped hour 2
+          .when(col("tt") === 1 && i === 4, lit(2))        // second local 02
+          .when(col("tt") === 1 && i >= 5, i - 2)          // after the repeat
+          .otherwise(i - 1)
+        val suffix = when(col("tt") === 1 && i === 3, "a")
+          .when(col("tt") === 1 && i === 4, "b").otherwise("")
+        dates.withColumn("i", explode(sequence(lit(1), col("n"))))
+          .withColumn("label", concat(
+            lpad(lh.cast(StringType), 2, "0"), lit("-"),
+            lpad((lh + 1).cast(StringType), 2, "0"), suffix))
+          .select(col("fecha"), col("label"),
+            graft.time.MadridTime.utcFromHourLabel(
+              to_date(col("fecha")), col("label"), col("tt")).as("datetime_utc"))
+      },
+      Some("""WITH dates(fecha, tt, n) AS (
+                VALUES ('2024-03-31', 2, 23), ('2024-07-15', 0, 24),
+                       ('2024-10-27', 1, 25)),
+              q AS (SELECT fecha, tt, unnest(generate_series(1, n)) AS i
+                    FROM dates),
+              u AS (SELECT fecha, tt,
+                           epoch_us(timezone('Europe/Madrid',
+                                             CAST(fecha AS TIMESTAMP)))
+                             + (CAST(i AS BIGINT) - 1) * 3600000000 AS us
+                    FROM q),
+              l AS (SELECT fecha, us,
+                           EXTRACT(hour FROM timezone('Europe/Madrid',
+                                     to_timestamp(us // 1000000))) AS lh
+                    FROM u),
+              m AS (SELECT fecha, us, lh,
+                           count(*) OVER (PARTITION BY fecha, lh) AS c,
+                           row_number() OVER (PARTITION BY fecha, lh
+                                              ORDER BY us) AS r
+                    FROM l)
+              SELECT fecha,
+                     concat(lpad(CAST(lh AS VARCHAR), 2, '0'), '-',
+                            lpad(CAST(lh + 1 AS VARCHAR), 2, '0'),
+                            CASE WHEN c = 2 AND r = 1 THEN 'a'
+                                 WHEN c = 2 AND r = 2 THEN 'b'
+                                 ELSE '' END) AS label,
+                     make_timestamp(us) AS datetime_utc
+              FROM m""")),
+
+    // W9 — tz conversion pair vs DuckDB ICU: UTC→Madrid wall time is always
+    // unambiguous; the Madrid→UTC return leg is NULLed on the fall-back
+    // day's duplicated local hour 2, where the engines legitimately differ
+    // (java.time resolves ambiguous locals to the EARLIER/CEST offset,
+    // ICU to the LATER/CET one — verified empirically).
+    ("w9_tz_convert",
+      (s, d) => {
+        import s.implicits._
+        val dates = Seq(("2024-03-31", 2, 23), ("2024-07-15", 0, 24),
+          ("2024-10-27", 1, 25), ("2025-10-26", 1, 25)).toDF("fecha", "tt", "n")
+        val withLocal = dates
+          .withColumn("i", explode(sequence(lit(1), col("n"))))
+          .withColumn("utc",
+            graft.time.MadridTime.utcFromHourIndex(to_date(col("fecha")), col("i"))
+              + expr("INTERVAL 30 MINUTES"))
+          .withColumn("local_madrid", graft.time.MadridTime.toMadrid(col("utc")))
+        withLocal.select(col("fecha"), col("i").cast(IntegerType).as("i"),
+          col("local_madrid"),
+          when(col("tt") === 1 && hour(col("local_madrid")) === 2,
+            lit(null).cast(TimestampType))
+            .otherwise(graft.time.MadridTime.toUtc(col("local_madrid")))
+            .as("utc_back"))
+      },
+      Some("""WITH dates(fecha, tt, n) AS (
+                VALUES ('2024-03-31', 2, 23), ('2024-07-15', 0, 24),
+                       ('2024-10-27', 1, 25), ('2025-10-26', 1, 25)),
+              q AS (SELECT fecha, tt, unnest(generate_series(1, n)) AS i
+                    FROM dates),
+              u AS (SELECT fecha, tt, i,
+                           epoch_us(timezone('Europe/Madrid',
+                                             CAST(fecha AS TIMESTAMP)))
+                             + (CAST(i AS BIGINT) - 1) * 3600000000
+                             + 1800000000 AS us
+                    FROM q),
+              l AS (SELECT fecha, tt, i,
+                           timezone('Europe/Madrid',
+                                    to_timestamp(us // 1000000)) AS local_madrid
+                    FROM u)
+              SELECT fecha, CAST(i AS INTEGER) AS i, local_madrid,
+                     CASE WHEN tt = 1 AND EXTRACT(hour FROM local_madrid) = 2
+                          THEN NULL
+                          ELSE make_timestamp(epoch_us(
+                                 timezone('Europe/Madrid', local_madrid)))
+                     END AS utc_back
+              FROM l""")),
+
     // W7 — OMIE "HxQy" 15-minute label parse (build from events, parse back)
     ("w7_h2q4_parse",
       (s, d) => events(s, d)
