@@ -211,10 +211,13 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .withColumn("feat", array_to_vector(col("v")))
       .localCheckpoint() // eager: k-means iterates over it, then transform
-    // maxIter 8: the coarse quantizer only partitions space — recall comes
-    // from nProbe probing, so quantizer convergence past a few iterations
-    // buys nothing (default 20 iterations ≈ 20 scheduled jobs of overhead)
+    // maxIter 8 + random init: the coarse quantizer only partitions space —
+    // recall comes from nProbe probing, so quantizer quality past a few
+    // iterations buys nothing, and k-means|| initialization costs several
+    // extra distributed passes over the data (default 20 iterations ≈ 20
+    // scheduled jobs of overhead on top)
     val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("feat").setPredictionCol("list_id").fit(e)
     val assigned = km.transform(e).drop("feat")
     // centroid table (tiny) — each query ranks centroids and probes nProbe

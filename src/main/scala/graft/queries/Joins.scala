@@ -160,6 +160,47 @@ object Joins {
                           ELSE 'same' END AS status
               FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""")),
 
+    // J7 (persistence arm) — the change-log rows the reference writes after
+    // the snapshot diff: habilitada/obsoleta transitions + one row per
+    // changed attribute. Attribute values log as strings; the money sum
+    // stays DECIMAL so both engines render identical text.
+    // ref: tracking/UOF_tracking.py:248-412
+    ("j7_change_log",
+      (s, d) => {
+        val o = orders(s, d)
+        def snap(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("tot"))
+        graft.link.Tracking.changeLog(snap(1996), snap(1995), "o_custkey",
+          Seq("n", "tot"), lit(java.sql.Date.valueOf("1996-12-31")))
+      },
+      Some("""WITH a AS (SELECT o_custkey, count(*) AS n,
+                                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+                         FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+                   b AS (SELECT o_custkey, count(*) AS n,
+                                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+                         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+                   j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                                a.n AS pn, a.tot AS pt, b.n AS cn, b.tot AS ct,
+                                a.o_custkey IS NOT NULL AS in_p,
+                                b.o_custkey IS NOT NULL AS in_c
+                         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+              SELECT o_custkey, 'habilitada' AS field_changed,
+                     'false' AS old_value, 'true' AS new_value,
+                     DATE '1996-12-31' AS date_updated
+              FROM j WHERE NOT in_p
+              UNION ALL
+              SELECT o_custkey, 'obsoleta', 'false', 'true', DATE '1996-12-31'
+              FROM j WHERE NOT in_c
+              UNION ALL
+              SELECT o_custkey, 'n', CAST(pn AS VARCHAR), CAST(cn AS VARCHAR),
+                     DATE '1996-12-31'
+              FROM j WHERE in_p AND in_c AND pn <> cn
+              UNION ALL
+              SELECT o_custkey, 'tot', CAST(pt AS VARCHAR), CAST(ct AS VARCHAR),
+                     DATE '1996-12-31'
+              FROM j WHERE in_p AND in_c AND pt <> ct""")),
+
     // J8 — dimension inner join (broadcast the 5-row side)
     // ref: configs/i90_config.py:146-153
     ("j8_dim_join",

@@ -149,6 +149,28 @@ object Windows {
                        + (CAST(hora AS BIGINT) - 1) * 3600000000) AS datetime_utc
               FROM q""")),
 
+    // W11 (fact grain) — the Reader.rollingAvg shape: rolling mean over a
+    // PARTITIONED ordered window (per supplier), the formulation that
+    // scales — each partition's window state is independent, so the 100 TB
+    // plan fans out across |suppliers| tasks instead of one global sort.
+    ("w11_rolling_fact",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-23, 0)
+        lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (sum(dec2(col("l_quantity"))).over(w).cast(DoubleType)
+              / count(lit(1)).over(w)).as("media24"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / COUNT(*) OVER w AS media24
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")),
+
     // W3 (DST arm) — hourly label parse INCLUDING the fall-back a/b suffix,
     // proved against DuckDB ICU. The oracle derives (label, utc) in the
     // opposite direction — enumerate the day's hours on the UTC axis, map

@@ -38,6 +38,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("per-market isolation: one market's bad data doesn't sink the others") {
+    def raw(ind: Int) = Seq(("2024-07-15 10:00:00", 50.0, ind, "Hora", "España"))
+      .toDF("dt", "value", "indicador_id", "granularidad", "geo_name")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+    val path = tmpDir() + "/markets"
+    val (results, status) = MarketRunner.run(Seq("diario", "roto")) { m =>
+      val ind = if (m == "diario") 600 else 999 // 999 unmapped ⇒ raise_error
+      val out = EsiosTransform.transform(raw(ind)).withColumn("batch_id", lit(1))
+      Lake.upsert(spark, out, s"$path/$m", m,
+        Seq("datetime_utc", "id_mercado"), "batch_id")
+      out.count()
+    }
+    assert(status.processed == Seq("diario"))
+    assert(status.failed.keySet == Set("roto"))
+    assert(status.failed("roto").contains("unmapped"))
+    assert(!status.success) // a failed market marks the run unsuccessful
+    assert(results("diario") == 4L) // the good market still landed
+    assert(Lake.read(spark, s"$path/diario").count() == 4)
+  }
+
   test("I90 slice: wide sheet → melt → filters → DST datetime → schema") {
     // fall-back day 2024-10-27: labels 02-03a (CEST) and 02-03b (CET)
     val wide = Seq(
