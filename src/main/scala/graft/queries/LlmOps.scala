@@ -72,6 +72,46 @@ object LlmOps {
          FROM (SELECT doc_id, s, unnest(generate_series(0, 11)) AS j FROM sh) t
          GROUP BY doc_id, j)"""
 
+  /** SimHash vote vector per doc: 32 signed vote counters from
+    * vocabulary-level md5 bit derivation (shared by the signature query and
+    * the near-dup join).
+    */
+  private def simhashVotes(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .repartition(col("doc_id")) // parallelize the token fan-out
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+    val vocab = toks.select("tok").distinct()
+      .withColumn("bits", expr(
+        """transform(sequence(0, 31), j ->
+             CAST((shiftright(instr('0123456789abcdef',
+                                    substr(md5(tok), 1 + j div 4, 1)) - 1,
+                              j % 4) & 1) * 2 - 1 AS BIGINT))"""))
+    toks.join(vocab, "tok")
+      .withColumn("wb", expr("transform(bits, b -> b * w)"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """aggregate(collect_list(wb),
+                     array_repeat(CAST(0 AS BIGINT), 32),
+                     (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""").as("v"))
+  }
+
+  /** The (doc, token, bit-vote) SQL shared by both simhash oracles. */
+  private val simhashVotesSql =
+    """t AS (
+         SELECT doc_id, tok, count(*) AS w
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents) u
+         GROUP BY 1, 2),
+       bits AS (
+         SELECT doc_id, j,
+                SUM(w * (((strpos('0123456789abcdef',
+                                  substr(md5(tok), 1 + j // 4, 1)) - 1
+                           >> (j % 4)) & 1) * 2 - 1)) AS v
+         FROM (SELECT doc_id, tok, w, unnest(generate_series(0, 31)) AS j
+               FROM t) x
+         GROUP BY doc_id, j)"""
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact dedup: content-hash groupBy, keep min id (deterministic keeper)
@@ -148,45 +188,61 @@ object LlmOps {
     // array sum — exact and order-independent, so identical to the oracle's
     // naive per-(doc,token,bit) formulation.
     ("llm_simhash",
-      (s, d) => {
-        val toks = documents(s, d)
-          .repartition(col("doc_id")) // parallelize the token fan-out
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-        val vocab = toks.select("tok").distinct()
-          .withColumn("bits", expr(
-            """transform(sequence(0, 31), j ->
-                 CAST((shiftright(instr('0123456789abcdef',
-                                        substr(md5(tok), 1 + j div 4, 1)) - 1,
-                                  j % 4) & 1) * 2 - 1 AS BIGINT))"""))
-        toks.join(vocab, "tok")
-          .withColumn("wb", expr("transform(bits, b -> b * w)"))
-          .groupBy("doc_id")
-          .agg(expr(
-            """aggregate(collect_list(wb),
-                         array_repeat(CAST(0 AS BIGINT), 32),
-                         (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""").as("v"))
-          .select(col("doc_id"), expr(
-            "array_join(transform(v, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
-            .as("sig"))
-      },
-      Some("""WITH t AS (
-                SELECT doc_id, tok, count(*) AS w
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents) u
-                GROUP BY 1, 2),
-              bits AS (
-                SELECT doc_id, j,
-                       SUM(w * (((strpos('0123456789abcdef',
-                                         substr(md5(tok), 1 + j // 4, 1)) - 1
-                                  >> (j % 4)) & 1) * 2 - 1)) AS v
-                FROM (SELECT doc_id, tok, w, unnest(generate_series(0, 31)) AS j
-                      FROM t) x
-                GROUP BY doc_id, j)
+      (s, d) => simhashVotes(s, d)
+        .select(col("doc_id"), expr(
+          "array_join(transform(v, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+          .as("sig")),
+      Some("WITH " + simhashVotesSql + """
               SELECT doc_id,
                      string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
                                 ORDER BY j) AS sig
               FROM bits GROUP BY doc_id""")),
+
+    // SimHash near-dup JOIN: 32-bit integer signature, banded into 4 bytes.
+    // Pigeonhole completeness: a pair at hamming ≤ 3 flips at most 3 of the
+    // 4 bytes, so it MUST share one exact byte — candidate generation (a
+    // shuffle on (band, byte), never all-pairs) provably misses nothing at
+    // the threshold. Exact Hamming via bit_count(xor) on candidates only.
+    ("llm_simhash_neardup",
+      (s, d) => {
+        val sigs = simhashVotes(s, d)
+          .select(col("doc_id"), expr(
+            """aggregate(zip_with(v, sequence(0, 31),
+                 (x, j) -> CASE WHEN x >= 0
+                           THEN shiftleft(CAST(1 AS BIGINT), j)
+                           ELSE CAST(0 AS BIGINT) END),
+                 CAST(0 AS BIGINT), (a, b) -> a + b)""").as("sig"))
+          .localCheckpoint() // feeds both sides of the band self-join
+        val bands = sigs
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("bv", expr("(sig >> (8 * b)) & 255"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.sig").as("s1"), col("y.sig").as("s2"))
+          .distinct()
+        cand.withColumn("ham", expr("bit_count(s1 ^ s2)").cast(IntegerType))
+          .filter(col("ham") <= 3)
+          .select("d1", "d2", "ham")
+      },
+      Some("WITH " + simhashVotesSql + """,
+              sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v >= 0
+                           THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                           ELSE 0 END) AS sig
+                FROM bits GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, sig, b, (sig >> (8 * CAST(b AS INTEGER))) & 255 AS bv
+                FROM sig, generate_series(0, 3) t(b)),
+              cand AS (
+                SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                                x.sig AS s1, y.sig AS s2
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+              SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS ham
+              FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 
     // Brute-force cosine top-k (the correctness baseline for ANN; the scale
     // path is the banded variant in graft.llm.Similarity). zip_with +

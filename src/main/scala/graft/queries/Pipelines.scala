@@ -78,6 +78,153 @@ object Pipelines {
                 FROM m WHERE gran <> 'Hora')
               SELECT DISTINCT datetime_utc, CAST(id_mercado AS INTEGER) AS id_mercado,
                      precio
-              FROM up"""))
+              FROM up""")),
+
+    // I90 e2e: wide-sheet fixture → melt (S3) → single-pass market legs
+    // (F3) → DST datetime standardization (W2/W3 over the W1 calendar) →
+    // finalize. Dates sweep a full year including both 2024 transition
+    // days; the oracle re-derives the transition type INDEPENDENTLY from
+    // ICU day lengths. ref: _procesador_i90.py:556-632.
+    ("pipeline_i90_e2e",
+      (s, d) => {
+        val o = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        val wide = o.select(
+          concat(lit("UP"), (col("o_custkey") % 50).cast(StringType))
+            .as("Unidad de Programación"),
+          date_add(lit("2024-01-01").cast(DateType),
+            (col("o_orderkey") % 365).cast(IntegerType)).as("fecha"),
+          when(col("o_orderkey") % 2 === 0, "Subir").otherwise("Bajar")
+            .as("Sentido"),
+          when(col("o_orderkey") % 3 === 0, "Terciaria")
+            .when(col("o_orderkey") % 3 === 1, "UPLPVPV")
+            .otherwise("Nope").as("Redespacho"),
+          lit("Hora").as("granularity"),
+          (col("o_orderkey") % 97).cast(DoubleType).as("00-01"),
+          when(col("o_custkey") % 5 === 0, lit(null).cast(DoubleType))
+            .otherwise((col("o_custkey") % 89).cast(DoubleType)).as("12-13"),
+          lit(0.0).as("03-04")) // always zero ⇒ pruned (F11)
+        graft.transform.I90Transform.transform(s, wide,
+          Seq("Unidad de Programación", "fecha", "Sentido", "Redespacho",
+            "granularity"),
+          Seq("00-01", "12-13", "03-04"))
+          .select(col("datetime_utc"), col("up"), col("volumenes"),
+            col("id_mercado").cast(IntegerType).as("id_mercado"))
+      },
+      Some("""WITH wide AS (
+                SELECT concat('UP', CAST(o_custkey % 50 AS VARCHAR)) AS up,
+                       CAST(DATE '2024-01-01'
+                            + to_days(CAST(o_orderkey % 365 AS INTEGER)) AS DATE)
+                         AS fecha,
+                       CASE WHEN o_orderkey % 2 = 0 THEN 'Subir'
+                            ELSE 'Bajar' END AS sentido,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'Terciaria'
+                            WHEN o_orderkey % 3 = 1 THEN 'UPLPVPV'
+                            ELSE 'Nope' END AS redespacho,
+                       CAST(o_orderkey % 97 AS DOUBLE) AS "00-01",
+                       CASE WHEN o_custkey % 5 = 0 THEN NULL
+                            ELSE CAST(o_custkey % 89 AS DOUBLE) END AS "12-13",
+                       0.0 AS "03-04"
+                FROM orders WHERE o_orderkey % 10 = 0),
+              long AS (
+                UNPIVOT wide ON "00-01", "12-13", "03-04"
+                INTO NAME hora VALUE volumenes),
+              pruned AS (SELECT * FROM long WHERE volumenes <> 0),
+              tagged AS (
+                SELECT *, CASE WHEN sentido = 'Subir' AND redespacho = 'Terciaria' THEN 3
+                               WHEN sentido = 'Bajar' AND redespacho = 'Terciaria' THEN 4
+                               WHEN sentido = 'Subir' AND redespacho IN ('UPLPVPV', 'UPLPVPCBN') THEN 10
+                               WHEN sentido = 'Bajar' AND redespacho IN ('UPLPVPV', 'UPLPVPCBN') THEN 11
+                          END AS id_mercado
+                FROM pruned),
+              kept AS (SELECT * FROM tagged WHERE id_mercado IS NOT NULL),
+              cal AS (
+                SELECT fecha,
+                       CAST((epoch_us(timezone('Europe/Madrid',
+                                CAST(fecha + to_days(1) AS TIMESTAMP)))
+                             - epoch_us(timezone('Europe/Madrid',
+                                CAST(fecha AS TIMESTAMP)))) // 3600000000
+                         AS INTEGER) AS day_hours
+                FROM (SELECT DISTINCT fecha FROM kept)),
+              timed AS (
+                SELECT k.up, k.volumenes, k.id_mercado,
+                       CAST(regexp_extract(k.hora, '^(\d+)', 1) AS INTEGER) AS h,
+                       CASE WHEN c.day_hours = 23 THEN 2
+                            WHEN c.day_hours = 25 THEN 1 ELSE 0 END AS tt,
+                       epoch_us(timezone('Europe/Madrid',
+                                CAST(k.fecha AS TIMESTAMP))) AS mid_us
+                FROM kept k JOIN cal c ON k.fecha = c.fecha)
+              SELECT make_timestamp(mid_us
+                       + CAST(CASE WHEN tt = 2 AND h >= 3 THEN h - 1
+                                   WHEN tt = 1 AND h >= 3 THEN h + 1
+                                   ELSE h END AS BIGINT) * 3600000000)
+                       AS datetime_utc,
+                     up, volumenes, CAST(id_mercado AS INTEGER) AS id_mercado
+              FROM timed""")),
+
+    // OMIE continuo (MIC) e2e: EU-decimal trade strings → contract-code
+    // delivery datetime (W8 + W6 Madrid kernel) → per-side rows (sell +,
+    // buy −) at trade grain. The oracle replicates the published schema's
+    // float32 narrowing with CAST(... AS REAL).
+    // ref: _procesador_omie.py:258-273, 699-831.
+    ("pipeline_omie_mic_e2e",
+      (s, d) => {
+        val o = orders(s, d).filter(col("o_orderkey") % 25 === 0)
+        val fix = o.select(
+          concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("-"),
+            lpad((col("o_orderkey") % 24 + 1).cast(StringType), 2, "0"))
+            .as("Contrato"),
+          concat((col("o_orderkey") % 500).cast(StringType), lit(","),
+            lpad((col("o_custkey") % 100).cast(StringType), 2, "0"))
+            .as("Precio"),
+          concat((col("o_custkey") % 300).cast(StringType), lit(","),
+            lpad((col("o_orderkey") % 100).cast(StringType), 2, "0"))
+            .as("Cantidad"),
+          concat(lit("UB"), (col("o_custkey") % 40).cast(StringType))
+            .as("Unidad compra"),
+          concat(lit("UV"), (col("o_orderkey") % 40).cast(StringType))
+            .as("Unidad venta"))
+        graft.transform.OmieTransform.transformContinuo(fix)
+          .select(col("datetime_utc"), col("uof"), col("volumenes"),
+            col("precio"), col("id_mercado").cast(IntegerType).as("id_mercado"),
+            col("fecha_fichero"))
+      },
+      Some("""WITH fix AS (
+                SELECT concat(strftime(o_orderdate, '%Y%m%d'), '-',
+                              lpad(CAST(o_orderkey % 24 + 1 AS VARCHAR), 2, '0'))
+                         AS contrato,
+                       CAST(replace(concat(CAST(o_orderkey % 500 AS VARCHAR), ',',
+                              lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')),
+                              ',', '.') AS DOUBLE) AS precio,
+                       CAST(replace(concat(CAST(o_custkey % 300 AS VARCHAR), ',',
+                              lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')),
+                              ',', '.') AS DOUBLE) AS cantidad,
+                       concat('UB', CAST(o_custkey % 40 AS VARCHAR)) AS ub,
+                       concat('UV', CAST(o_orderkey % 40 AS VARCHAR)) AS uv
+                FROM orders WHERE o_orderkey % 25 = 0),
+              timed AS (
+                SELECT *,
+                       make_timestamp(
+                         epoch_us(timezone('Europe/Madrid',
+                           CAST(strptime(substr(contrato, 1, 8), '%Y%m%d')
+                                AS TIMESTAMP)))
+                         + (CAST(substr(contrato, 10, 2) AS BIGINT) - 1)
+                           * 3600000000) AS datetime_utc
+                FROM fix),
+              sides AS (
+                SELECT datetime_utc, uv AS uof,
+                       CAST(cantidad AS REAL) AS volumenes,
+                       CAST(precio AS REAL) AS precio
+                FROM timed
+                UNION ALL
+                SELECT datetime_utc, ub AS uof,
+                       CAST(-cantidad AS REAL) AS volumenes,
+                       CAST(precio AS REAL) AS precio
+                FROM timed)
+              SELECT datetime_utc, uof,
+                     CAST(volumenes AS DOUBLE) AS volumenes,
+                     CAST(precio AS DOUBLE) AS precio,
+                     21 AS id_mercado,
+                     CAST(datetime_utc AS DATE) AS fecha_fichero
+              FROM sides"""))
   )
 }
