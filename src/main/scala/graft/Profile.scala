@@ -16,9 +16,13 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      (1 to reps).foreach { r =>
+      if (explain) {
+        println(s"===== $n =====")
+        println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+      } else (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$n%-24s rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")

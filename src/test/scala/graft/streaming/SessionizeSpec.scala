@@ -66,6 +66,38 @@ class SessionizeSpec extends SparkSpec {
     assert(closed.head.session_end == ts("2024-01-01 10:38:00"))
   }
 
+  test("watermarked windowed rollup emits finalized windows matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.windowedRollup(input.toDS())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    val batch1 = Seq(
+      Sessionize.Event(1L, 1L, ts("2024-01-01 10:05:00")),
+      Sessionize.Event(1L, 2L, ts("2024-01-01 10:45:00")),
+      Sessionize.Event(2L, 3L, ts("2024-01-01 10:50:00")))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    // advance the watermark past 11:00 + 1h so the 10:00 window finalizes
+    input.addData(Sessionize.Event(1L, 4L, ts("2024-01-01 13:00:00")))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("rollup")
+      .select(col("window.start").cast("string"), col("user_id"), col("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+    // batch twin over the same closed hour
+    val expected = batch1.toDS()
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("string"), col("user_id"), col("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == expected)
+    assert(streamed == Set(
+      ("2024-01-01 10:00:00", 1L, 2L), ("2024-01-01 10:00:00", 2L, 1L)))
+  }
+
   test("batch twin (w12_sessionize) and stream agree on session structure") {
     import spark.implicits._
     // run the registered batch sessionizer on sf0.001 and sanity-check
