@@ -33,6 +33,39 @@ object Ingest {
   def parseEuropeanDecimal(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast(DoubleType)
 
+  /** S2 — zipped-workbook source: the reference downloads daily I90 zips,
+    * extracts the workbook and filters sheets (_descargador_i90.py:77-196).
+    * The ZIP layer here is real — `binaryFile` + the JDK inflater, one task
+    * per archive, fully distributed across files — and entry filtering is
+    * the sheet-filter analog. Only the Excel codec itself is out of scope
+    * (no spreadsheet library in this environment), so fixtures carry CSV
+    * payloads of identical structure inside real zip archives.
+    */
+  def readZippedCsv(spark: SparkSession, path: String, entryPattern: String,
+      schema: StructType, skipLines: Int = 0,
+      encoding: String = "ISO-8859-1", sep: String = ";"): DataFrame = {
+    import spark.implicits._
+    val lines: Dataset[String] = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val re = entryPattern.r
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var e = zis.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && re.findFirstIn(e.getName).isDefined) {
+            val content = new String(zis.readAllBytes(), encoding)
+            out ++= content.split("\r?\n").iterator
+              .drop(skipLines).filter(_.trim.nonEmpty)
+          }
+          e = zis.getNextEntry
+        }
+        out.toSeq
+      }
+    spark.read.schema(schema).option("sep", sep).csv(lines)
+  }
+
   /** S4 — OMIE CSV dialect scan: `;` separator, latin-1 encoding, two
     * header/preamble lines to skip, European decimals in value columns.
     * ref: _descargador_omie.py:207-330

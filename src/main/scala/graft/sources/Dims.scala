@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * The reference keeps config/dimension tables (mercados_mapping, up_listado,
   * tecnologias_generacion, up_uof_vinculacion) in MySQL. Spark equivalent:
-  * `spark.read.jdbc` / `df.write.jdbc` for a real database, and a parquet
-  * dim store for environments without one (this zero-egress container has
-  * no JDBC driver jar, so the jdbc path compiles but is exercised only via
-  * the parquet store; the call shape is identical).
+  * `spark.read.jdbc` / `df.write.jdbc` against any JDBC database (DimsSpec
+  * exercises the real JDBC arm against embedded Derby, which ships with
+  * Spark), and a parquet dim store for environments without one — the call
+  * shape is identical.
   *
   * The reference's row-UPDATE-by-key becomes a MERGE-style keep-last write:
   * union(current, updates) → row_number over key by precedence → overwrite.
@@ -45,8 +45,13 @@ object Dims {
     val merged = current.withColumn("__prec", lit(0))
       .unionByName(updates.withColumn("__prec", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    // materialize BEFORE the overwrite: the merge plan reads the very table
+    // it is about to replace, and an Overwrite write truncates the target
+    // before a lazy scan would execute (JDBC truncates eagerly; file
+    // sources have the same read-what-you-overwrite hazard)
     val result = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__prec")
+      .localCheckpoint()
     write(result, table, jdbcUrl, storePath)
     read(spark, table, jdbcUrl, storePath)
   }

@@ -45,4 +45,33 @@ class IngestSpec extends SparkSpec {
     val rows = df.orderBy("unidad").as[(String, String, Double)].collect()
     assert(rows.sameElements(Array(("UP1", "Venta", 1234.56), ("UP2", "Compra", 7.5))))
   }
+
+  test("S2 zipped source: real zip, entry filter, preamble skip, schema'd rows") {
+    val dir = tmpDir()
+    def zipWith(path: String, entries: (String, String)*): Unit = {
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(path))
+      entries.foreach { case (name, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("ISO-8859-1"))
+        zos.closeEntry()
+      }
+      zos.close()
+    }
+    // two daily archives; each holds a matching sheet file + noise entries
+    zipWith(s"$dir/I90DIA_20240701.zip",
+      "I90DIA03.csv" -> "titulo;;\nfecha;;\nUP1;Subir;10,5\nUP2;Bajar;3,0\n",
+      "leeme.txt" -> "not;a;sheet")
+    zipWith(s"$dir/I90DIA_20240702.zip",
+      "I90DIA03.csv" -> "titulo;;\nfecha;;\nUP3;Subir;7,25\n",
+      "I90DIA99.csv" -> "x;y;z\nq;w;e\nshould;not;appear")
+    val schema = StructType(Seq(
+      StructField("up", StringType), StructField("sentido", StringType),
+      StructField("energia", StringType)))
+    val df = Ingest.readZippedCsv(spark, dir, "I90DIA03", schema, skipLines = 2)
+      .withColumn("energia", Ingest.parseEuropeanDecimal(col("energia")))
+    val rows = df.orderBy("up").as[(String, String, Double)].collect()
+    assert(rows.sameElements(Array(
+      ("UP1", "Subir", 10.5), ("UP2", "Bajar", 3.0), ("UP3", "Subir", 7.25))))
+  }
 }

@@ -18,4 +18,18 @@ class DimsSpec extends SparkSpec {
     val got = merged.select("id", "estado").as[(Int, String)].collect().toMap
     assert(got == Map(1 -> "active", 2 -> "retired"))
   }
+
+  test("S10 real JDBC arm: roundtrip + update-by-key against embedded Derby") {
+    // Derby ships with Spark; in-memory url = a real JDBC database without
+    // any external service. Same Dims calls as the parquet arm.
+    val url = Some("jdbc:derby:memory:dimsdb;create=true")
+    val dim = Seq((1, "diario", "active"), (2, "intra", "active"))
+      .toDF("id", "mercado", "estado")
+    Dims.write(dim, "mercados", url, "")
+    assert(Dims.read(spark, "mercados", url, "").count() == 2)
+    val updates = Seq((2, "intra", "retired")).toDF("id", "mercado", "estado")
+    val merged = Dims.upsertByKey(spark, "mercados", updates, Seq("id"), url, "")
+    val got = merged.select("id", "estado").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "active", 2 -> "retired"))
+  }
 }
