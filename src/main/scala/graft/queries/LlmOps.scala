@@ -112,6 +112,65 @@ object LlmOps {
                FROM t) x
          GROUP BY doc_id, j)"""
 
+  /** The full MinHash-LSH near-dup pair pipeline (shared by the pair query
+    * and the clustering query).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (eager), not cache(): both feed several downstream
+    // branches (bands its own self-join) — lazy cache leaves the two
+    // join sides racing to materialize the same blocks, which measured
+    // multi-second scheduling stalls; eager materialization runs the
+    // signature pipeline exactly once, deterministically.
+    val sh = shingles(s, d).localCheckpoint()
+    // band hash straight from the signature array (b=6 bands × r=2): no
+    // per-(doc,band) re-aggregation shuffle.
+    val bands = minhashSig(sh)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, 5),
+             b -> struct(b AS band, md5(concat(mhs[b*2], mhs[b*2+1])) AS bh)))""").as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      .localCheckpoint()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+    inter
+      .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
+      .filter(col("jac") >= 0.4)
+  }
+
+  /** The pair chain of the minhash oracle, shared by both oracles. */
+  private val minhashPairsSql =
+    shingleSql + ", " + minhashSigSql + """,
+            bands AS (
+              SELECT doc_id, j // 2 AS band, md5(string_agg(mh, '' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT cand.d1, cand.d2, count(*) AS ic
+              FROM cand
+              JOIN sh s1 ON s1.doc_id = cand.d1
+              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = d1
+              JOIN cnt cb ON cb.doc_id = d2
+              WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4)"""
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // Exact dedup: content-hash groupBy, keep min id (deterministic keeper)
@@ -128,58 +187,51 @@ object LlmOps {
     // threshold ≈ (1/6)^(1/2) ≈ 0.41 Jaccard; exact Jaccard verification on
     // candidates only. At 100 TB: candidates come from a shuffle on
     // (band, band_hash) — cost scales with data + true-dup count, never n².
-    ("llm_minhash_dedup",
+    ("llm_minhash_dedup", (s, d) => minhashPairs(s, d),
+      Some("WITH " + minhashPairsSql + " SELECT d1, d2, jac FROM pairs")),
+
+    // Dedup CLUSTERING: connected components over the near-dup pair graph,
+    // via min-label propagation — each doc's label converges to the
+    // smallest doc_id in its component (= the canonical keeper). The
+    // iterative joins are the standard scalable formulation (diameter-
+    // bounded rounds of hash joins, per-round eager materialization); the
+    // oracle computes the same components with a recursive CTE.
+    ("llm_dedup_clusters",
       (s, d) => {
-        // localCheckpoint (eager), not cache(): both feed several downstream
-        // branches (bands its own self-join) — lazy cache leaves the two
-        // join sides racing to materialize the same blocks, which measured
-        // multi-second scheduling stalls; eager materialization runs the
-        // signature pipeline exactly once, deterministically.
-        val sh = shingles(s, d).localCheckpoint()
-        // band hash straight from the signature array (b=6 bands × r=2): no
-        // per-(doc,band) re-aggregation shuffle.
-        val bands = minhashSig(sh)
-          .select(col("doc_id"), expr(
-            """explode(transform(sequence(0, 5),
-                 b -> struct(b AS band, md5(concat(mhs[b*2], mhs[b*2+1])) AS bh)))""").as("x"))
-          .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-          .localCheckpoint()
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        val inter = cand
-          .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-        inter
-          .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
-          .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
-          .select(col("d1"), col("d2"),
-            (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
-          .filter(col("jac") >= 0.4)
+        val p = minhashPairs(s, d).select("d1", "d2").localCheckpoint()
+        val edges = p.unionByName(
+          p.select(col("d2").as("d1"), col("d1").as("d2")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select(col("src").as("v")).distinct()
+          .withColumn("l", col("v")).localCheckpoint()
+        var prevSum = -1L
+        var sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
+          .first().getLong(0)
+        var rounds = 0
+        while (sum != prevSum && rounds < 20) { // converges in O(diameter)
+          val nbrMin = edges.join(labels, edges("dst") === labels("v"))
+            .groupBy(edges("src").as("nv")).agg(min(col("l")).as("nl"))
+          labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+            .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+            .localCheckpoint()
+          prevSum = sum
+          sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
+            .first().getLong(0)
+          rounds += 1
+        }
+        labels.select(col("v").as("doc_id"), col("l").as("cluster"))
       },
-      Some("WITH " + shingleSql + ", " + minhashSigSql + """,
-            bands AS (
-              SELECT doc_id, j // 2 AS band, md5(string_agg(mh, '' ORDER BY j)) AS bh
-              FROM sig GROUP BY doc_id, j // 2),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-            inter AS (
-              SELECT cand.d1, cand.d2, count(*) AS ic
-              FROM cand
-              JOIN sh s1 ON s1.doc_id = cand.d1
-              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
-              GROUP BY 1, 2)
-            SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = d1
-            JOIN cnt cb ON cb.doc_id = d2
-            WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4""")),
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+            SELECT v AS doc_id, min(u) AS cluster
+            FROM reach GROUP BY v""")),
 
     // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
     // bucketing on the signature gives near-dup candidates at scale.
