@@ -94,6 +94,33 @@ object Joins {
         """ SELECT a.l_suppkey AS up, b.l_suppkey AS uof, a.h AS h
             FROM h a JOIN h b ON a.h = b.h""")),
 
+    // J4 — ambiguous-hash resolution: unique↔unique hashes match exactly;
+    // ambiguous hash groups resolve only where the names are string-equal.
+    // suppkey%5 rows get a per-name (unique) hash → the exact arm; the rest
+    // share their nation's hash → the ambiguous/name arm.
+    // ref: _linking_algorithm.py:380-424
+    ("j4_name_resolution",
+      (s, d) => {
+        val u = supplier(s, d).select(col("s_name").as("entity"),
+          when(col("s_suppkey") % 5 === 0, md5(col("s_name")))
+            .otherwise(md5(col("s_nationkey").cast(StringType))).as("h"))
+        graft.link.Linking.matchRound(u, u)
+      },
+      Some("""WITH u AS (
+                SELECT s_name AS entity,
+                       CASE WHEN s_suppkey % 5 = 0 THEN md5(s_name)
+                            ELSE md5(CAST(s_nationkey AS VARCHAR)) END AS h
+                FROM supplier),
+              a AS (SELECT entity AS up, h,
+                           count(*) OVER (PARTITION BY h) AS na FROM u),
+              b AS (SELECT entity AS uof, h,
+                           count(*) OVER (PARTITION BY h) AS nb FROM u)
+              SELECT up, uof, a.h AS h,
+                     CASE WHEN na = 1 AND nb = 1 THEN 'exact'
+                          ELSE 'name' END AS match_type
+              FROM a JOIN b ON a.h = b.h
+              WHERE (na = 1 AND nb = 1) OR up = uof""")),
+
     // J5 — historical rematch round: entities unmatched in period A
     // (anti-join) that do match in period B (semi-join).
     // ref: _linking_algorithm.py:644-698

@@ -47,6 +47,29 @@ class MadridTimeSpec extends SparkSpec {
     assert(last.toInstant.toString == "2024-03-31T21:45:00Z")
   }
 
+  test("decade sweep: every day 2020-2030, every quarter index matches java.time") {
+    val zone = java.time.ZoneId.of(MadridTime.Zone)
+    val cal = MadridTime.calendarDim(spark, 2020, 2030)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getInt(2)))
+    // driver-side expected instants straight from java.time (test oracle)
+    val expected = cal.flatMap { case (day, quarters) =>
+      val midnight = day.atStartOfDay(zone).toInstant
+      (1 to quarters).map { i =>
+        (day.toString, i,
+          java.sql.Timestamp.from(midnight.plusSeconds((i - 1) * 900L)))
+      }
+    }.toSeq.toDF("fecha", "idx", "expected")
+    val kernel = MadridTime.calendarDim(spark, 2020, 2030)
+      .withColumn("idx", explode(sequence(lit(1), col("quarters_in_day"))))
+      .select(col("fecha").cast("string").as("fecha"), col("idx"),
+        MadridTime.utcFromQuarterIndex(col("fecha"), col("idx")).as("utc"))
+    val joined = kernel.join(expected, Seq("fecha", "idx"))
+    val total = joined.count()
+    assert(total == expected.count()) // every (day, idx) produced
+    assert(total > 380000L)           // ~11 years × ~96 quarters
+    assert(joined.filter(col("utc") =!= col("expected")).count() == 0)
+  }
+
   test("W3 hourly labels with a/b suffix on the fall-back day") {
     val cal = MadridTime.calendarDim(spark, 2024, 2024)
     val rows = Seq(
