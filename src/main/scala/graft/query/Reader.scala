@@ -57,6 +57,34 @@ object Reader {
     }
   }
 
+  /** Multi-market scan — the reference's NL layer emits
+    * `(mercado='diario' AND id_mercado=1) OR (mercado='intra' AND
+    * id_mercado IN (2,3))` shapes over the hive layout
+    * (read/natlanguage_duckdb_queries.py:284-293). The OR lands on
+    * partition columns, so directory pruning still applies per disjunct.
+    */
+  def preciosMulti(spark: SparkSession, lakePath: String,
+      markets: Map[String, Seq[Int]], from: String, to: String): DataFrame = {
+    require(markets.nonEmpty, "at least one market required")
+    val pred = markets.map { case (m, ids) =>
+      val valid = MarketIds.getOrElse(m, throw UnknownMarket(m))
+      val bad = ids.filterNot(valid.contains)
+      require(bad.isEmpty, s"ids $bad not valid for $m (valid: $valid)")
+      org.apache.spark.sql.functions.col("mercado") === m &&
+        org.apache.spark.sql.functions.col("id_mercado")
+          .isin((if (ids.isEmpty) valid else ids): _*)
+    }.reduce(_ || _)
+    Lake.read(spark, lakePath, None, Nil, Some(from), Some(to)).filter(pred)
+  }
+
+  /** S12 analog — expose a lake dataset as a SQL view so free-form
+    * (NL-generated) Spark SQL runs against the same pruned scans the typed
+    * facade uses; the reference's NL layer targets DuckDB `read_parquet`
+    * the same way (natlanguage_duckdb_queries.py:113-170).
+    */
+  def registerView(spark: SparkSession, lakePath: String, view: String): Unit =
+    spark.read.parquet(lakePath).createOrReplaceTempView(view)
+
   /** J9 — the prescribed precios×volumenes CTE join shape. */
   def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame): DataFrame =
     precios.join(volumenes, Seq("datetime_utc", "id_mercado"))

@@ -108,6 +108,36 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1, 20.0), (2, -30.0)))
   }
 
+  test("Reader: multi-market OR scan + free-form SQL over a registered view") {
+    val path = tmpDir() + "/multi"
+    def mk(id: Int, precio: Double) = Seq(("2024-07-15 10:00:00", id, precio))
+      .toDF("dt", "id_mercado", "precio")
+      .withColumn("datetime_utc", col("dt").cast("timestamp")).drop("dt")
+    Lake.upsert(spark, mk(1, 50.0).withColumn("b", lit(1)), path, "diario",
+      Seq("datetime_utc", "id_mercado"), "b")
+    Lake.upsert(spark, mk(2, 60.0).withColumn("b", lit(1)), path, "intra",
+      Seq("datetime_utc", "id_mercado"), "b")
+    Lake.upsert(spark, mk(3, 70.0).withColumn("b", lit(1)), path, "intra",
+      Seq("datetime_utc", "id_mercado"), "b")
+    // (diario, 1) OR (intra, [2]) — the intra id-3 partition is excluded
+    val got = Reader.preciosMulti(spark, path,
+        Map("diario" -> Seq(1), "intra" -> Seq(2)), "2024-07-15", "2024-07-16")
+      .select("id_mercado").as[Int].collect().sorted
+    assert(got.sameElements(Array(1, 2)))
+    // free-form SQL (the NL-layer shape) over a registered view, with the
+    // reference's prescribed Madrid display conversion at the edge
+    Reader.registerView(spark, path, "precios")
+    val sql = spark.sql(
+      """SELECT from_utc_timestamp(datetime_utc, 'Europe/Madrid') AS datetime_madrid,
+                precio
+         FROM precios
+         WHERE mercado = 'intra' AND id_mercado = 3
+           AND datetime_utc >= '2024-07-15' AND datetime_utc < '2024-07-16'""")
+    val row = sql.as[(java.sql.Timestamp, Double)].head()
+    assert(row._1.toString == "2024-07-15 12:00:00.0") // CEST = UTC+2
+    assert(row._2 == 70.0)
+  }
+
   test("Reader: precios×volumenes join + rolling avg surface") {
     val p = Seq(("2024-07-15 10:00:00", 1, 50.0), ("2024-07-15 10:15:00", 1, 60.0))
       .toDF("dt", "id_mercado", "precio")
