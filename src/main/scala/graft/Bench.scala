@@ -51,11 +51,15 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         name -> -1.0
       } finally {
-        // intra-query caches (LSH/minhash self-join sides) are measured
-        // above; dropping them here keeps queries independent — leaked
-        // cache blocks from 60 earlier queries otherwise pile up in the
-        // shared executor memory for the rest of the run
+        // intra-query materializations (LSH/minhash self-join sides) are
+        // measured above; dropping them here keeps queries independent.
+        // clearCache() covers Dataset.cache(); the localCheckpoint blocks
+        // those queries use live in the BlockManager as persisted RDDs,
+        // which only ContextCleaner would free on a driver GC — unpersist
+        // them explicitly so 60 queries' blocks don't pile up
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -34,10 +34,13 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => false
-  })
+  // lazy val, not def: consulted per ROW in interpreted eval — recomputing
+  // would allocate on the very path this expression exists to streamline
+  private lazy val elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   // nullable even when both array columns are non-null: a null element
   // yields a NULL result, so the slot must exist in the generated code

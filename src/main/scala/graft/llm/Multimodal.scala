@@ -47,39 +47,39 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Shared guarded decode: None for anything ImageIO can't read. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
   /** REAL image decode via the JDK's ImageIO. Features: mean luminance of 8
     * equal-width vertical bands, in [0, 1] — a deterministic, resolution-
     * independent content summary (the classic cheap perceptual signature).
     * Returns None when the payload is not a decodable image.
     */
   private[llm] def decodeImage(r: MediaRow): Option[MediaFeatures] =
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val sums = new Array[Double](8)
-        val counts = new Array[Long](8)
-        var x = 0
-        while (x < w) {
-          val band = math.min(7, x * 8 / w)
-          var y = 0
-          while (y < h) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
-            sums(band) += luma
-            counts(band) += 1
-            y += 1
-          }
-          x += 1
+    readImage(r.payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](8)
+      val counts = new Array[Long](8)
+      var x = 0
+      while (x < w) {
+        val band = math.min(7, x * 8 / w)
+        var y = 0
+        while (y < h) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+          sums(band) += luma
+          counts(band) += 1
+          y += 1
         }
-        val feats = Array.tabulate(8)(i =>
-          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
-        Some(MediaFeatures(r.doc_id, r.payload.length, md5Hex(r.payload), w, h, feats))
+        x += 1
       }
-    } catch { case _: Exception => None }
+      val feats = Array.tabulate(8)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+      MediaFeatures(r.doc_id, r.payload.length, md5Hex(r.payload), w, h, feats)
+    }
 
   /** Decode dispatch: real ImageIO for image payloads, stub otherwise. */
   private[llm] def decode(r: MediaRow): MediaFeatures =
@@ -101,21 +101,18 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       val resized =
         if (!r.mime.startsWith("image/")) None
-        else try {
-          Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))).map { img =>
-            val out = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-            g.dispose()
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", buf)
-            r.copy(payload = buf.toByteArray, mime = "image/png")
-          }
-        } catch { case _: Exception => None }
+        else readImage(r.payload).map { img =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          r.copy(payload = buf.toByteArray, mime = "image/png")
+        }
       resized.getOrElse(r)
     })
   }

@@ -204,21 +204,29 @@ object LlmOps {
           .toDF("src", "dst").localCheckpoint()
         var labels = edges.select(col("src").as("v")).distinct()
           .withColumn("l", col("v")).localCheckpoint()
-        var prevSum = -1L
-        var sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
+        // coalesce: sum over an EMPTY vertex set (no near-dup pairs at all)
+        // is NULL — the loop must see 0, not NPE on the unbox
+        def labelSum(): Long = labels
+          .agg(coalesce(org.apache.spark.sql.functions.sum("l"), lit(0L)))
           .first().getLong(0)
+        val maxRounds = 50
+        var prevSum = -1L
+        var sum = labelSum()
         var rounds = 0
-        while (sum != prevSum && rounds < 20) { // converges in O(diameter)
+        while (sum != prevSum && rounds < maxRounds) { // converges in O(diameter)
           val nbrMin = edges.join(labels, edges("dst") === labels("v"))
             .groupBy(edges("src").as("nv")).agg(min(col("l")).as("nl"))
           labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
             .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
             .localCheckpoint()
           prevSum = sum
-          sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
-            .first().getLong(0)
+          sum = labelSum()
           rounds += 1
         }
+        // fail loudly rather than emit intermediate (non-minimal) labels —
+        // a silent wrong answer would diverge from the recursive oracle
+        require(sum == prevSum,
+          s"label propagation did not converge in $maxRounds rounds")
         labels.select(col("v").as("doc_id"), col("l").as("cluster"))
       },
       Some("WITH RECURSIVE " + minhashPairsSql + """,

@@ -44,6 +44,11 @@ object Pipelines {
         val out = EsiosTransform.transform(raw).withColumn("batch_id", lit(1L))
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_esios_" +
           java.lang.Integer.toHexString(d.hashCode)
+        // wipe before writing: the fixed path persists across runs, and a
+        // stale lake from an older fixture would leak extra keep-last rows
+        // into the result the freshly-computed oracle can't know about
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
         Lake.upsert(s, out, path, "diario",
           Seq("datetime_utc", "id_mercado"), "batch_id")
         Lake.read(s, path, Some("diario"))

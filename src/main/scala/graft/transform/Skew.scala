@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * a single hot key inside an aggregation (one reducer gets the hot group
   * no matter how the partitions split) and a hot key joining a dim table.
   *
-  * Salts are derived deterministically (content hash, or content hash +
-  * stable per-partition row position for the join — never rand()), so task
-  * retries recompute identical salts and results are reproducible.
+  * Salts derive from content hash + per-partition row position (never
+  * rand()). Caveat, stated honestly: `monotonically_increasing_id` depends
+  * on row order within a partition, so like every row-position scheme
+  * (including Spark's own round-robin repartition, SPARK-23207) it is only
+  * retry-stable when the input's partitioning and order are — reading from
+  * files is fine; feeding it the raw output of a shuffle is not. For a
+  * shuffled input, materialize first (localCheckpoint) or salt on a stable
+  * key column.
   */
 object Skew {
 
@@ -19,10 +24,10 @@ object Skew {
     * partials. Caller supplies algebraic partial/final pairs (sum/sum,
     * count→sum, min/min, max/max...).
     */
-  /** Per-ROW deterministic salt. It must vary per row, not per value: a hot
-    * key whose rows carry a constant value (repeated flags, zeros, nulls —
-    * the typical skew pathology) would hash to a single salt and get zero
-    * spread. The stable per-partition row id keeps retries deterministic.
+  /** Per-ROW salt. It must vary per row, not per value: a hot key whose
+    * rows carry a constant value (repeated flags, zeros, nulls — the
+    * typical skew pathology) would hash to a single salt and get zero
+    * spread. See the object doc for the retry-stability caveat.
     */
   private[transform] def rowSalt(valueCol: String, salts: Int): Column =
     pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts))
