@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads on small-SF workloads (measured 3-10x wall-time inflation on
   // local[32]); throughput GC restores linear scaling
   "-XX:+UseParallelGC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = one JVM holding driver AND all 32 executor threads; on
+  // this 128 GiB box a roomy heap keeps ParallelGC full collections rare
+  // under the bench's allocation bursts
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

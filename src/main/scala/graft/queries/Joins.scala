@@ -237,6 +237,36 @@ object Joins {
       Some("""SELECT n_nationkey, n_name, r_name
               FROM nation JOIN region ON n_regionkey = r_regionkey""")),
 
+    // J10 (additive) — as-of join: every volume row gets the most recent
+    // price at-or-before its timestamp, per entity. Oracled by DuckDB's
+    // NATIVE `ASOF LEFT JOIN` — a fully independent implementation of the
+    // operator's semantics. Quotes are deduplicated to one per (key, ts)
+    // (both engines' as-of semantics are undefined under equal-ts quote
+    // duplicates).
+    ("j10_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val quotes = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("price"))
+        val facts = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value").as("vol"))
+        graft.operators.AsOfJoin.asOf(facts, quotes, "user_id", "ts",
+          Seq("price"))
+          .select("event_id", "user_id", "ts", "vol", "price")
+      },
+      Some("""WITH quotes AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(value) AS price
+                FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2),
+              facts AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       value AS vol
+                FROM events WHERE event_id % 5 <> 0)
+              SELECT f.event_id, f.user_id, f.ts, f.vol, q.price
+              FROM facts f ASOF LEFT JOIN quotes q
+                ON f.user_id = q.user_id AND f.ts >= q.ts""")),
+
     // J9 — precios×volumenes-shaped fact join + time-bucketed aggregate
     // ref: read/natlanguage_duckdb_queries.py:254-275
     ("j9_fact_join",

@@ -441,24 +441,29 @@ object LlmOps {
         .withColumn("n_chars_calc", length(col("text")))
         .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
         .withColumn("n_stop", size(regexp_extract_all(col("text"), lit(" the "), lit(0))))
+        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))))
         .withColumn("avg_word_len", col("n_chars_calc").cast(DoubleType) / col("n_tok"))
         .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tok"))
+        .withColumn("punct_ratio", col("n_punct").cast(DoubleType) / col("n_chars_calc"))
         // no round(): both engines evaluate the identical IEEE expression on
         // identical operands, so the raw double already matches bit-for-bit;
         // rounding would *introduce* ties at the half-ulp boundary.
         .withColumn("score",
           lit(0.5) * least(lit(1.0), col("avg_word_len") / 10)
             + lit(0.5) * least(lit(1.0), col("stop_ratio") * 10))
-        .select("doc_id", "n_tok", "n_stop", "avg_word_len", "stop_ratio", "score"),
+        .select("doc_id", "n_tok", "n_stop", "avg_word_len", "stop_ratio",
+          "punct_ratio", "score"),
       Some("""SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
                      CAST(n_stop AS INTEGER) AS n_stop,
                      CAST(n_chars_calc AS DOUBLE) / n_tok AS avg_word_len,
                      CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+                     CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio,
                      0.5 * least(1.0, (CAST(n_chars_calc AS DOUBLE) / n_tok) / 10)
                        + 0.5 * least(1.0, (CAST(n_stop AS DOUBLE) / n_tok) * 10) AS score
               FROM (SELECT doc_id, length(text) AS n_chars_calc,
                            len(regexp_extract_all(text, '[^ ]+')) AS n_tok,
-                           len(regexp_extract_all(text, ' the ')) AS n_stop
+                           len(regexp_extract_all(text, ' the ')) AS n_stop,
+                           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
                     FROM documents) t""")),
 
     // Language ID: marker-token scoring with deterministic priority tiebreak
@@ -493,18 +498,33 @@ object LlmOps {
                            len(regexp_extract_all(text, '\bjoin\b')) AS c_fr
                     FROM documents) t""")),
 
-    // Document fingerprint: md5 over the sorted distinct token set
+    // Document fingerprinting, two flavors in one narrow map (NO shuffle —
+    // set ops happen inside array expressions, not explode+groupBy):
+    //  fp — md5 over the sorted distinct token set (order-insensitive)
+    //  rh — polynomial rolling hash over the token SEQUENCE (order-
+    //       sensitive, the classic Rabin-Karp-style content signature);
+    //       acc folds as a string because DuckDB's list_reduce seeds from
+    //       the first element, so both engines run the same string-fold
     ("llm_fingerprint",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(md5(array_join(sort_array(collect_list(col("tok"))), ",")).as("fp")),
-      Some("""WITH t AS (SELECT DISTINCT doc_id, tok
-                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                               FROM documents) u)
-              SELECT doc_id, md5(string_agg(tok, ',' ORDER BY tok)) AS fp
-              FROM t GROUP BY doc_id""")),
+      (s, d) => documents(s, d).select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), ","))
+          .as("fp"),
+        expr("""CAST(aggregate(filter(split(text, ' '), t -> t != ''), '0',
+                     (acc, t) -> CAST((CAST(acc AS BIGINT) * 131
+                                       + length(t) * 31 + ascii(t))
+                                      % 1000000007 AS STRING))
+                AS BIGINT)""").as("rh")),
+      Some("""SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split(text, ' '))), ',')) AS fp,
+                     CAST(list_reduce(
+                            ['0'] || list_filter(string_split(text, ' '),
+                                                 t -> t <> ''),
+                            (acc, t) -> CAST((CAST(acc AS BIGINT) * 131
+                                              + length(t) * 31 + unicode(t[1]))
+                                             % 1000000007 AS VARCHAR))
+                          AS BIGINT) AS rh
+              FROM documents""")),
 
     // Multimodal metadata plumbing: opaque binary payload + typed metadata.
     // The decode/feature step is the stubbed mapPartitions in

@@ -1,0 +1,25 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream equi-join — the streaming twin of
+  * `Reader.joinPreciosVolumenes` (J9): a precios stream and a volumenes
+  * stream join on (datetime_utc, id_mercado) as both arrive.
+  *
+  * Both sides carry an event-time watermark and the join key includes the
+  * event-time column itself, so Spark's state store evicts buffered rows
+  * once the watermark passes them — state is bounded by (lateness window ×
+  * arrival rate), never the stream's history. At scale the join state is
+  * hash-partitioned on the key like the batch shuffle would be.
+  */
+object StreamJoin {
+
+  def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    val p = precios.withWatermark("datetime_utc", lateness)
+    val v = volumenes.withWatermark("datetime_utc", lateness)
+    p.join(v, Seq("datetime_utc", "id_mercado"))
+      .withColumn("importe", col("precio") * col("volumenes"))
+  }
+}

@@ -98,6 +98,42 @@ class SessionizeSpec extends SparkSpec {
       ("2024-01-01 10:00:00", 1L, 2L), ("2024-01-01 10:00:00", 2L, 1L)))
   }
 
+  test("stream-stream precios×volumenes join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pIn = MemoryStream[(Timestamp, Int, Double)]
+    val vIn = MemoryStream[(Timestamp, Int, Double)]
+    val p = pIn.toDS().toDF("datetime_utc", "id_mercado", "precio")
+    val v = vIn.toDS().toDF("datetime_utc", "id_mercado", "volumenes")
+    val query = StreamJoin.joinPreciosVolumenes(p, v)
+      .writeStream.format("memory").queryName("pv_join")
+      .outputMode("append").start()
+    // price arrives first; the matching volume lands in a later micro-batch
+    pIn.addData((ts("2024-07-15 10:00:00"), 1, 50.0),
+      (ts("2024-07-15 10:15:00"), 1, 60.0))
+    query.processAllAvailable()
+    vIn.addData((ts("2024-07-15 10:00:00"), 1, 2.0),
+      (ts("2024-07-15 10:15:00"), 1, 4.0),
+      (ts("2024-07-15 10:15:00"), 2, 9.0)) // no matching price ⇒ no row
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("pv_join")
+      .select("datetime_utc", "id_mercado", "importe")
+      .as[(Timestamp, Int, Double)].collect().toSet
+    val expected = graft.query.Reader.joinPreciosVolumenes(
+        Seq((ts("2024-07-15 10:00:00"), 1, 50.0), (ts("2024-07-15 10:15:00"), 1, 60.0))
+          .toDF("datetime_utc", "id_mercado", "precio"),
+        Seq((ts("2024-07-15 10:00:00"), 1, 2.0), (ts("2024-07-15 10:15:00"), 1, 4.0),
+          (ts("2024-07-15 10:15:00"), 2, 9.0))
+          .toDF("datetime_utc", "id_mercado", "volumenes"))
+      .select("datetime_utc", "id_mercado", "importe")
+      .as[(Timestamp, Int, Double)].collect().toSet
+    assert(got == expected)
+    assert(got == Set((ts("2024-07-15 10:00:00"), 1, 100.0),
+      (ts("2024-07-15 10:15:00"), 1, 240.0)))
+  }
+
   test("batch twin (w12_sessionize) and stream agree on session structure") {
     import spark.implicits._
     // run the registered batch sessionizer on sf0.001 and sanity-check
