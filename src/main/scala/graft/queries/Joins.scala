@@ -267,6 +267,35 @@ object Joins {
               FROM facts f ASOF LEFT JOIN quotes q
                 ON f.user_id = q.user_id AND f.ts >= q.ts""")),
 
+    // J11 (additive) — range join: events matched to the 45-minute windows
+    // (per user) that contain them. The bucket-binned equi-join
+    // formulation — never the broadcast-nested-loop plan the naive
+    // BETWEEN predicate produces (PlanAuditSpec gates this).
+    ("j11_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val anchors = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+          .select(col("event_id").as("anchor_id"), col("user_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 45 MINUTES")).as("end_ts"))
+        val facts = ev.select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.RangeJoin.byContainment(facts, anchors,
+            "user_id", "ts", "start_ts", "end_ts", bucketSeconds = 900)
+          .select("anchor_id", "event_id", "user_id")
+      },
+      Some("""WITH anchors AS (
+                SELECT event_id AS anchor_id, user_id,
+                       CAST(ts AS TIMESTAMP) AS start_ts,
+                       CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS end_ts
+                FROM events WHERE event_id % 10 = 0),
+              facts AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events)
+              SELECT a.anchor_id, f.event_id, f.user_id
+              FROM anchors a JOIN facts f
+                ON a.user_id = f.user_id
+               AND f.ts >= a.start_ts AND f.ts <= a.end_ts""")),
+
     // J9 — precios×volumenes-shaped fact join + time-bucketed aggregate
     // ref: read/natlanguage_duckdb_queries.py:254-275
     ("j9_fact_join",

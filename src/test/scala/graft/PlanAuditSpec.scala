@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("candidate-generation joins are never cartesian") {
     for (q <- Seq("llm_minhash_dedup", "llm_ann_lsh", "llm_embed_neardup",
-        "llm_ngram_jaccard", "llm_simhash_neardup")) {
+        "llm_ngram_jaccard", "llm_simhash_neardup", "j11_range_join",
+        "j10_asof_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
