@@ -526,6 +526,31 @@ object LlmOps {
                           AS BIGINT) AS rh
               FROM documents""")),
 
+    // Deterministic train/val/test split: the assignment hashes the
+    // DOCUMENT CONTENT (not a random draw), so re-runs, engine changes and
+    // re-shards never move a document across splits — the property that
+    // matters when dedup must stay split-safe. 80/10/10 on md5's first
+    // byte as an integer in [0, 256).
+    ("llm_train_split",
+      (s, d) => {
+        val b = expr(
+          """(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1""")
+        documents(s, d).select(col("doc_id"),
+          b.cast(IntegerType).as("bucket"),
+          when(b < 205, "train").when(b < 230, "val").otherwise("test")
+            .as("split"))
+      },
+      Some("""SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+                     CASE WHEN bucket < 205 THEN 'train'
+                          WHEN bucket < 230 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+                             AS bucket
+                    FROM documents) t""")),
+
     // Multimodal metadata plumbing: opaque binary payload + typed metadata.
     // The decode/feature step is the stubbed mapPartitions in
     // graft.llm.Multimodal; this query is the schema/checksum surface.
