@@ -158,10 +158,15 @@ object Windows {
         val w = Window.partitionBy("l_suppkey")
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
           .rowsBetween(-23, 0)
+        // long-cents formulation of the exact-decimal sum: quantities carry
+        // ≤2 decimals, so sum(cents)/100.0 is the correctly-rounded double
+        // of the exact decimal sum (cents stay < 2^53), identical to the
+        // oracle's CAST(SUM(DECIMAL) AS DOUBLE) — and a Long window
+        // accumulator runs well ahead of Decimal's
         lineitem(s, d)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            (sum(dec2(col("l_quantity"))).over(w).cast(DoubleType)
-              / count(lit(1)).over(w)).as("media24"))
+            (sum((dec2(col("l_quantity")) * 100).cast(LongType)).over(w)
+              / lit(100.0) / count(lit(1)).over(w)).as("media24"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
