@@ -526,6 +526,23 @@ object LlmOps {
                           AS BIGINT) AS rh
               FROM documents""")),
 
+    // Text normalization: the standard corpus-prep map — casefold,
+    // collapse runs of whitespace, strip edge whitespace, drop
+    // punctuation — plus the post-normalization md5 (what exact-dedup
+    // would key on after cleaning). Pure narrow map, no shuffle.
+    ("llm_normalize",
+      (s, d) => documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,;:!?]", ""),
+          "\\s+", " "))).as("norm_md5")),
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                     md5(trim(regexp_replace(
+                           regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                           '\s+', ' ', 'g'))) AS norm_md5
+              FROM documents""")),
+
     // Deterministic train/val/test split: the assignment hashes the
     // DOCUMENT CONTENT (not a random draw), so re-runs, engine changes and
     // re-shards never move a document across splits — the property that
