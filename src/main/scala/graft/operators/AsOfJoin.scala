@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first composition, per the preference order (compose built-ins
   * before custom plans): tag both sides, align schemas with
-  * `unionByName(allowMissingColumns)`, and take `last(col, ignoreNulls)`
-  * over a (key, time, side) window — quotes sort before facts at equal
-  * timestamps, so an exact-timestamp quote applies to the fact ("<=`
+  * `unionByName(allowMissingColumns)`, and forward-fill the latest quote
+  * ROW — carried as one struct, so `last(ignoreNulls)` picks whole rows
+  * atomically: a matched quote's NULL field stays NULL (exactly DuckDB
+  * ASOF / pandas merge_asof semantics) and values from different quote
+  * rows are never stitched together. Quotes sort before facts at equal
+  * timestamps, so an exact-timestamp quote applies to the fact (`<=`
   * semantics, matching DuckDB's `ON fact.ts >= quote.ts`).
   *
   * Cost shape: ONE hash shuffle on the key + a per-partition sort — the
@@ -28,15 +31,19 @@ object AsOfJoin {
     require(quoteCols.nonEmpty, "at least one quote column")
     require(quoteCols.forall(!facts.columns.contains(_)),
       s"quote columns ${quoteCols.filter(facts.columns.contains)} clash with fact columns")
+    require(!facts.columns.contains("__side") && !facts.columns.contains("__q"),
+      "fact columns __side/__q are reserved by asOf")
     val f = facts.withColumn("__side", lit(1))
-    val q = quotes.select((key +: ts +: quoteCols).map(col): _*)
+    // the quote row travels as ONE non-null struct — the fill unit
+    val q = quotes.select(col(key), col(ts),
+        struct(quoteCols.map(col): _*).as("__q"))
       .withColumn("__side", lit(0))
     val u = f.unionByName(q, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = quoteCols.foldLeft(u) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = u.withColumn("__q", last(col("__q"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(facts.columns.map(col) ++
+        quoteCols.map(c => col(s"__q.$c").as(c)): _*)
   }
 }

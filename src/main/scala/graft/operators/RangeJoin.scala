@@ -23,11 +23,17 @@ object RangeJoin {
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
-    val bs = bucketSeconds * 1000000L // µs
-    val fb = facts.withColumn("__b", expr(s"unix_micros($tsCol) div $bs"))
+    require(!facts.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "column __b is reserved by byContainment")
+    val bs = lit(bucketSeconds * 1000000L) // µs
+    // Column-API bucket index (no name interpolation into SQL text, so
+    // names needing backquotes resolve like everywhere else); subtraction
+    // of the remainder keeps the division an exact integer quotient
+    def bucket(c: org.apache.spark.sql.Column) =
+      ((unix_micros(c) - pmod(unix_micros(c), bs)) / bs).cast("long")
+    val fb = facts.withColumn("__b", bucket(col(tsCol)))
     val ib = intervals.withColumn("__b", explode(sequence(
-      expr(s"unix_micros($startCol) div $bs"),
-      expr(s"unix_micros($endCol) div $bs"))))
+      bucket(col(startCol)), bucket(col(endCol)))))
     fb.join(ib, Seq(key, "__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")

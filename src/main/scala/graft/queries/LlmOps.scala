@@ -502,16 +502,19 @@ object LlmOps {
     // set ops happen inside array expressions, not explode+groupBy):
     //  fp — md5 over the sorted distinct token set (order-insensitive)
     //  rh — polynomial rolling hash over the token SEQUENCE (order-
-    //       sensitive, the classic Rabin-Karp-style content signature);
-    //       acc folds as a string because DuckDB's list_reduce seeds from
-    //       the first element, so both engines run the same string-fold
+    //       sensitive): each token contributes an md5-derived code, so the
+    //       fold reflects FULL token content, not surface features like
+    //       length. acc folds as a string because DuckDB's list_reduce
+    //       seeds from the first element, so both engines run the same
+    //       string-fold.
     ("llm_fingerprint",
       (s, d) => documents(s, d).select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(split(col("text"), " "))), ","))
           .as("fp"),
         expr("""CAST(aggregate(filter(split(text, ' '), t -> t != ''), '0',
                      (acc, t) -> CAST((CAST(acc AS BIGINT) * 131
-                                       + length(t) * 31 + ascii(t))
+                        + (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1)
                                       % 1000000007 AS STRING))
                 AS BIGINT)""").as("rh")),
       Some("""SELECT doc_id,
@@ -521,27 +524,30 @@ object LlmOps {
                             ['0'] || list_filter(string_split(text, ' '),
                                                  t -> t <> ''),
                             (acc, t) -> CAST((CAST(acc AS BIGINT) * 131
-                                              + length(t) * 31 + unicode(t[1]))
+                               + (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                               + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)
                                              % 1000000007 AS VARCHAR))
                           AS BIGINT) AS rh
               FROM documents""")),
 
-    // Text normalization: the standard corpus-prep map — casefold,
-    // collapse runs of whitespace, strip edge whitespace, drop
-    // punctuation — plus the post-normalization md5 (what exact-dedup
-    // would key on after cleaning). Pure narrow map, no shuffle.
+    // Text normalization: ONE corpus-prep pipeline — casefold, drop
+    // punctuation, collapse whitespace runs, strip edges — published both
+    // as the cleaned text and as its md5 (what exact-dedup would key on
+    // after cleaning; md5(norm_text) == norm_md5 by construction). Pure
+    // narrow map, no shuffle.
     ("llm_normalize",
-      (s, d) => documents(s, d).select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
-        md5(trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[.,;:!?]", ""),
-          "\\s+", " "))).as("norm_md5")),
-      Some("""SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-                     md5(trim(regexp_replace(
-                           regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
-                           '\s+', ' ', 'g'))) AS norm_md5
-              FROM documents""")),
+      (s, d) => {
+        val cleaned = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,;:!?]", ""), "\\s+", " "))
+        documents(s, d).select(col("doc_id"),
+          cleaned.as("norm_text"), md5(cleaned).as("norm_md5"))
+      },
+      Some("""SELECT doc_id, norm_text, md5(norm_text) AS norm_md5
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(
+                             regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm_text
+                    FROM documents) t""")),
 
     // Deterministic train/val/test split: the assignment hashes the
     // DOCUMENT CONTENT (not a random draw), so re-runs, engine changes and

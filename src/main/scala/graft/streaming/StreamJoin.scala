@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame,
-      lateness: String = "1 hour"): DataFrame = {
-    val p = precios.withWatermark("datetime_utc", lateness)
-    val v = volumenes.withWatermark("datetime_utc", lateness)
-    p.join(v, Seq("datetime_utc", "id_mercado"))
-      .withColumn("importe", col("precio") * col("volumenes"))
-  }
+      lateness: String = "1 hour"): DataFrame =
+    // delegate to the batch operator so the join definition (keys, importe
+    // derivation) can never silently diverge between batch and stream
+    graft.query.Reader.joinPreciosVolumenes(
+      precios.withWatermark("datetime_utc", lateness),
+      volumenes.withWatermark("datetime_utc", lateness))
 }

@@ -30,6 +30,21 @@ class AsOfJoinSpec extends SparkSpec {
       14L -> Some(99.0), 15L -> None))
   }
 
+  test("matched quote with NULL field stays NULL; rows are never stitched") {
+    // quote at 11:00 has price=NULL, size=9 — a fact after it must see
+    // THAT row's (NULL, 9), not price forward-filled from the 10:00 quote
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0), Some(1L)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double], Some(9L)))
+      .toDF("user_id", "ts", "price", "size")
+    val facts = Seq((20L, 1L, ts("2024-01-01 11:30:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "vol")
+    val got = AsOfJoin.asOf(facts, quotes, "user_id", "ts", Seq("price", "size"))
+      .select("event_id", "price", "size")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    assert(got == Seq((20L, None, Some(9L))))
+  }
+
   test("quote columns clashing with fact columns are rejected") {
     val q = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")
     val f = Seq((1L, ts("2024-01-01 10:30:00"), 2.0)).toDF("k", "t", "v")
