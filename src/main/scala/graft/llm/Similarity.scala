@@ -245,6 +245,87 @@ object Similarity {
       .select("qid", "cid", "cos", "rn")
   }
 
+  /** IVF with FIXED deterministic centroids (the embeddings of
+    * vec_id < nCentroids): the same assign → probe → rank pipeline as
+    * ivfTopK, but with a quantizer both engines can compute — giving the
+    * IVF *shape* (argmax assignment, nProbe list probing, in-list top-k) a
+    * full hash-checked DuckDB oracle. The learned-centroid variant keeps
+    * its recall-vs-brute-force test; this one proves the pipeline.
+    */
+  def ivfTopKFixed(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nCentroids: Int, nProbe: Int, k: Int, roundScale: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .localCheckpoint() // feeds centroids, assignment and scoring
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val ranked = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd", expr("vec_dot(v, cv)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cd").desc, col("c_id"))))
+    val assigned = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
+      .localCheckpoint() // both the probe and candidate sides use it
+    val probes = ranked.filter(queryPred && col("rnk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id").as("list_id"))
+    val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv2"),
+      col("nrm").as("cn"), col("list_id"))
+    val scored = probes.join(c, Seq("list_id")) // shuffle on list id
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_r",
+        round(expr("vec_dot(qv, cv2)") / (col("qn") * col("cn")), roundScale))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_r"),
+        col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle for ivfTopKFixed — same centroid set, same assignment
+    * tiebreaks, same left-associated IEEE dot chains as annOracleSql.
+    */
+  def ivfFixedOracleSql(dims: Int, nCentroids: Int, nProbe: Int, k: Int,
+      roundScale: Int): String = {
+    def acc(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    val assignChain = (1 to dims)
+      .map(i => s"${acc("e", i)} * CAST(c.cv[$i] AS DOUBLE)").mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${acc("e", i)} * ${acc("e", i)}").mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${acc("a", i)} * ${acc("b", i)}").mkString(" + ")
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv
+                      FROM embeddings WHERE vec_id < $nCentroids),
+        ranked AS (
+          SELECT e.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ($assignChain) DESC, c.c_id) AS rnk
+          FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, c_id AS list_id FROM ranked WHERE rnk = 1),
+        probes AS (SELECT vec_id AS qid, c_id AS list_id
+                   FROM ranked WHERE vec_id < 10 AND rnk <= $nProbe),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        cand AS (
+          SELECT p.qid, a.vec_id AS cid
+          FROM probes p JOIN assign a
+            ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+        scored AS (
+          SELECT qid, cid,
+                 round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+          FROM cand
+          JOIN embeddings a ON a.vec_id = qid
+          JOIN embeddings b ON b.vec_id = cid
+          JOIN n na ON na.vec_id = qid
+          JOIN n nb ON nb.vec_id = cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
+  }
+
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */
   def bruteForceTopK(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {

@@ -415,6 +415,16 @@ object LlmOps {
         col("vec_id") < 10, nLists = 8, nProbe = 3, k = 5),
       None),
 
+    // IVF with fixed deterministic centroids — the same assign → probe →
+    // rank pipeline as llm_ann_ivf but with a DuckDB-computable quantizer,
+    // so the IVF shape gets a full hash-checked oracle (the learned
+    // variant keeps its recall assertion in LlmSpec).
+    ("llm_ann_ivf_fixed",
+      (s, d) => graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
+        col("vec_id") < 10, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4),
+      Some(graft.llm.Similarity.ivfFixedOracleSql(
+        dims = 64, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4))),
+
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",
