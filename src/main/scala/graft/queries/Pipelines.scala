@@ -42,18 +42,21 @@ object Pipelines {
           when(pmod(col("event_id"), lit(7)) === 0, "Francia")
             .otherwise("España").as("geo_name"))
         val out = EsiosTransform.transform(raw).withColumn("batch_id", lit(1L))
+        // per-invocation unique path: a fixed shared path let concurrent
+        // driver processes (bench n=5 vs correctness) race the
+        // wipe/write/read cycle and produce nondeterministic results
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_esios_" +
-          java.lang.Integer.toHexString(d.hashCode)
-        // wipe before writing: the fixed path persists across runs, and a
-        // stale lake from an older fixture would leak extra keep-last rows
-        // into the result the freshly-computed oracle can't know about
+          java.util.UUID.randomUUID.toString.replace("-", "")
         val hp = new org.apache.hadoop.fs.Path(path)
-        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         Lake.upsert(s, out, path, "diario",
           Seq("datetime_utc", "id_mercado"), "batch_id")
-        Lake.read(s, path, Some("diario"))
+        val res = Lake.read(s, path, Some("diario"))
           .select(col("datetime_utc"),
             col("id_mercado").cast(IntegerType).as("id_mercado"), col("precio"))
+          .localCheckpoint() // eager: materialize before the temp lake goes away
+        fs.delete(hp, true)
+        res
       },
       Some("""WITH raw AS (
                 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
@@ -169,20 +172,27 @@ object Pipelines {
     // OMIE continuo (MIC) e2e: EU-decimal trade strings → contract-code
     // delivery datetime (W8 + W6 Madrid kernel) → per-side rows (sell +,
     // buy −) at trade grain. The oracle replicates the published schema's
-    // float32 narrowing with CAST(... AS REAL).
+    // float32 narrowing with CAST(... AS REAL). Two driver-proofing rules
+    // (CORRECTNESS_r05): delivery dates live in 2022 (2020s tzdata is
+    // identical across java.time and ICU; TPC-H's 1990s dates were not),
+    // and the EU-decimal fractions are quarter-multiples (.00/.25/.50/.75)
+    // so every float32 value is an exact dyadic whose REAL↔DOUBLE
+    // round-trip is representation-stable in any engine.
     // ref: _procesador_omie.py:258-273, 699-831.
     ("pipeline_omie_mic_e2e",
       (s, d) => {
         val o = orders(s, d).filter(col("o_orderkey") % 25 === 0)
+        val delivery = date_add(lit("2022-01-01").cast(DateType),
+          (col("o_orderkey") % 365).cast(IntegerType))
         val fix = o.select(
-          concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("-"),
+          concat(date_format(delivery, "yyyyMMdd"), lit("-"),
             lpad((col("o_orderkey") % 24 + 1).cast(StringType), 2, "0"))
             .as("Contrato"),
           concat((col("o_orderkey") % 500).cast(StringType), lit(","),
-            lpad((col("o_custkey") % 100).cast(StringType), 2, "0"))
+            lpad((col("o_custkey") % 4 * 25).cast(StringType), 2, "0"))
             .as("Precio"),
           concat((col("o_custkey") % 300).cast(StringType), lit(","),
-            lpad((col("o_orderkey") % 100).cast(StringType), 2, "0"))
+            lpad((col("o_orderkey") % 4 * 25).cast(StringType), 2, "0"))
             .as("Cantidad"),
           concat(lit("UB"), (col("o_custkey") % 40).cast(StringType))
             .as("Unidad compra"),
@@ -194,14 +204,16 @@ object Pipelines {
             col("fecha_fichero"))
       },
       Some("""WITH fix AS (
-                SELECT concat(strftime(o_orderdate, '%Y%m%d'), '-',
+                SELECT concat(strftime(DATE '2022-01-01'
+                                + to_days(CAST(o_orderkey % 365 AS INTEGER)),
+                                '%Y%m%d'), '-',
                               lpad(CAST(o_orderkey % 24 + 1 AS VARCHAR), 2, '0'))
                          AS contrato,
                        CAST(replace(concat(CAST(o_orderkey % 500 AS VARCHAR), ',',
-                              lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')),
+                              lpad(CAST(o_custkey % 4 * 25 AS VARCHAR), 2, '0')),
                               ',', '.') AS DOUBLE) AS precio,
                        CAST(replace(concat(CAST(o_custkey % 300 AS VARCHAR), ',',
-                              lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')),
+                              lpad(CAST(o_orderkey % 4 * 25 AS VARCHAR), 2, '0')),
                               ',', '.') AS DOUBLE) AS cantidad,
                        concat('UB', CAST(o_custkey % 40 AS VARCHAR)) AS ub,
                        concat('UV', CAST(o_orderkey % 40 AS VARCHAR)) AS uv
