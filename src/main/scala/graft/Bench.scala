@@ -78,7 +78,13 @@ object Bench {
     val spark = Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(run(spark, sfDir))
+    val json = run(spark, sfDir)
     spark.stop()
+    // the ONLY stdout this program emits, printed after spark.stop() so no
+    // shutdown message can land behind it — the driver parses stdout for
+    // one bare JSON line (BENCH_r05 "parsed": null came from log noise)
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

@@ -8,9 +8,12 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,12 +44,14 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: exactly (sfDir, outDir); extra args = builder-side
+    // subset filter for fast iteration
+    val Array(sfDir, outDir, rest @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir)
+    run(spark, sfDir, outDir, rest.toSet)
     spark.stop()
   }
 }

@@ -54,29 +54,34 @@ object Similarity {
       dims: Int = 64, nBits: Int = 8, nTables: Int = 3, k: Int = 5,
       roundScale: Int = -1): DataFrame = {
     val spark = embeddings.sparkSession
+    // vectors materialized ONCE, keyed by id; everything downstream of
+    // candidate generation re-joins them by id — the bucket join and the
+    // pair dedup shuffle two small columns, never the dims-double arrays
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .localCheckpoint()
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
-    // eagerly materialized: eb feeds both the query and candidate sides of
-    // the bucket join — otherwise the signature expressions (nTables ×
-    // nBits dims-length dot products) evaluate twice over the corpus, and
-    // a lazy cache leaves the two sides racing to materialize it
-    val eb = e.withColumn("bucket", explode(buckets)).localCheckpoint()
-    val q = eb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = eb.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("nrm").as("cn"), col("bucket"))
+    // eagerly materialized: eb feeds both sides of the bucket join —
+    // otherwise the signature expressions (nTables × nBits dims-length dot
+    // products) evaluate twice, and a lazy cache leaves the sides racing
+    val eb = e.select(col("vec_id"), explode(buckets).as("bucket"))
+      .localCheckpoint()
+    val q = eb.filter(queryPred).select(col("vec_id").as("qid"), col("bucket"))
+    val c = eb.select(col("vec_id").as("cid"), col("bucket"))
     val cand = q.join(c, Seq("bucket")) // shuffle on bucket, not cross join
       .filter(col("qid") =!= col("cid"))
-      .drop("bucket")
+      .select("qid", "cid")
       .dropDuplicates("qid", "cid") // pairs colliding in several tables
     val rawCos = col("dot") / (col("qn") * col("cn"))
     val cosCol = if (roundScale >= 0) round(rawCos, roundScale) else rawCos
     val cosName = if (roundScale >= 0) "cos_r" else "cos"
     val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn")), "cid")
       .withColumn("dot",
         expr("vec_dot(qv, cv)"))
       .withColumn(cosName, cosCol)
@@ -140,20 +145,27 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, dims: Int, nBits: Int,
       nTables: Int, tau: Double, roundScale: Int): DataFrame = {
     val spark = embeddings.sparkSession
+    // same id-only candidate shape as annTopK: vectors checkpointed once,
+    // re-joined by id after the pair dedup — the bucket self-join never
+    // shuffles the dims-double arrays
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .localCheckpoint()
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
     // eagerly materialized for the same reason as annTopK: self-join sides
-    val eb = e.withColumn("bucket", explode(buckets)).localCheckpoint()
-    val a = eb.select(col("vec_id").as("qid"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket"))
-    val b = eb.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("nrm").as("cn"), col("bucket"))
+    val eb = e.select(col("vec_id"), explode(buckets).as("bucket"))
+      .localCheckpoint()
+    val a = eb.select(col("vec_id").as("qid"), col("bucket"))
+    val b = eb.select(col("vec_id").as("cid"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("qid") < col("cid"))
-      .drop("bucket").dropDuplicates("qid", "cid")
+      .select("qid", "cid").dropDuplicates("qid", "cid")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn")), "cid")
       .withColumn("cos_r",
         round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), roundScale))
       .filter(col("cos_r") >= tau)

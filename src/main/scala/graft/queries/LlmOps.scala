@@ -17,24 +17,28 @@ object LlmOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-token shingles per document (docs with ≥3 tokens).
-    * element_at is 1-based, matching DuckDB list indexing.
+  /** Distinct 3-token shingle SET per document (docs with ≥3 tokens), as
+    * one `ss: array<string>` column plus its size `c` — computed entirely
+    * inside a narrow map (array_distinct replaces the old explode+distinct
+    * shuffle; `c` replaces a per-doc count aggregation; and downstream
+    * Jaccard becomes array_intersect on two set columns instead of a
+    * double explode-join-groupBy). element_at is 1-based, matching DuckDB
+    * list indexing.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       // the corpus lands as few large files; spread docs across the core
-      // budget BEFORE the explode so shingling parallelizes (row-to-shingle
-      // fan-out is ~100x — without this the fan-out runs on the file's
-      // partition count, a single task for a single-file corpus)
+      // budget BEFORE the shingle fan-out so the (per-row ~100x) array
+      // construction parallelizes instead of running on the file's
+      // partition count (a single task for a single-file corpus)
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 3)
-      .withColumn("i", explode(sequence(lit(1), size(col("l")) - 2)))
-      .select(col("doc_id"), concat_ws(" ",
-        element_at(col("l"), col("i")),
-        element_at(col("l"), col("i") + 1),
-        element_at(col("l"), col("i") + 2)).as("s"))
-      .distinct()
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(l) - 2),
+             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
+                            element_at(l, i + 2))))""").as("ss"))
+      .withColumn("c", size(col("ss")))
 
   private val shingleSql =
     """sh AS (
@@ -43,38 +47,41 @@ object LlmOps {
                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
                WHERE len(l) >= 3) t)"""
 
-  /** MinHash signature: 12 seed-salted md5 minima per doc (md5 hex strings
-    * compare bytewise identically in Spark and DuckDB), as one
-    * `mhs: array<string>[12]` per doc — kept as an array so downstream band
-    * hashing is element access, not a re-aggregation shuffle.
-    *
-    * Cost shape: the 12 hashes are computed once per *distinct* shingle
-    * (vocabulary), not once per (doc, shingle, seed); per-doc minima are an
-    * element-wise array fold — min is order-independent, so the result is
-    * identical to the naive per-row formulation the oracle uses.
+  /** MinHash family: the classic universal-hash construction — ONE md5 per
+    * shingle folded to a 28-bit integer x, then 12 independent affine
+    * hashes h_j = (a_j·x + c_j) mod p (p = 2^31−1). One cryptographic hash
+    * per shingle instead of twelve is the difference between hashing being
+    * the pipeline's hot spot and a rounding error — at 100 TB the per-
+    * shingle hash count IS the minhash cost. a_j·x < 2^59, no overflow.
     */
-  private def minhashSig(sh: DataFrame): DataFrame = {
-    val vocab = sh.select("s").distinct()
-      .withColumn("hs", expr(
-        "transform(sequence(0, 11), j -> md5(concat(CAST(j AS STRING), '|', s)))"))
-    sh.join(vocab, "s")
-      .groupBy("doc_id")
-      .agg(expr(
-        """aggregate(collect_list(hs),
-                     array_repeat('g', 12),
-                     (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))""")
-        .as("mhs"))
-  }
+  private val MinhashP = 2147483647L
+  private val MinhashA = Seq(1103515245L, 1232937849L, 1654435769L,
+    999999937L, 1779033703L, 1013904223L, 1847062237L, 2038074743L,
+    1294967291L, 1431655751L, 1540483477L, 2091639091L)
+  private val MinhashC = Seq(12345L, 362437L, 521288629L, 668265263L,
+    374761393L, 951274213L, 777767777L, 303700049L, 1111111111L,
+    99990001L, 613651349L, 1500450271L)
 
-  private val minhashSigSql =
-    """sig AS (
-         SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', s))) AS mh
-         FROM (SELECT doc_id, s, unnest(generate_series(0, 11)) AS j FROM sh) t
-         GROUP BY doc_id, j)"""
+  private val minhashSigSql = {
+    val perSeed = MinhashA.zip(MinhashC).zipWithIndex.map {
+      case ((a, c), j) =>
+        s"min(($a * x + $c) % $MinhashP) AS mh$j"
+    }.mkString(", ")
+    s"""sig AS (
+         SELECT doc_id, $perSeed
+         FROM (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS x
+               FROM sh) t
+         GROUP BY doc_id)"""
+  }
 
   /** SimHash vote vector per doc: 32 signed vote counters from
     * vocabulary-level md5 bit derivation (shared by the signature query and
-    * the near-dup join).
+    * the near-dup join). The bit vectors are computed once per DISTINCT
+    * token — a fully-narrow per-instance fold was tried and measured 5×
+    * slower: higher-order-function lambdas are interpreted, not codegen'd,
+    * so per-token-instance lambda invocations dominate long before the
+    * vocabulary join's shuffles do.
     */
   private def simhashVotes(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
@@ -116,43 +123,58 @@ object LlmOps {
     * and the clustering query).
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (eager), not cache(): both feed several downstream
-    // branches (bands its own self-join) — lazy cache leaves the two
-    // join sides racing to materialize the same blocks, which measured
-    // multi-second scheduling stalls; eager materialization runs the
-    // signature pipeline exactly once, deterministically.
-    val sh = shingles(s, d).localCheckpoint()
-    // band hash straight from the signature array (b=6 bands × r=2): no
-    // per-(doc,band) re-aggregation shuffle.
-    val bands = minhashSig(sh)
-      .select(col("doc_id"), expr(
-        """explode(transform(sequence(0, 5),
-             b -> struct(b AS band, md5(concat(mhs[b*2], mhs[b*2+1])) AS bh)))""").as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    // ONE eager materialization for the whole pipeline: per-doc shingle set
+    // AND 12-seed minhash signature, both produced by narrow maps (the
+    // affine family needs one md5 per shingle; the per-seed minima fold via
+    // array_min — min is order-independent, so the result equals the
+    // oracle's naive per-(doc,shingle,seed) rows).
+    // localCheckpoint, not cache(): the band self-join and both Jaccard
+    // joins read it, and a lazy cache leaves join sides racing to
+    // materialize the same blocks (measured multi-second stalls).
+    val mhsExpr = MinhashA.zip(MinhashC).map { case (a, c) =>
+      s"array_min(transform(xs, x -> (${a}L * x + ${c}L) % ${MinhashP}L))"
+    }.mkString("array(", ", ", ")")
+    val ds = shingleSets(s, d)
+      .withColumn("xs", expr(
+        "transform(ss, t -> CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT))"))
+      .withColumn("mhs", expr(mhsExpr)).drop("xs")
       .localCheckpoint()
+    // band key straight from the signature array (b=6 bands × r=2): the
+    // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
+    // injective) — a numeric join key, no re-hash, no re-aggregation
+    // shuffle; ids only into the join.
+    val bands = ds.select(col("doc_id"), expr(
+      s"""explode(transform(sequence(0, 5),
+           b -> struct(b AS band,
+                       element_at(mhs, b*2 + 1) * ${MinhashP}L
+                         + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = cand
-      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-    inter
-      .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
-      .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+    // exact Jaccard: two hash joins back to the checkpointed sets, then a
+    // narrow array_intersect — no explode/groupBy over candidate shingles
+    cand
+      .join(ds.select(col("doc_id").as("d1"), col("ss").as("ss1"),
+        col("c").as("ca")), "d1")
+      .join(ds.select(col("doc_id").as("d2"), col("ss").as("ss2"),
+        col("c").as("cb")), "d2")
+      .withColumn("ic", size(array_intersect(col("ss1"), col("ss2"))))
       .select(col("d1"), col("d2"),
         (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
       .filter(col("jac") >= 0.4)
   }
 
   /** The pair chain of the minhash oracle, shared by both oracles. */
-  private val minhashPairsSql =
-    shingleSql + ", " + minhashSigSql + """,
+  private val minhashPairsSql = {
+    val bandKeys = (0 until 6)
+      .map(b => s"mh${b * 2} * $MinhashP + mh${b * 2 + 1}")
+      .mkString("[", ", ", "]")
+    shingleSql + ", " + minhashSigSql + s""",
             bands AS (
-              SELECT doc_id, j // 2 AS band, md5(string_agg(mh, '' ORDER BY j)) AS bh
-              FROM sig GROUP BY doc_id, j // 2),
+              SELECT doc_id, b AS band, $bandKeys[b + 1] AS bh
+              FROM sig, generate_series(0, 5) g(b)),""" + """
             cand AS (
               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
               FROM bands a JOIN bands b
@@ -170,6 +192,7 @@ object LlmOps {
               JOIN cnt ca ON ca.doc_id = d1
               JOIN cnt cb ON cb.doc_id = d2
               WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4)"""
+  }
 
   val all: Seq[(String, Q, Option[String])] = Seq(
 
@@ -366,22 +389,27 @@ object LlmOps {
     // way to bound candidate generation without MinHash).
     ("llm_ngram_jaccard",
       (s, d) => {
-        // eager single materialization — sh feeds 5 downstream branches
-        val sh = shingles(s, d).localCheckpoint()
-        val rare = sh.groupBy("s").agg(count(lit(1)).as("f"))
-          .filter(col("f").between(2, 4)).select("s")
-        val cand = sh.join(rare, "s").as("a")
-          .join(sh.join(rare, "s").as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        val inter = cand
-          .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-        inter
-          .join(cnt.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
-          .join(cnt.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+        // eager single materialization — every downstream branch reads it
+        val ds = shingleSets(s, d).localCheckpoint()
+        // rare-shingle inverted index: shingles appearing in 2..4 docs.
+        // Each bucket expands to at most C(4,2)=6 candidate pairs inside
+        // the aggregate row — provably bounded, so the classic self-join
+        // (and its second shuffle) is unnecessary here.
+        val cand = ds.select(col("doc_id"), explode(col("ss")).as("s"))
+          .groupBy("s").agg(collect_set(col("doc_id")).as("dset"))
+          .filter(size(col("dset")).between(2, 4))
+          .select(explode(expr(
+            """flatten(transform(dset,
+                 a -> filter(transform(dset, b -> struct(a AS d1, b AS d2)),
+                             p -> p.d1 < p.d2)))""")).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+        // exact Jaccard via two hash joins + narrow array_intersect
+        cand
+          .join(ds.select(col("doc_id").as("d1"), col("ss").as("ss1"),
+            col("c").as("ca")), "d1")
+          .join(ds.select(col("doc_id").as("d2"), col("ss").as("ss2"),
+            col("c").as("cb")), "d2")
+          .withColumn("ic", size(array_intersect(col("ss1"), col("ss2"))))
           .select(col("d1"), col("d2"),
             (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
           .filter(col("jac") >= 0.3)
