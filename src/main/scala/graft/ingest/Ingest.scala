@@ -66,6 +66,221 @@ object Ingest {
     spark.read.schema(schema).option("sep", sep).csv(lines)
   }
 
+  /** S2 — real xlsx sheet codec, JDK-only (an xlsx IS a zip of XML parts:
+    * workbook.xml names the sheets, workbook.xml.rels maps them to
+    * worksheets/sheetN.xml, sharedStrings.xml holds the string table).
+    * Mirrors the reference's sheet read + dynamic header flow
+    * (_descargador_i90.py:197-304) without a spreadsheet library: StAX
+    * streaming parse, one task per workbook, fully distributed across
+    * files. Emits (sheet, row_idx, cells array<string>); `sheetToWide`
+    * turns a sheet into a header-named wide table for the melt flow.
+    */
+  def readXlsx(spark: SparkSession, path: String,
+      sheetPattern: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => parseXlsxBytes(bytes, sheetPattern))
+      .toDF("sheet", "row_idx", "cells")
+  }
+
+  /** S2 — the reference's actual shape: a daily zip ARCHIVE containing the
+    * workbook (_descargador_i90.py:77-196). Outer zip entry filter, then
+    * the same xlsx codec on the embedded workbook bytes.
+    */
+  def readZippedXlsx(spark: SparkSession, path: String, entryPattern: String,
+      sheetPattern: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { outer =>
+        val re = entryPattern.r
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(outer))
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int, Seq[String])]()
+        var e = zis.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && re.findFirstIn(e.getName).isDefined)
+            out ++= parseXlsxBytes(zis.readAllBytes(), sheetPattern)
+          e = zis.getNextEntry
+        }
+        out.toSeq
+      }
+      .toDF("sheet", "row_idx", "cells")
+  }
+
+  /** Dynamic-header projection: the row at `headerRowIdx` names the
+    * columns (pandas `read_excel(header=n)`); later rows become data. The
+    * header is a single driver-side row — the same place schema inference
+    * lives for every Spark source.
+    */
+  def sheetToWide(sheetRows: DataFrame, headerRowIdx: Int): DataFrame = {
+    val header = sheetRows.filter(col("row_idx") === headerRowIdx)
+      .select("cells").head().getSeq[String](0)
+    val data = sheetRows.filter(col("row_idx") > headerRowIdx)
+    header.zipWithIndex.foldLeft(
+      // try_element_at: rows may be shorter than the header (trailing
+      // blank cells are not emitted) — NULL there, never an ANSI error
+      data.select(col("row_idx") +: header.indices.map(i =>
+        expr(s"try_element_at(cells, ${i + 1})").as(s"__c$i")): _*)) {
+      case (df, (name, i)) => df.withColumnRenamed(s"__c$i", name)
+    }.drop("row_idx")
+  }
+
+  /** One workbook → (sheet, 0-based row index, dense cell strings). Cells
+    * resolve through the shared-string table; rich-text runs concatenate
+    * their <t> pieces; missing cells inside a row pad to "".
+    */
+  private[ingest] def parseXlsxBytes(bytes: Array[Byte],
+      sheetPattern: String): Seq[(String, Int, Seq[String])] = {
+    val re = sheetPattern.r
+    // slurp the parts we need (zip entry order is arbitrary — sheets can
+    // precede sharedStrings, so parse after collecting)
+    val parts = scala.collection.mutable.Map[String, Array[Byte]]()
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) parts(e.getName) = zis.readAllBytes()
+      e = zis.getNextEntry
+    }
+    val fac = javax.xml.stream.XMLInputFactory.newInstance()
+    fac.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    fac.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      false)
+    def reader(name: String) =
+      fac.createXMLStreamReader(new java.io.ByteArrayInputStream(parts(name)))
+
+    // shared strings: one entry per <si>, concatenating its <t> runs
+    val sst: IndexedSeq[String] =
+      if (!parts.contains("xl/sharedStrings.xml")) IndexedSeq.empty
+      else {
+        val r = reader("xl/sharedStrings.xml")
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        var inT = false
+        while (r.hasNext) {
+          r.next() match {
+            case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "si" => cur.clear()
+                case "t"  => inT = true
+                case _    => ()
+              }
+            case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
+              if (inT) cur.append(r.getText)
+            case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "si" => acc += cur.toString
+                case "t"  => inT = false
+                case _    => ()
+              }
+            case _ => ()
+          }
+        }
+        acc.toIndexedSeq
+      }
+
+    // workbook: sheet name → relationship id
+    val sheets: Seq[(String, String)] = {
+      val r = reader("xl/workbook.xml")
+      val acc = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          // r:id is namespaced; match by local name
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue).orNull
+          if (name != null && rid != null) acc += ((name, rid))
+        }
+      }
+      acc.toSeq
+    }
+
+    // rels: relationship id → worksheet part path
+    val rels: Map[String, String] = {
+      val r = reader("xl/_rels/workbook.xml.rels")
+      val acc = scala.collection.mutable.Map[String, String]()
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val tgt = r.getAttributeValue(null, "Target")
+          if (id != null && tgt != null)
+            acc(id) = if (tgt.startsWith("/")) tgt.drop(1) else s"xl/$tgt"
+        }
+      }
+      acc.toMap
+    }
+
+    // "B7" → 0-based column index 1
+    def colIndex(ref: String): Int = {
+      val letters = ref.takeWhile(_.isLetter)
+      letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+    }
+
+    sheets.collect { case (name, rid) if re.findFirstIn(name).isDefined =>
+      val part = rels.getOrElse(rid,
+        throw new IllegalStateException(s"xlsx: no part for sheet $name"))
+      val r = reader(part)
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Seq[String])]()
+      val cells = scala.collection.mutable.ArrayBuffer[String]()
+      var rowIdx = -1; var nextSeqRow = 0
+      var cellCol = -1; var nextSeqCol = 0
+      var cellType = ""; var inV = false; var inIsT = false
+      val v = new StringBuilder
+      def put(colI: Int, value: String): Unit = {
+        while (cells.size < colI) cells += ""
+        if (cells.size == colI) cells += value else cells(colI) = value
+      }
+      def flushCell(): Unit = {
+        val raw = v.toString
+        val value = cellType match {
+          case "s" if raw.trim.nonEmpty => sst.lift(raw.trim.toInt).getOrElse("")
+          case "s" => ""
+          case _   => raw
+        }
+        put(cellCol, value)
+        nextSeqCol = cellCol + 1
+      }
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                val ra = r.getAttributeValue(null, "r")
+                rowIdx = if (ra != null) ra.toInt - 1 else nextSeqRow
+                cells.clear(); nextSeqCol = 0
+              case "c" =>
+                val ref = r.getAttributeValue(null, "r")
+                cellCol = if (ref != null) colIndex(ref) else nextSeqCol
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                v.clear()
+              case "v"  => inV = true
+              case "t"  => if (cellType == "inlineStr") inIsT = true
+              case _    => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
+            if (inV || inIsT) v.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v"   => inV = false
+              case "t"   => inIsT = false
+              case "c"   => flushCell()
+              case "row" =>
+                rows += ((name, rowIdx, cells.toSeq))
+                nextSeqRow = rowIdx + 1
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      rows.toSeq
+    }.flatten
+  }
+
   /** S4 — OMIE CSV dialect scan: `;` separator, latin-1 encoding, two
     * header/preamble lines to skip, European decimals in value columns.
     * ref: _descargador_omie.py:207-330

@@ -74,4 +74,95 @@ class IngestSpec extends SparkSpec {
     assert(rows.sameElements(Array(
       ("UP1", "Subir", 10.5), ("UP2", "Bajar", 3.0), ("UP3", "Subir", 7.25))))
   }
+
+  /** A minimal REAL xlsx: zip of OOXML parts — workbook + rels + shared
+    * strings (incl. a rich-text run) + two sheets exercising shared,
+    * inline-string, numeric and sparse cells.
+    */
+  private def xlsxBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val mainNs = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?>
+         |<workbook xmlns="$mainNs" xmlns:r="$rNs"><sheets>
+         |<sheet name="I90DIA01" sheetId="1" r:id="rId1"/>
+         |<sheet name="Resumen" sheetId="2" r:id="rId2"/>
+         |</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    // si[0] plain, si[1] rich-text runs concatenating to "Unidad de Programación"
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst><si><t>UP7</t></si>
+        |<si><r><t>Unidad de </t></r><r><t>Programación</t></r></si></sst>"""
+        .stripMargin)
+    // header row + 2 data rows; row 3 leaves B empty (sparse C-only cell)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>1</v></c>
+        |  <c r="B1" t="inlineStr"><is><t>00-01</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>01-02</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2"><v>42.5</v></c>
+        |  <c r="C2"><v>7</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>UP9</t></is></c>
+        |  <c r="C3"><v>3.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>nope</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("S2 xlsx codec: real workbook, sheet filter, shared/inline/sparse cells") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/I90DIA_20240101.xlsx"), xlsxBytes)
+    val df = Ingest.readXlsx(spark, dir, "^I90DIA")
+    val rows = df.orderBy("row_idx")
+      .as[(String, Int, Seq[String])].collect()
+    assert(rows.map(_._1).forall(_ == "I90DIA01")) // Resumen filtered out
+    assert(rows(0) == (("I90DIA01", 0,
+      Seq("Unidad de Programación", "00-01", "01-02"))))
+    assert(rows(1) == (("I90DIA01", 1, Seq("UP7", "42.5", "7"))))
+    assert(rows(2) == (("I90DIA01", 2, Seq("UP9", "", "3.25")))) // B3 padded
+  }
+
+  test("S2 zipped xlsx → dynamic header → melt: the reference's I90 flow") {
+    val dir = tmpDir()
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/I90DIA_20240101.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("I90DIA_20240101.xls"))
+    zos.write(xlsxBytes); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("leeme.txt"))
+    zos.write("noise".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val sheets = Ingest.readZippedXlsx(spark, dir, "\\.xls$", "^I90DIA")
+    val wide = Ingest.sheetToWide(sheets, headerRowIdx = 0)
+    assert(wide.columns.sameElements(
+      Array("Unidad de Programación", "00-01", "01-02")))
+    // try_cast: padded blank cells must become NULL (for melt's dropna),
+    // not an ANSI cast error
+    val long = Ingest.melt(
+      wide.withColumn("00-01", expr("try_cast(`00-01` AS DOUBLE)"))
+        .withColumn("01-02", expr("try_cast(`01-02` AS DOUBLE)")),
+      Seq("Unidad de Programación"), Seq("00-01", "01-02"))
+    val got = long.orderBy("Unidad de Programación", "hora")
+      .as[(String, String, Double)].collect()
+    assert(got.sameElements(Array(
+      ("UP7", "00-01", 42.5), ("UP7", "01-02", 7.0), ("UP9", "01-02", 3.25))))
+  }
 }
