@@ -43,13 +43,18 @@ object Lake {
   /** Idempotent upsert into the partitioned lake. `dedupKeys` empty ⇒
     * append-only (the `continuo`/MIC rule, processed_file_utils.py:65-67).
     */
-  /** Physical parquet layout matching the reference's writer settings
-    * (processed_file_utils.py:25,349-357): zstd, 122880-row row groups,
-    * data-page v2 with 64 KiB pages.
+  /** Physical parquet layout approximating the reference's writer settings
+    * (processed_file_utils.py:25,349-357): zstd + data-page v2 with 64 KiB
+    * pages are exact; the reference's row_group_size=122880 ROWS has no
+    * Spark equivalent — parquet.block.size is BYTES — so 16 MiB targets
+    * ~122880 rows at ~128 B/encoded row for these narrow fact schemas.
+    * Wider rows get proportionally fewer rows per group, which is the right
+    * scaling for scan memory anyway; the 16 MiB floor keeps groups large
+    * enough that footer metadata stays negligible.
     */
   private def layout[T](w: org.apache.spark.sql.DataFrameWriter[T]) = w
     .option("compression", "zstd")
-    .option("parquet.block.size", 122880L * 64) // ~row_group_size=122880 rows
+    .option("parquet.block.size", 16L * 1024 * 1024)
     .option("parquet.writer.version", "PARQUET_2_0")
     .option("parquet.page.size", 64 * 1024)
 

@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Replication guard: an interval may explode to at most this many
+    * buckets (well under sequence()'s array-size ceiling).
+    */
+  val MaxBucketsPerInterval = 100000L
+
   def byContainment(facts: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long): DataFrame = {
@@ -32,8 +37,24 @@ object RangeJoin {
     def bucket(c: org.apache.spark.sql.Column) =
       ((unix_micros(c) - pmod(unix_micros(c), bs)) / bs).cast("long")
     val fb = facts.withColumn("__b", bucket(col(tsCol)))
-    val ib = intervals.withColumn("__b", explode(sequence(
-      bucket(col(startCol)), bucket(col(endCol)))))
+    // Fail loudly on bad interval data: an inverted interval would make
+    // sequence() infer a NEGATIVE step and silently explode a descending
+    // garbage bucket list that only dies at the final range filter, and a
+    // pathologically long interval with a small bucketSeconds would exceed
+    // sequence's array-length limit deep inside a shuffle.
+    val checkedStart = when(col(startCol) <= col(endCol), col(startCol))
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: inverted interval $startCol > $endCol at $startCol="),
+        col(startCol).cast("string"))))
+    val checkedEnd = when(
+        bucket(col(endCol)) - bucket(col(startCol)) <= MaxBucketsPerInterval,
+        col(endCol))
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: interval spans >$MaxBucketsPerInterval buckets at " +
+          s"$startCol="),
+        col(startCol).cast("string"), lit(" - raise bucketSeconds"))))
+    val ib = intervals.withColumn("__b",
+      explode(sequence(bucket(checkedStart), bucket(checkedEnd))))
     fb.join(ib, Seq(key, "__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")

@@ -66,9 +66,13 @@ object MarketFilters {
   def mapLookupStrict(df: DataFrame, keyCol: String,
       mapping: Map[String, Int]): DataFrame = {
     val looked = element_at(typedLit(mapping), col(keyCol))
+    // coalesce the key inside the message: concat(lit, NULL) is NULL, and a
+    // NULL-keyed row would otherwise raise with a null message — losing the
+    // diagnostic this gate exists to provide
     df.withColumn("id_mercado",
       when(looked.isNull, raise_error(
-        concat(lit(s"unmapped $keyCol: "), col(keyCol))))
+        concat(lit(s"unmapped $keyCol: "),
+          coalesce(col(keyCol), lit("<null>")))))
         .otherwise(looked).cast(ByteType))
   }
 
