@@ -285,22 +285,23 @@ object Ingest {
     * header/preamble lines to skip, European decimals in value columns.
     * ref: _descargador_omie.py:207-330
     *
-    * Spark's CSV reader has no per-file skip-rows option, so each file is
-    * read whole (`wholetext` — the source CSVs are daily files of a few
-    * hundred KB; one task per file, still fully distributed across files),
-    * the preamble sliced off declaratively, and the body handed to the
-    * schema'd CSV parser.
+    * Spark's CSV reader has no per-file skip-rows option, and the `text`
+    * source silently IGNORES an encoding option (it decodes UTF-8 only —
+    * latin-1 "España" came back mojibake'd; caught by the s4_eu_csv
+    * DuckDB oracle). So each file is read as bytes (`binaryFile` — the
+    * source CSVs are daily files of a few hundred KB; one task per file,
+    * still fully distributed across files), decoded with the real charset,
+    * the preamble dropped, and the body handed to the schema'd CSV parser.
     */
   def readOmieCsv(spark: SparkSession, path: String, schema: StructType,
-      skipLines: Int = 2): DataFrame = {
+      skipLines: Int = 2, encoding: String = "ISO-8859-1"): DataFrame = {
     import spark.implicits._
-    val files = spark.read
-      .option("wholetext", "true").option("encoding", "ISO-8859-1").text(path)
-    val body: Dataset[String] = files
-      .select(explode(slice(split(col("value"), "\r?\n"),
-        skipLines + 1, Int.MaxValue)).as("line"))
-      .filter(length(trim(col("line"))) > 0)
-      .as[String]
+    val body: Dataset[String] = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        new String(bytes, encoding).split("\r?\n").iterator
+          .drop(skipLines).filter(_.trim.nonEmpty)
+      }
     spark.read.schema(schema).option("sep", ";").csv(body)
   }
 }

@@ -18,15 +18,76 @@ object Pipelines {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** ESIOS e2e. The raw fixture is derived deterministically from `events`:
-    * hour-truncated timestamps, indicator cycling over three mapped ids,
-    * mixed hourly/quarter granularity, and an occasional foreign geo (to
-    * exercise the F2 conditional filter). `precio` is a pure function of
-    * (hour, indicator) so rows that collide on the lake dedup key carry
-    * identical values — keep-last stays deterministic regardless of which
-    * physical row survives.
+  /** S4 fixture content — OMIE dialect: ';' separator, two preamble lines,
+    * EU decimals ("1.234,56"), non-ASCII unit names, one NULL energy cell.
+    * Deterministic, so concurrent writers always produce identical bytes.
     */
+  private val s4Content: String = {
+    val rows = (0 until 60).map { i =>
+      val unit = s"Unidad Energía España ${i % 7}"
+      val tipo = if (i % 2 == 0) "Compra" else "Venta"
+      val v = 1000 + i * 137
+      val energia =
+        if (i % 11 == 10) ""
+        else f"${v / 1000}%d.${v % 1000}%03d,${i % 100}%02d"
+      s"$unit;$tipo;$energia"
+    }
+    // both preamble lines non-empty: DuckDB's reader drops blank lines
+    // BEFORE applying skip=N, so a blank second line would desynchronize
+    // the two engines' skip counts
+    "OMIE - mercado diario: título;;\nUnidad;Tipo;Energía\n" +
+      rows.mkString("\n") + "\n"
+  }
+
+  private def writeAtomic(path: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      path.getParent, "graft_s4_", ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def tmpDir = System.getProperty("java.io.tmpdir")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // S4 — the OMIE CSV dialect read, oracled DIRECTLY against DuckDB's
+    // read_csv on the same fixture (VERDICT r5 item 6). The lambda writes
+    // the fixture twice: latin-1 bytes for the Spark read (the dialect
+    // under test) and a UTF-8 twin for the oracle — same code points, so a
+    // misdecoded latin-1 read still hash-fails. Atomic move: concurrent
+    // driver processes rewrite identical bytes, and a reader can never see
+    // a torn file. ref: _descargador_omie.py:207-330
+    ("s4_eu_csv",
+      (s, _) => {
+        val p = java.nio.file.Paths.get(tmpDir, "graft_s4_fixture.csv")
+        writeAtomic(p, s4Content.getBytes("ISO-8859-1"))
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s4_fixture_utf8.csv"),
+          s4Content.getBytes("UTF-8"))
+        val schema = StructType(Seq(
+          StructField("unidad", StringType), StructField("tipo", StringType),
+          StructField("energia_raw", StringType)))
+        graft.ingest.Ingest.readOmieCsv(s, p.toString, schema, skipLines = 2)
+          .select(col("unidad"), col("tipo"),
+            graft.ingest.Ingest.parseEuropeanDecimal(col("energia_raw"))
+              .as("energia"))
+      },
+      Some(s"""SELECT unidad, tipo,
+                      CAST(replace(replace(energia_raw, '.', ''), ',', '.')
+                           AS DOUBLE) AS energia
+               FROM read_csv('$tmpDir/graft_s4_fixture_utf8.csv', delim=';',
+                             skip=2, header=false,
+                             columns={'unidad':'VARCHAR','tipo':'VARCHAR',
+                                      'energia_raw':'VARCHAR'})""")),
+
+    // ESIOS e2e. The raw fixture is derived deterministically from `events`:
+    // hour-truncated timestamps, indicator cycling over three mapped ids,
+    // mixed hourly/quarter granularity, and an occasional foreign geo (to
+    // exercise the F2 conditional filter). `precio` is a pure function of
+    // (hour, indicator) so rows that collide on the lake dedup key carry
+    // identical values — keep-last stays deterministic regardless of which
+    // physical row survives.
     ("pipeline_esios_e2e",
       (s, d) => {
         val h = date_trunc("hour", col("ts"))
@@ -168,6 +229,85 @@ object Pipelines {
                        AS datetime_utc,
                      up, volumenes, CAST(id_mercado AS INTEGER) AS id_mercado
               FROM timed""")),
+
+    // OMIE diario e2e (VERDICT r5 item 4): the F9 empty-row clean → EU
+    // decimal parse → F8 matched filter + sign → W6 hour-index Madrid
+    // kernel → A1 roll-up chain, THEN through the lake (upsert → pruned
+    // typed read) — the composition the per-operator oracles never see.
+    // Same driver-proofing rules as the MIC query: 2022 dates, dyadic
+    // quarter-fraction decimals (exact in float32), per-invocation UUID
+    // lake path. ref: _procesador_omie.py:821-831, data_lake_loader.py:84-140.
+    ("pipeline_omie_diario_e2e",
+      (s, d) => {
+        val o = orders(s, d).filter(col("o_orderkey") % 15 === 0)
+        val nullPair = col("o_orderkey") % 31 === 0 // F9 fodder: both-null rows
+        val fix = o.select(
+          when(nullPair, lit(null).cast(DateType))
+            .otherwise(date_add(lit("2022-01-01").cast(DateType),
+              (col("o_orderkey") % 365).cast(IntegerType))).as("Fecha"),
+          when(nullPair, lit(null).cast(StringType))
+            .otherwise(concat(lit("UOF"), (col("o_custkey") % 60).cast(StringType)))
+            .as("Unidad"),
+          concat((col("o_orderkey") % 400).cast(StringType), lit(","),
+            lpad((col("o_custkey") % 4 * 25).cast(StringType), 2, "0"))
+            .as("Energía Compra/Venta"),
+          when(col("o_custkey") % 5 === 0, "O").otherwise("C")
+            .as("Ofertada (O)/Casada (C)"),
+          when(col("o_custkey") % 2 === 0, "C").otherwise("V").as("Tipo Oferta"),
+          (col("o_orderkey") % 24 + 1).cast(IntegerType).as("Hora"))
+        val out = graft.transform.OmieTransform
+          .transform(fix, idMercado = 1, quarterHourly = false)
+          .withColumn("batch_id", lit(1L))
+        val path = s"$tmpDir/graft_e2e_omie_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Lake.upsert(s, out, path, "diario", Seq("datetime_utc", "uof"),
+          "batch_id")
+        val res = Lake.read(s, path, Some("diario"))
+          .select(col("datetime_utc"), col("uof"),
+            col("volumenes").cast(DoubleType).as("volumenes"),
+            col("id_mercado").cast(IntegerType).as("id_mercado"))
+          .localCheckpoint() // eager: materialize before the temp lake goes away
+        fs.delete(hp, true)
+        res
+      },
+      Some("""WITH fix AS (
+                SELECT CASE WHEN o_orderkey % 31 = 0 THEN NULL
+                            ELSE DATE '2022-01-01'
+                                 + to_days(CAST(o_orderkey % 365 AS INTEGER))
+                       END AS fecha,
+                       CASE WHEN o_orderkey % 31 = 0 THEN NULL
+                            ELSE concat('UOF', CAST(o_custkey % 60 AS VARCHAR))
+                       END AS unidad,
+                       concat(CAST(o_orderkey % 400 AS VARCHAR), ',',
+                              lpad(CAST(o_custkey % 4 * 25 AS VARCHAR), 2, '0'))
+                         AS energia,
+                       CASE WHEN o_custkey % 5 = 0 THEN 'O' ELSE 'C' END AS casada,
+                       CASE WHEN o_custkey % 2 = 0 THEN 'C' ELSE 'V' END AS tipo,
+                       CAST(o_orderkey % 24 + 1 AS INTEGER) AS hora
+                FROM orders WHERE o_orderkey % 15 = 0),
+              clean AS (
+                SELECT * FROM fix
+                WHERE NOT (fecha IS NULL AND unidad IS NULL)),
+              signed AS (
+                SELECT fecha, unidad, hora,
+                       CASE WHEN tipo = 'C' THEN -vol ELSE vol END AS vol
+                FROM (SELECT *, CAST(replace(energia, ',', '.') AS DOUBLE) AS vol
+                      FROM clean) t
+                WHERE casada = 'C'),
+              timed AS (
+                SELECT unidad AS uof, vol,
+                       make_timestamp(
+                         epoch_us(timezone('Europe/Madrid',
+                                           CAST(fecha AS TIMESTAMP)))
+                         + (CAST(hora AS BIGINT) - 1) * 3600000000)
+                         AS datetime_utc
+                FROM signed)
+              SELECT datetime_utc, uof,
+                     CAST(CAST(SUM(vol) AS REAL) AS DOUBLE) AS volumenes,
+                     1 AS id_mercado
+              FROM timed GROUP BY datetime_utc, uof""")),
 
     // OMIE continuo (MIC) e2e: EU-decimal trade strings → contract-code
     // delivery datetime (W8 + W6 Madrid kernel) → per-side rows (sell +,

@@ -43,6 +43,16 @@ object MadridTime {
     rows.toDF("fecha", "transition_type", "quarters_in_day")
   }
 
+  /** The default W1 calendar: 1990-2050. Wide on purpose — the dim is
+    * ~22k rows (always broadcast-sized), so covering six decades costs
+    * nothing, while an under-sized range would silently null
+    * `transition_type` for out-of-range dates (the r5 advice finding;
+    * `I90Transform.standardizeDatetime` now also raises on any date that
+    * still falls outside).
+    */
+  def defaultCalendar(spark: SparkSession): DataFrame =
+    calendarDim(spark, 1990, 2050)
+
   /** Local Madrid midnight of `fecha` (a date or date-string column) on the
     * UTC axis — the anchor for all index arithmetic.
     */

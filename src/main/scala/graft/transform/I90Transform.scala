@@ -33,11 +33,18 @@ object I90Transform {
     val withCal = df.join(broadcast(calendar),
       df("fecha") === calendar("fecha"), "left")
       .drop(calendar("fecha"))
+    // a date outside the calendar range raises (folded into the published
+    // column like mapLookupStrict — zero extra jobs, pruning can't elide
+    // it); without this, out-of-range dates silently got a null
+    // transition_type and a wrong hour-label offset (r5 advice)
+    val tt = when(col("transition_type").isNull, raise_error(concat(
+        lit("date outside calendar dim: "),
+        coalesce(col("fecha").cast(StringType), lit("<null>")))))
+      .otherwise(col("transition_type"))
     withCal.withColumn("datetime_utc",
       when(col("granularity") === "Quince minutos",
         MadridTime.utcFromQuarterIndex(col("fecha"), col("hora").cast(IntegerType)))
-        .otherwise(MadridTime.utcFromHourLabel(col("fecha"), col("hora"),
-          col("transition_type"))))
+        .otherwise(MadridTime.utcFromHourLabel(col("fecha"), col("hora"), tt)))
       .drop("transition_type", "quarters_in_day")
   }
 
@@ -47,7 +54,7 @@ object I90Transform {
     val long = Ingest.pruneZeroValues(
       Ingest.melt(wide, idCols, hourCols, "hora", "volumenes"))
     val tagged = MarketFilters.filterSinglePass(long, legs, "Sentido", "Redespacho")
-    val cal = MadridTime.calendarDim(spark, 2020, 2030)
+    val cal = MadridTime.defaultCalendar(spark)
     val std = standardizeDatetime(tagged, cal)
     val fin = std
       .withColumnRenamed("Unidad de Programación", "up")
@@ -66,7 +73,7 @@ object I90Transform {
     val long = Ingest.melt(wide, idCols, hourCols, "hora", "precios")
       .filter(col("precios").isNotNull)
     val tagged = MarketFilters.filterSinglePass(long, legs, "Sentido", "Redespacho")
-    val cal = MadridTime.calendarDim(spark, 2020, 2030)
+    val cal = MadridTime.defaultCalendar(spark)
     val std = standardizeDatetime(tagged, cal)
     val fin = std
       .withColumn("precio", round(col("precios"), 2)) // price standardization

@@ -82,6 +82,28 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(_._1 == "UP3"))
   }
 
+  test("W1 calendar: 2031 dates resolve; far-out-of-range dates raise") {
+    def wideFor(fecha: String) = Seq(
+      ("UP1", fecha, "Subir", "Terciaria", "Hora", Some(10.0)))
+      .toDF("Unidad de Programación", "fecha_s", "Sentido", "Redespacho",
+        "granularity", "05-06")
+      .withColumn("fecha", col("fecha_s").cast("date")).drop("fecha_s")
+    def run(fecha: String) = I90Transform.transform(spark, wideFor(fecha),
+      Seq("Unidad de Programación", "fecha", "Sentido", "Redespacho",
+        "granularity"), Seq("05-06"))
+    // 2031 sat outside the old hardcoded 2020-2030 dim: its null
+    // transition_type silently fell through as a normal day; the widened
+    // default calendar covers it
+    val r31 = run("2031-06-01").select(col("datetime_utc").cast("string"))
+      .as[String].head()
+    assert(r31 == "2031-06-01 03:00:00") // CEST: local 05 = 03:00Z
+    // beyond the calendar the gate raises instead of silently mis-offsetting
+    val e = intercept[Exception] { run("2085-06-01").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("date outside calendar dim")))
+  }
+
   test("I90 precios variant: melt → filters → DST datetime → precios schema") {
     val wide = Seq(
       ("2024-10-27", "Subir", "Terciaria", "Hora", Some(50.555), Some(60.0)))
