@@ -50,7 +50,100 @@ object Pipelines {
 
   private def tmpDir = System.getProperty("java.io.tmpdir")
 
+  /** S2 fixture rows: (up, hora-col-1, hora-col-2); "" = absent cell in
+    * the sheet / empty CSV field in the twin. Decimal strings parse to
+    * identical doubles in both engines (string→double is exact-nearest).
+    */
+  private val s2SheetRows: Seq[(String, String, String)] =
+    (0 until 150).map { i =>
+      val up = s"UP${i % 30}"
+      val h1 = if (i % 7 == 3) ""
+        else s"${i * 13 % 400}.${"%02d".format(i % 4 * 25)}"
+      val h2 = if (i % 5 == 4) ""
+        else s"${i * 29 % 500}.${"%02d".format(i % 2 * 50)}"
+      (up, h1, h2)
+    }
+
+  /** A minimal real workbook holding the fixture sheet (inline-string id
+    * cells, numeric hour cells, absent cells for NULLs) plus a noise sheet
+    * the pattern filter must skip. Deterministic bytes.
+    */
+  private def s2XlsxBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook
+        | xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="I90DIA01" sheetId="1" r:id="rId1"/>
+        |<sheet name="Resumen" sheetId="2" r:id="rId2"/></sheets></workbook>"""
+        .stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships
+        | xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    def inline(ref: String, s: String) =
+      s"""<c r="$ref" t="inlineStr"><is><t>$s</t></is></c>"""
+    val header = s"""<row r="1">${inline("A1", "up")}${inline("B1", "00-01")}${
+        inline("C1", "01-02")}</row>"""
+    val body = s2SheetRows.zipWithIndex.map { case ((up, h1, h2), i) =>
+      val r = i + 2
+      val cells = new StringBuilder(inline(s"A$r", up))
+      if (h1.nonEmpty) cells ++= s"""<c r="B$r"><v>$h1</v></c>"""
+      if (h2.nonEmpty) cells ++= s"""<c r="C$r"><v>$h2</v></c>"""
+      s"""<row r="$r">$cells</row>"""
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$header$body</sheetData></worksheet>""")
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData><row r="1">
+        |<c r="A1" t="inlineStr"><is><t>nope</t></is></c></row></sheetData></worksheet>"""
+        .stripMargin)
+    zos.close()
+    bos.toByteArray
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // S2 — the real xlsx codec, oracled end to end: the lambda writes the
+    // deterministic workbook (read through zip+StAX, sheet filter, dynamic
+    // header, melt) and a CSV twin of the same sheet for DuckDB — same
+    // strings, same absent cells, so any codec misread hash-fails.
+    // ref: _descargador_i90.py:77-304
+    ("s2_xlsx_sheet",
+      (s, _) => {
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s2_fixture.xlsx"),
+          s2XlsxBytes)
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s2_fixture_twin.csv"),
+          ("up;00-01;01-02\n" + s2SheetRows
+            .map { case (u, h1, h2) => s"$u;$h1;$h2" }.mkString("\n") + "\n")
+            .getBytes("UTF-8"))
+        val sheets = graft.ingest.Ingest.readXlsx(s,
+          s"$tmpDir/graft_s2_fixture.xlsx", "^I90DIA")
+        val wide = graft.ingest.Ingest.sheetToWide(sheets, headerRowIdx = 0)
+        graft.ingest.Ingest.melt(
+          wide.withColumn("00-01", expr("try_cast(`00-01` AS DOUBLE)"))
+            .withColumn("01-02", expr("try_cast(`01-02` AS DOUBLE)")),
+          Seq("up"), Seq("00-01", "01-02"))
+      },
+      Some(s"""WITH wide AS (
+                 SELECT * FROM read_csv('$tmpDir/graft_s2_fixture_twin.csv',
+                                        delim=';', header=true,
+                                        all_varchar=true)),
+               long AS (
+                 SELECT up, '00-01' AS hora, CAST("00-01" AS DOUBLE) AS volumenes
+                 FROM wide WHERE "00-01" IS NOT NULL
+                 UNION ALL
+                 SELECT up, '01-02', CAST("01-02" AS DOUBLE)
+                 FROM wide WHERE "01-02" IS NOT NULL)
+               SELECT up, hora, volumenes FROM long""")),
+
 
     // S4 — the OMIE CSV dialect read, oracled DIRECTLY against DuckDB's
     // read_csv on the same fixture (VERDICT r5 item 6). The lambda writes
