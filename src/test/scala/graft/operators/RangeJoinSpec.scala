@@ -38,4 +38,34 @@ class RangeJoinSpec extends SparkSpec {
       "user_id", "ts", "start_ts", "end_ts", bucketSeconds = 60)
     assert(all.count() == all.distinct().count())
   }
+
+  test("inverted intervals fail loudly, not as a silent garbage explode") {
+    val intervals = Seq(
+      (200L, 1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00"))) // end < start
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val facts = Seq((1L, 1L, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val e = intercept[Exception] {
+      RangeJoin.byContainment(facts, intervals,
+        "user_id", "ts", "start_ts", "end_ts", bucketSeconds = 600).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("inverted interval")))
+  }
+
+  test("pathologically long intervals hit the bucket cap instead of sequence()'s limit") {
+    val intervals = Seq( // ~3 years at 1-second buckets ≈ 10^8 buckets
+      (300L, 1L, ts("2024-01-01 00:00:00"), ts("2027-01-01 00:00:00")))
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val facts = Seq((1L, 1L, ts("2024-06-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val e = intercept[Exception] {
+      RangeJoin.byContainment(facts, intervals,
+        "user_id", "ts", "start_ts", "end_ts", bucketSeconds = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("buckets")))
+  }
 }
