@@ -214,36 +214,79 @@ object Similarity {
     * candidate generation is a shuffle on centroid id, cost ∝ probed-list
     * sizes. Deterministic seed; centroids are a broadcast-sized dim.
     */
+  /** Plain Lloyd's iterations over a driver-held sample (the IVF coarse
+    * quantizer). Deterministic: first-k init, fixed iteration count; an
+    * emptied cluster keeps its previous centroid.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "ivfTopK: empty training sample")
+    val dim = pts.head.length
+    var cents = Array.tabulate(k)(i => pts(i % pts.length).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = p(i) - cents(j)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k) { j =>
+        if (cnts(j) == 0) cents(j)
+        else sums(j).map(_ / cnts(j))
+      }
+    }
+    cents
+  }
+
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       nLists: Int = 16, nProbe: Int = 3, k: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .withColumn("feat", array_to_vector(col("v")))
-      .localCheckpoint() // eager: k-means iterates over it, then transform
-    // maxIter 8 + random init: the coarse quantizer only partitions space —
-    // recall comes from nProbe probing, so quantizer quality past a few
-    // iterations buys nothing, and k-means|| initialization costs several
-    // extra distributed passes over the data (default 20 iterations ≈ 20
-    // scheduled jobs of overhead on top)
-    val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(8)
-      .setInitMode("random")
-      .setFeaturesCol("feat").setPredictionCol("list_id").fit(e)
-    val assigned = km.transform(e).drop("feat")
-    // centroid table (tiny) — each query ranks centroids and probes nProbe
-    val centroids = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .localCheckpoint() // eager: sample, assignment and scoring read it
+    // FAISS-style quantizer training: Lloyd's on a BOUNDED sample (≤64
+    // vectors per list), driver-side. The sample size is independent of
+    // |data|, so the 100 TB path trains identically — only assignment and
+    // scoring scan the full table, and assignment is a narrow map against
+    // broadcast literal centroids (no ML pipeline, no extra jobs).
+    // Deterministic: hash-ordered sample, first-k init, fixed iterations.
+    val sample = e.select(col("v"), xxhash64(col("vec_id")).as("hx"))
+      .orderBy("hx").limit(nLists * 64)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(sample, nLists, iters = 8).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // full-table assignment: argmin Euclidean distance over the literal
+    // centroid array, evaluated as one fold per row — ||v−c||² ordering
+    // equals (||c||² − 2·v·c) ordering, ||v||² being row-constant
+    val cl = typedLit(centroids.map(_._2))
+    val cn2 = typedLit(centroids.map { case (_, c) =>
+      c.map(x => x * x).sum })
+    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
+        named_struct('i', -1, 'd', cast('Infinity' as double)),
+        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
+          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
+          ELSE acc END).i""")
+    val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
+      .withColumn("list_id", assign).drop("cl", "cn2")
+    // each query ranks the (tiny, broadcast) centroid dim and probes nProbe
     val cdf = centroids.toDF("c_id", "c_vec")
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(cdf))
-      .withColumn("cd", expr("vec_dot(qv, c_vec)"))
+      .withColumn("d2", expr("aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)"))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cd").desc, col("c_id"))))
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("c_id"))))
       .filter(col("rnk") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("c_id").as("list_id"))
     val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),

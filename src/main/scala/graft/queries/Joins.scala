@@ -15,10 +15,17 @@ object Joins {
 
   /** Per-entity daily-profile hash: groupBy(entity, day) exact sum, format
     * each (day, sum) pair as a canonical string, md5 the sorted join.
+    * The up-front repartition on the entity key alone is deliberate: its
+    * HashPartitioning satisfies the ClusteredDistribution of BOTH the
+    * (entity, day) and the entity aggregation, so the whole two-level
+    * pipeline runs on ONE shuffle — and because (entity, day) is nearly a
+    * key of lineitem (~0.9 groups/row), map-side partial aggregation had
+    * nothing to combine anyway.
     * ref: vinculacion/_linking_algorithm.py:175-280
     */
   private def profileHashes(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_shipdate").cast(DateType).as("dia"))
       .agg(sum(dec2(col("l_quantity"))).as("v"))
       .select(col("l_suppkey"),
@@ -82,13 +89,16 @@ object Joins {
     // ref: _linking_algorithm.py:332-378
     ("j3_profile_hash_match",
       (s, d) => {
-        // eager materialization: h (one row per supplier) feeds both sides
-        // of the self-join — without it the whole two-shuffle lineitem
-        // aggregation pipeline executes twice
-        val h = profileHashes(s, d).localCheckpoint()
-        val a = h.select(col("l_suppkey").as("up"), col("h"))
-        val b = h.select(col("l_suppkey").as("uof"), col("h"))
-        a.join(b, "h").select("up", "uof", "h")
+        // a self-join on h would evaluate the whole aggregation pipeline
+        // twice (or force an eager checkpoint); instead group the hashes
+        // once and emit every within-group pair with two explodes —
+        // identical semantics, single lineage, one extra ~|entities|-row
+        // shuffle on h
+        profileHashes(s, d)
+          .groupBy("h").agg(collect_list(col("l_suppkey")).as("ks"))
+          .select(col("h"), explode(col("ks")).as("up"), col("ks"))
+          .select(col("up"), explode(col("ks")).as("uof"), col("h"))
+          .select("up", "uof", "h")
       },
       Some(profileHashSql +
         """ SELECT a.l_suppkey AS up, b.l_suppkey AS uof, a.h AS h
