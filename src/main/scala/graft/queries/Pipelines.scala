@@ -475,6 +475,67 @@ object Pipelines {
                      CAST(precio AS DOUBLE) AS precio,
                      21 AS id_mercado,
                      CAST(datetime_utc AS DATE) AS fecha_fichero
-              FROM sides"""))
+              FROM sides""")),
+
+    // S5/S6 — the append-only raw-sink rule (MIC/continuo datasets:
+    // dedupKeys empty ⇒ duplicates are DATA, never merged), proved end to
+    // end: two OVERLAPPING deterministic batches are appended to a
+    // per-invocation temp lake and read back partition-typed — the rows
+    // appearing in both batches must come back twice, and year/month/
+    // id_mercado must survive the directory-partition round trip. Oracled
+    // as the UNION ALL of both batch selections.
+    // ref: utilidades/processed_file_utils.py:65-67 (the append rule),
+    // raw_file_utils.py write path. Follows the e2e driver-proofing rules
+    // (UUID path, 2020s dates, dyadic doubles, eager checkpoint).
+    ("s5_append_e2e",
+      (s, d) => {
+        val src = orders(s, d).filter(col("o_orderkey") % 199 === 0)
+          .select(
+            date_add(lit("2024-01-01").cast(DateType),
+              (col("o_orderkey") % 120).cast(IntegerType))
+              .cast(TimestampType).as("datetime_utc"),
+            (col("o_orderkey") % 3 + 21).cast(IntegerType).as("id_mercado"),
+            concat(lit("UOF"), (col("o_orderkey") % 50).cast(StringType))
+              .as("uof"),
+            ((col("o_orderkey") % 160).cast(DoubleType) / 4).as("volumenes"),
+            col("o_orderkey"))
+        val path = s"$tmpDir/graft_e2e_s5_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def batch(p: org.apache.spark.sql.Column) =
+          src.filter(p).drop("o_orderkey")
+        Lake.upsert(s, batch(col("o_orderkey") % 2 === 0), path, "continuo",
+          dedupKeys = Seq.empty, precedenceCol = "volumenes")
+        Lake.upsert(s, batch(col("o_orderkey") % 3 === 0), path, "continuo",
+          dedupKeys = Seq.empty, precedenceCol = "volumenes")
+        val res = Lake.read(s, path, Some("continuo"))
+          .select(col("datetime_utc"),
+            col("id_mercado").cast(IntegerType).as("id_mercado"),
+            col("uof"), col("volumenes"),
+            col("year").cast(IntegerType).as("year"),
+            col("month").cast(IntegerType).as("month"))
+          .localCheckpoint() // eager: materialize before the temp lake goes away
+        fs.delete(hp, true)
+        res
+      },
+      Some("""WITH src AS (
+                SELECT CAST(DATE '2024-01-01'
+                         + to_days(CAST(o_orderkey % 120 AS INTEGER))
+                         AS TIMESTAMP) AS datetime_utc,
+                       CAST(o_orderkey % 3 + 21 AS INTEGER) AS id_mercado,
+                       concat('UOF', CAST(o_orderkey % 50 AS VARCHAR)) AS uof,
+                       CAST(o_orderkey % 160 AS DOUBLE) / 4 AS volumenes,
+                       o_orderkey
+                FROM orders WHERE o_orderkey % 199 = 0)
+              SELECT datetime_utc, id_mercado, uof, volumenes,
+                     CAST(year(datetime_utc) AS INTEGER) AS year,
+                     CAST(month(datetime_utc) AS INTEGER) AS month
+              FROM src WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT datetime_utc, id_mercado, uof, volumenes,
+                     CAST(year(datetime_utc) AS INTEGER) AS year,
+                     CAST(month(datetime_utc) AS INTEGER) AS month
+              FROM src WHERE o_orderkey % 3 = 0"""))
   )
 }
