@@ -26,6 +26,11 @@ object Profile {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$n%-24s rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        // same per-rep hygiene as Bench: leaked caches AND localCheckpoint
+        // blocks would otherwise accumulate across reps and skew timings
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()

@@ -132,12 +132,20 @@ object LlmOps {
     // joins read it, and a lazy cache leaves join sides racing to
     // materialize the same blocks (measured multi-second stalls).
     val mhsExpr = MinhashA.zip(MinhashC).map { case (a, c) =>
-      s"array_min(transform(xs, x -> (${a}L * x + ${c}L) % ${MinhashP}L))"
+      s"array_min(transform(ms, m -> (${a}L * CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT) + ${c}L) % ${MinhashP}L))"
     }.mkString("array(", ", ", ")")
+    // ONE md5 per shingle; its first 7 hex chars feed the affine family and
+    // its first 15 (60 bits) become the verify key — the checkpoint then
+    // carries 8-byte longs instead of ~30-byte shingle strings, so the
+    // materialization AND both verify hash-joins move ~4x fewer bytes.
+    // The oracle mirrors the 60-bit mapping exactly (distinct-x counts),
+    // so a (never-observed) collision cannot diverge the gate.
     val ds = shingleSets(s, d)
-      .withColumn("xs", expr(
-        "transform(ss, t -> CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT))"))
-      .withColumn("mhs", expr(mhsExpr)).drop("xs")
+      .withColumn("ms", expr("transform(ss, t -> substr(md5(t), 1, 15))"))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(ms, m -> CAST(conv(m, 16, 10) AS BIGINT)))").as("hs"),
+        expr(mhsExpr).as("mhs"))
+      .withColumn("c", size(col("hs")))
       .localCheckpoint()
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
@@ -156,11 +164,11 @@ object LlmOps {
     // exact Jaccard: two hash joins back to the checkpointed sets, then a
     // narrow array_intersect — no explode/groupBy over candidate shingles
     cand
-      .join(ds.select(col("doc_id").as("d1"), col("ss").as("ss1"),
+      .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
         col("c").as("ca")), "d1")
-      .join(ds.select(col("doc_id").as("d2"), col("ss").as("ss2"),
+      .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"),
         col("c").as("cb")), "d2")
-      .withColumn("ic", size(array_intersect(col("ss1"), col("ss2"))))
+      .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
       .select(col("d1"), col("d2"),
         (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
       .filter(col("jac") >= 0.4)
@@ -179,12 +187,16 @@ object LlmOps {
               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            shh AS (SELECT DISTINCT doc_id,
+                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                             AS x
+                    FROM sh),
+            cnt AS (SELECT doc_id, count(*) AS c FROM shh GROUP BY 1),
             inter AS (
               SELECT cand.d1, cand.d2, count(*) AS ic
               FROM cand
-              JOIN sh s1 ON s1.doc_id = cand.d1
-              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
+              JOIN shh s1 ON s1.doc_id = cand.d1
+              JOIN shh s2 ON s2.doc_id = cand.d2 AND s1.x = s2.x
               GROUP BY 1, 2),
             pairs AS (
               SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
@@ -389,14 +401,22 @@ object LlmOps {
     // way to bound candidate generation without MinHash).
     ("llm_ngram_jaccard",
       (s, d) => {
-        // eager single materialization — every downstream branch reads it
-        val ds = shingleSets(s, d).localCheckpoint()
+        // eager single materialization — every downstream branch reads it.
+        // xs: 60-bit md5-prefix key per shingle (same engine-mirrorable
+        // mapping the minhash family uses) — the inverted-index shuffle
+        // moves 8-byte longs instead of ~30-byte shingle strings
+        val ds = shingleSets(s, d)
+          .withColumn("xs", expr(
+            "transform(ss, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+          .localCheckpoint()
         // rare-shingle inverted index: shingles appearing in 2..4 docs.
         // Each bucket expands to at most C(4,2)=6 candidate pairs inside
         // the aggregate row — provably bounded, so the classic self-join
-        // (and its second shuffle) is unnecessary here.
-        val cand = ds.select(col("doc_id"), explode(col("ss")).as("s"))
-          .groupBy("s").agg(collect_set(col("doc_id")).as("dset"))
+        // (and its second shuffle) is unnecessary here. Buckets are DISTINCT
+        // docs per key on both engines, so a (never-observed) 60-bit
+        // collision would still be mirrored exactly by the oracle.
+        val cand = ds.select(col("doc_id"), explode(col("xs")).as("x"))
+          .groupBy("x").agg(collect_set(col("doc_id")).as("dset"))
           .filter(size(col("dset")).between(2, 4))
           .select(explode(expr(
             """flatten(transform(dset,
@@ -415,13 +435,19 @@ object LlmOps {
           .filter(col("jac") >= 0.3)
       },
       Some("WITH " + shingleSql + """,
-            rare AS (SELECT s FROM (SELECT s, count(*) AS f FROM sh GROUP BY s)
+            shx AS (SELECT doc_id,
+                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                             AS x
+                    FROM sh),
+            rare AS (SELECT x
+                     FROM (SELECT x, count(DISTINCT doc_id) AS f
+                           FROM shx GROUP BY x)
                      WHERE f BETWEEN 2 AND 4),
             cand AS (
               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              FROM (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s) a
-              JOIN (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s) b
-                ON a.s = b.s AND a.doc_id < b.doc_id),
+              FROM (SELECT shx.doc_id, shx.x FROM shx JOIN rare ON shx.x = rare.x) a
+              JOIN (SELECT shx.doc_id, shx.x FROM shx JOIN rare ON shx.x = rare.x) b
+                ON a.x = b.x AND a.doc_id < b.doc_id),
             cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
             inter AS (
               SELECT cand.d1, cand.d2, count(*) AS ic
