@@ -17,29 +17,6 @@ object LlmOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-token shingle SET per document (docs with ≥3 tokens), as
-    * one `ss: array<string>` column plus its size `c` — computed entirely
-    * inside a narrow map (array_distinct replaces the old explode+distinct
-    * shuffle; `c` replaces a per-doc count aggregation; and downstream
-    * Jaccard becomes array_intersect on two set columns instead of a
-    * double explode-join-groupBy). element_at is 1-based, matching DuckDB
-    * list indexing.
-    */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      // the corpus lands as few large files; spread docs across the core
-      // budget BEFORE the shingle fan-out so the (per-row ~100x) array
-      // construction parallelizes instead of running on the file's
-      // partition count (a single task for a single-file corpus)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .filter(size(col("l")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, size(l) - 2),
-             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
-                            element_at(l, i + 2))))""").as("ss"))
-      .withColumn("c", size(col("ss")))
-
   private val shingleSql =
     """sh AS (
          SELECT DISTINCT doc_id, concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS s
@@ -119,34 +96,66 @@ object LlmOps {
                FROM t) x
          GROUP BY doc_id, j)"""
 
+  /** Shared per-doc shingle profile: the distinct 60-bit shingle codes
+    * `hs` (md5-prefix — the engine-mirrorable mapping), their count `c`,
+    * and the 12-seed affine minhash signature `mhs`, materialized ONCE
+    * (localCheckpoint) and consumed by the minhash, n-gram-Jaccard and
+    * clustering pipelines. Formulated as explode → md5/conv → groupBy:
+    * every per-shingle hash runs inside whole-stage CODEGEN, and the
+    * upstream repartition already hash-partitions by doc_id so the
+    * aggregation adds no exchange. The previous narrow-array formulation
+    * evaluated conv() inside 13 INTERPRETED lambda traversals per doc
+    * (one per affine seed plus the verify key) — measured 1.35 s of the
+    * minhash pipeline's 2.5 s at sf0.1. Shingle-instance duplicates need
+    * no array_distinct here: collect_set dedups `hs`, and a duplicate
+    * instance cannot change a per-seed min — exactly the oracle's
+    * DISTINCT-rows semantics.
+    * localCheckpoint, not cache(): several downstream joins read this, and
+    * a lazy cache leaves join sides racing to materialize the same blocks
+    * (measured multi-second stalls).
+    */
+  private def shingleProfile(s: SparkSession, d: String,
+      withSignature: Boolean = true): DataFrame = {
+    val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
+      // shiftright(x, 32) = the md5-prefix's top 28 bits
+      // = conv(substr(md5, 1, 7), 16, 10), the oracle's per-seed input;
+      // a·x28 < 2^59, no overflow
+      min(expr(s"(${a}L * shiftright(x, 32) + ${c}L) % ${MinhashP}L"))
+        .as(s"mh$j")
+    }
+    val base = documents(s, d)
+      // the corpus lands as few large files; spread docs across the core
+      // budget BEFORE the shingle fan-out so the (per-row ~50x) explode
+      // parallelizes instead of running on the file's partition count.
+      // The shingle string is built INSIDE the exploded projection (no
+      // transform lambda anywhere): explode(sequence) + concat_ws/md5/conv
+      // all stay in whole-stage codegen — measured 0.4 s faster than
+      // exploding an interpreted transform()'s output at sf0.1.
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), col("l"),
+        explode(expr("sequence(1, size(l) - 2)")).as("i"))
+      .select(col("doc_id"),
+        expr("""CAST(conv(substr(md5(concat_ws(' ', element_at(l, i),
+                element_at(l, i + 1), element_at(l, i + 2))), 1, 15), 16, 10)
+                AS BIGINT)""").as("x"))
+    val prof =
+      if (withSignature) base.groupBy("doc_id")
+        .agg(collect_set(col("x")).as("hs"), mins: _*)
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"),
+          array(MinhashA.indices.map(j => col(s"mh$j")): _*).as("mhs"))
+      else base.groupBy("doc_id")
+        .agg(collect_set(col("x")).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
+    prof.localCheckpoint()
+  }
+
   /** The full MinHash-LSH near-dup pair pipeline (shared by the pair query
     * and the clustering query).
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // ONE eager materialization for the whole pipeline: per-doc shingle set
-    // AND 12-seed minhash signature, both produced by narrow maps (the
-    // affine family needs one md5 per shingle; the per-seed minima fold via
-    // array_min — min is order-independent, so the result equals the
-    // oracle's naive per-(doc,shingle,seed) rows).
-    // localCheckpoint, not cache(): the band self-join and both Jaccard
-    // joins read it, and a lazy cache leaves join sides racing to
-    // materialize the same blocks (measured multi-second stalls).
-    val mhsExpr = MinhashA.zip(MinhashC).map { case (a, c) =>
-      s"array_min(transform(ms, m -> (${a}L * CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT) + ${c}L) % ${MinhashP}L))"
-    }.mkString("array(", ", ", ")")
-    // ONE md5 per shingle; its first 7 hex chars feed the affine family and
-    // its first 15 (60 bits) become the verify key — the checkpoint then
-    // carries 8-byte longs instead of ~30-byte shingle strings, so the
-    // materialization AND both verify hash-joins move ~4x fewer bytes.
-    // The oracle mirrors the 60-bit mapping exactly (distinct-x counts),
-    // so a (never-observed) collision cannot diverge the gate.
-    val ds = shingleSets(s, d)
-      .withColumn("ms", expr("transform(ss, t -> substr(md5(t), 1, 15))"))
-      .select(col("doc_id"),
-        expr("array_distinct(transform(ms, m -> CAST(conv(m, 16, 10) AS BIGINT)))").as("hs"),
-        expr(mhsExpr).as("mhs"))
-      .withColumn("c", size(col("hs")))
-      .localCheckpoint()
+    val ds = shingleProfile(s, d)
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
     // injective) — a numeric join key, no re-hash, no re-aggregation
@@ -401,46 +410,48 @@ object LlmOps {
     // way to bound candidate generation without MinHash).
     ("llm_ngram_jaccard",
       (s, d) => {
-        // eager single materialization — every downstream branch reads it.
-        // xs: 60-bit md5-prefix key per shingle (same engine-mirrorable
-        // mapping the minhash family uses) — the inverted-index shuffle
-        // moves 8-byte longs instead of ~30-byte shingle strings
-        val ds = shingleSets(s, d)
-          .withColumn("xs", expr(
-            "transform(ss, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
-          .localCheckpoint()
-        // rare-shingle inverted index: shingles appearing in 2..4 docs.
-        // Each bucket expands to at most C(4,2)=6 candidate pairs inside
-        // the aggregate row — provably bounded, so the classic self-join
-        // (and its second shuffle) is unnecessary here. Buckets are DISTINCT
-        // docs per key on both engines, so a (never-observed) 60-bit
-        // collision would still be mirrored exactly by the oracle.
-        val cand = ds.select(col("doc_id"), explode(col("xs")).as("x"))
+        // signature-free profile: the Jaccard path needs hs/c only
+        val ds = shingleProfile(s, d, withSignature = false)
+        // rare-shingle inverted index with BOUNDED aggregation state
+        // (ADVICE r6): count per key FIRST — partial-agg-combined longs,
+        // never a doc list — filter to the 2..4-doc band, and only then
+        // collect the ≤4-element sets. A stop shingle thus never
+        // materializes its full doc-id set in an aggregation buffer. `inv`
+        // is re-derived narrowly from the profile checkpoint on each
+        // branch (an explode of in-memory arrays — cheaper than
+        // materializing a second checkpoint), and after the shuffle join
+        // on x the set aggregation reuses the join's partitioning. Each
+        // kept bucket expands to at most C(4,2)=6 pairs inside the row.
+        def inv = ds.select(col("doc_id"), explode(col("hs")).as("x"))
+        val rare = inv.groupBy("x").agg(count(lit(1)).as("f"))
+          .filter(col("f").between(2, 4)).select("x")
+        val cand = inv.join(rare, "x")
           .groupBy("x").agg(collect_set(col("doc_id")).as("dset"))
-          .filter(size(col("dset")).between(2, 4))
           .select(explode(expr(
             """flatten(transform(dset,
                  a -> filter(transform(dset, b -> struct(a AS d1, b AS d2)),
                              p -> p.d1 < p.d2)))""")).as("p"))
           .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
-        // exact Jaccard via two hash joins + narrow array_intersect
+        // exact Jaccard via two hash joins + narrow array_intersect over
+        // the 60-bit code sets (the oracle mirrors the same mapping, so a
+        // never-observed collision cannot diverge the gate)
         cand
-          .join(ds.select(col("doc_id").as("d1"), col("ss").as("ss1"),
+          .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
             col("c").as("ca")), "d1")
-          .join(ds.select(col("doc_id").as("d2"), col("ss").as("ss2"),
+          .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"),
             col("c").as("cb")), "d2")
-          .withColumn("ic", size(array_intersect(col("ss1"), col("ss2"))))
+          .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
           .select(col("d1"), col("d2"),
             (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic"))).as("jac"))
           .filter(col("jac") >= 0.3)
       },
       Some("WITH " + shingleSql + """,
-            shx AS (SELECT doc_id,
+            shx AS (SELECT DISTINCT doc_id,
                            CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
                              AS x
                     FROM sh),
             rare AS (SELECT x
-                     FROM (SELECT x, count(DISTINCT doc_id) AS f
+                     FROM (SELECT x, count(*) AS f
                            FROM shx GROUP BY x)
                      WHERE f BETWEEN 2 AND 4),
             cand AS (
@@ -448,12 +459,12 @@ object LlmOps {
               FROM (SELECT shx.doc_id, shx.x FROM shx JOIN rare ON shx.x = rare.x) a
               JOIN (SELECT shx.doc_id, shx.x FROM shx JOIN rare ON shx.x = rare.x) b
                 ON a.x = b.x AND a.doc_id < b.doc_id),
-            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            cnt AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
             inter AS (
               SELECT cand.d1, cand.d2, count(*) AS ic
               FROM cand
-              JOIN sh s1 ON s1.doc_id = cand.d1
-              JOIN sh s2 ON s2.doc_id = cand.d2 AND s1.s = s2.s
+              JOIN shx s1 ON s1.doc_id = cand.d1
+              JOIN shx s2 ON s2.doc_id = cand.d2 AND s1.x = s2.x
               GROUP BY 1, 2)
             SELECT d1, d2, CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jac
             FROM inter
