@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction runs per partition in bounded batches so a
   * 100 TB corpus streams through executors without materializing more than
   * one batch of decoded media per task. Image payloads decode for REAL via
-  * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs);
-  * non-image media (audio/video, whose codecs are not in this
-  * environment) fall back to `decodeStub`, a clearly-marked deterministic
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs); WAV
+  * audio decodes for REAL via `javax.sound.sampled` (PCM 8/16-bit, any
+  * channel count — also JDK-only). Video, whose codecs are not in this
+  * environment, falls back to `decodeStub`, a clearly-marked deterministic
   * fake keeping the schema/batch contract identical — swap it for a
   * JNI/codec call in production.
   */
@@ -81,9 +82,83 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.payload.length, md5Hex(r.payload), w, h, feats)
     }
 
-  /** Decode dispatch: real ImageIO for image payloads, stub otherwise. */
+  /** Parse a WAV payload into (format, mono-mixed normalized samples in
+    * [-1, 1]). Covers the JDK's built-in PCM shapes — 16-bit signed
+    * (either endianness), 8-bit signed/unsigned — any channel count,
+    * channels averaged to mono. None for anything the JDK can't read.
+    */
+  private[llm] def readWav(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val mono: Option[Array[Float]] =
+          (fmt.getEncoding, fmt.getSampleSizeInBits) match {
+            case (PCM_SIGNED, 16) =>
+              val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                          else java.nio.ByteOrder.LITTLE_ENDIAN
+              val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer
+              val n = sb.remaining() / ch
+              Some(Array.tabulate(n) { i =>
+                var s = 0.0f; var c = 0
+                while (c < ch) { s += sb.get(i * ch + c) / 32768.0f; c += 1 }
+                s / ch
+              })
+            case (PCM_UNSIGNED, 8) =>
+              val n = bytes.length / ch
+              Some(Array.tabulate(n) { i =>
+                var s = 0.0f; var c = 0
+                while (c < ch) { s += ((bytes(i * ch + c) & 0xff) - 128) / 128.0f; c += 1 }
+                s / ch
+              })
+            case (PCM_SIGNED, 8) =>
+              val n = bytes.length / ch
+              Some(Array.tabulate(n) { i =>
+                var s = 0.0f; var c = 0
+                while (c < ch) { s += bytes(i * ch + c) / 128.0f; c += 1 }
+                s / ch
+              })
+            case _ => None
+          }
+        mono.map(m => (fmt, m))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** REAL WAV decode via `javax.sound.sampled` (JDK-only). Features: mean
+    * |amplitude| of 8 equal time bands of the mono mix, in [0, 1] — the
+    * audio analogue of the image band-luminance signature. The dims fields
+    * carry the audio geometry: width = sample rate in Hz, height = channel
+    * count (duration follows from n_bytes / rate / channels / depth).
+    */
+  private[llm] def decodeAudio(r: MediaRow): Option[MediaFeatures] =
+    readWav(r.payload).map { case (fmt, mono) =>
+      val n = mono.length
+      val sums = new Array[Double](8)
+      val counts = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        val band = math.min(7, (i.toLong * 8 / math.max(1, n)).toInt)
+        sums(band) += math.abs(mono(i))
+        counts(band) += 1
+        i += 1
+      }
+      val feats = Array.tabulate(8)(b =>
+        if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat)
+      MediaFeatures(r.doc_id, r.payload.length, md5Hex(r.payload),
+        math.round(fmt.getSampleRate), fmt.getChannels, feats)
+    }
+
+  /** Decode dispatch: real ImageIO for image payloads, real JDK WAV decode
+    * for audio, stub only for video/unknown media.
+    */
   private[llm] def decode(r: MediaRow): MediaFeatures =
     if (r.mime.startsWith("image/")) decodeImage(r).getOrElse(decodeStub(r))
+    else if (r.mime.startsWith("audio/")) decodeAudio(r).getOrElse(decodeStub(r))
     else decodeStub(r)
 
   /** Feature extraction over the binary column, partition-streamed. */
@@ -114,6 +189,45 @@ object Multimodal {
           r.copy(payload = buf.toByteArray, mime = "image/png")
         }
       resized.getOrElse(r)
+    })
+  }
+
+  /** REAL WAV resample: decode, linear-interpolate the mono mix to
+    * `targetHz`, re-encode as 16-bit mono little-endian PCM WAV via
+    * AudioSystem. Non-audio payloads pass through unchanged. Same
+    * mapPartitions streaming shape as the image path.
+    */
+  def resampleWav(media: Dataset[MediaRow], targetHz: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out =
+        if (!r.mime.startsWith("audio/")) None
+        else readWav(r.payload).map { case (fmt, mono) =>
+          val ratio = fmt.getSampleRate.toDouble / targetHz
+          val n = math.max(1, math.round(mono.length / ratio).toInt)
+          val pcm = new Array[Byte](n * 2)
+          val bb = java.nio.ByteBuffer.wrap(pcm)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            val pos = i * ratio
+            val i0 = math.min(mono.length - 1, pos.toInt)
+            val i1 = math.min(mono.length - 1, i0 + 1)
+            val frac = (pos - i0).toFloat
+            val v = mono(i0) * (1 - frac) + mono(i1) * frac
+            bb.putShort((math.max(-1f, math.min(1f, v)) * 32767).toShort)
+            i += 1
+          }
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            targetHz.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), outFmt, n.toLong)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+          r.copy(payload = buf.toByteArray, mime = "audio/wav")
+        }
+      out.getOrElse(r)
     })
   }
 

@@ -111,6 +111,56 @@ class LlmSpec extends SparkSpec {
     assert(resized(2L).payload.sameElements("not an image".getBytes("UTF-8")))
   }
 
+  test("real WAV decode: javax.sound path extracts rate/channels and band amplitude") {
+    import spark.implicits._
+    // generate a real PCM16 mono WAV @8 kHz: first half silence, second
+    // half a 440 Hz sine at amplitude 0.5
+    def wav(rateHz: Int, seconds: Double): Array[Byte] = {
+      val n = (rateHz * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until n) {
+        val v = if (i < n / 2) 0.0
+                else 0.5 * math.sin(2 * math.Pi * 440.0 * i / rateHz)
+        bb.putShort((v * 32767).toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav(8000, 0.5), "audio/wav"),
+      Multimodal.MediaRow(2L, "not audio".getBytes("UTF-8"), "audio/wav"))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    // doc 1: REAL decode — rate/channels in the dims fields; silent first
+    // half, mean |0.5 sin| = 0.5·2/π ≈ 0.318 in the loud half
+    assert(feats(1L).width == 8000 && feats(1L).height == 1)
+    assert(feats(1L).features.take(4).forall(_ < 0.01f))
+    assert(feats(1L).features.drop(4).forall(f => f > 0.25f && f < 0.4f))
+    // doc 2: undecodable payload falls back to the stub contract
+    assert(feats(2L).features.length == 8 && feats(2L).checksum.length == 32)
+
+    // REAL resample: 8 kHz → 4 kHz, re-decode reports the new rate and
+    // preserves the silent/loud band structure with half the frames
+    val resampled = Multimodal.resampleWav(media, 4000).collect()
+      .map(r => r.doc_id -> r).toMap
+    val rf = Multimodal.decodeAudio(resampled(1L)).get
+    assert(rf.width == 4000 && rf.height == 1)
+    assert(rf.features.take(4).forall(_ < 0.01f))
+    assert(rf.features.drop(4).forall(f => f > 0.25f && f < 0.4f))
+    val monoLen = Multimodal.readWav(resampled(1L).payload).get._2.length
+    assert(math.abs(monoLen - 2000) <= 2)
+    // undecodable audio passes through untouched
+    assert(resampled(2L).payload.sameElements("not audio".getBytes("UTF-8")))
+  }
+
   test("minhash near-dup query finds the planted near-duplicates") {
     val dups = graft.SparkEntry.queries("llm_minhash_dedup")(spark, sfDir)
     val n = dups.count()
