@@ -115,8 +115,21 @@ object Ingest {
     * lives for every Spark source.
     */
   def sheetToWide(sheetRows: DataFrame, headerRowIdx: Int): DataFrame = {
-    val header = sheetRows.filter(col("row_idx") === headerRowIdx)
-      .select("cells").head().getSeq[String](0)
+    val headerRows = sheetRows.filter(col("row_idx") === headerRowIdx)
+      .select("cells").limit(1).collect()
+    require(headerRows.nonEmpty,
+      s"sheetToWide: no header row at row_idx=$headerRowIdx — the sheet is " +
+        "empty or shorter than the requested header position")
+    val header = headerRows.head.getSeq[String](0)
+    require(header.forall(_.trim.nonEmpty),
+      s"sheetToWide: blank header cell at position " +
+        s"${header.indexWhere(_.trim.isEmpty)} (row_idx=$headerRowIdx) — " +
+        "every column needs a name")
+    require(header.distinct.size == header.size,
+      s"sheetToWide: duplicate header name '" +
+        header.diff(header.distinct).head +
+        s"' (row_idx=$headerRowIdx) — downstream col() resolution would " +
+        "be ambiguous")
     val data = sheetRows.filter(col("row_idx") > headerRowIdx)
     header.zipWithIndex.foldLeft(
       // try_element_at: rows may be shorter than the header (trailing

@@ -53,8 +53,16 @@ object RangeJoin {
         lit(s"RangeJoin: interval spans >$MaxBucketsPerInterval buckets at " +
           s"$startCol="),
         col(startCol).cast("string"), lit(" - raise bucketSeconds"))))
-    val ib = intervals.withColumn("__b",
-      explode(sequence(bucket(checkedStart), bucket(checkedEnd))))
+    // NULL interval bounds are dropped, not raised: a NULL bound can never
+    // satisfy the final ts>=start && ts<=end predicate, so dropping the row
+    // up front preserves the join's semantics exactly (pre-guard behavior:
+    // sequence() returned NULL and explode() discarded the row). Without
+    // this filter the inverted-interval when() would evaluate to NULL, fall
+    // to otherwise(), and crash the whole job with a misleading message.
+    val ib = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__b",
+        explode(sequence(bucket(checkedStart), bucket(checkedEnd))))
     fb.join(ib, Seq(key, "__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")

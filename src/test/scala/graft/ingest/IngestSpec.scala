@@ -141,6 +141,31 @@ class IngestSpec extends SparkSpec {
     assert(rows(2) == (("I90DIA01", 2, Seq("UP9", "", "3.25")))) // B3 padded
   }
 
+  test("sheetToWide guards: missing/blank/duplicate headers fail with context") {
+    import spark.implicits._
+    // header row index beyond the sheet → clear error, not NoSuchElement
+    val twoRows = Seq(("S", 0, Seq("a", "b")), ("S", 1, Seq("1", "2")))
+      .toDF("sheet", "row_idx", "cells")
+    val eMissing = intercept[IllegalArgumentException] {
+      Ingest.sheetToWide(twoRows, headerRowIdx = 5)
+    }
+    assert(eMissing.getMessage.contains("no header row at row_idx=5"))
+    // blank header cell → rejected, naming the position
+    val blank = Seq(("S", 0, Seq("a", " ")), ("S", 1, Seq("1", "2")))
+      .toDF("sheet", "row_idx", "cells")
+    val eBlank = intercept[IllegalArgumentException] {
+      Ingest.sheetToWide(blank, headerRowIdx = 0)
+    }
+    assert(eBlank.getMessage.contains("blank header cell at position 1"))
+    // duplicate header name → rejected (ambiguous col() downstream)
+    val dup = Seq(("S", 0, Seq("a", "a")), ("S", 1, Seq("1", "2")))
+      .toDF("sheet", "row_idx", "cells")
+    val eDup = intercept[IllegalArgumentException] {
+      Ingest.sheetToWide(dup, headerRowIdx = 0)
+    }
+    assert(eDup.getMessage.contains("duplicate header name 'a'"))
+  }
+
   test("S2 zipped xlsx → dynamic header → melt: the reference's I90 flow") {
     val dir = tmpDir()
     val zos = new java.util.zip.ZipOutputStream(

@@ -54,6 +54,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("inverted interval")))
   }
 
+  test("NULL interval bounds drop the row (old semantics), never raise") {
+    val intervals = Seq(
+      (400L, 1L, Some(ts("2024-01-01 10:00:00")), None: Option[java.sql.Timestamp]),
+      (401L, 1L, None: Option[java.sql.Timestamp], Some(ts("2024-01-01 11:00:00"))),
+      (402L, 1L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 11:00:00"))))
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val facts = Seq((1L, 1L, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    // a NULL bound can never satisfy ts>=start && ts<=end, so the row
+    // contributes nothing — it must NOT trip the inverted-interval raise
+    // (when() evaluates NULL → otherwise() → raise_error without the guard)
+    val got = RangeJoin.byContainment(facts, intervals,
+      "user_id", "ts", "start_ts", "end_ts", bucketSeconds = 600)
+      .select("iv_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((402L, 1L)))
+  }
+
   test("pathologically long intervals hit the bucket cap instead of sequence()'s limit") {
     val intervals = Seq( // ~3 years at 1-second buckets ≈ 10^8 buckets
       (300L, 1L, ts("2024-01-01 00:00:00"), ts("2027-01-01 00:00:00")))
