@@ -80,6 +80,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val json = run(spark, sfDir)
     spark.stop()
+    // Also persist the JSON to a well-known file: when run through sbt,
+    // stdout unavoidably gains sbt's own [info]/[success] framing lines, so
+    // a stdout-only contract leaves the consumer tail-scraping. The file is
+    // the framing-free artifact. Override the path with SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     // the ONLY stdout this program emits, printed after spark.stop() so no
     // shutdown message can land behind it — the driver parses stdout for
     // one bare JSON line (BENCH_r05 "parsed": null came from log noise)

@@ -324,6 +324,36 @@ object Pipelines {
                              columns={'unidad':'VARCHAR','tipo':'VARCHAR',
                                       'energia_raw':'VARCHAR'})""")),
 
+    // S8 — the schema'd raw reader (`spark.read.schema(s).csv`), oracled
+    // DIRECTLY against DuckDB's read_csv with explicit column types on the
+    // same fixture (VERDICT r6 item 7; same fixture pattern as s4_eu_csv).
+    // Typed surface: INT key, ISO DATE, VARCHAR, nullable DOUBLE (empty
+    // cell → NULL in both engines; values are quarter-multiples so the
+    // parse is representation-exact), BOOLEAN.
+    // ref: utilidades/raw_file_utils.py:289-314 (pd.read_csv with dtypes)
+    ("s8_schema_read",
+      (s, _) => {
+        val rows = (0 until 100).map { i =>
+          val fecha = java.time.LocalDate.of(2022, 1, 1).plusDays(i % 60)
+          val valor = if (i % 11 == 10) "" else s"${i * 7 % 300}.${i % 4 * 25}"
+          val flag = if (i % 2 == 0) "true" else "false"
+          s"$i,$fecha,Unidad $i,$valor,$flag"
+        }
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s8_fixture.csv"),
+          (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+        val schema = StructType(Seq(
+          StructField("id", IntegerType), StructField("fecha", DateType),
+          StructField("nombre", StringType), StructField("valor", DoubleType),
+          StructField("flag", BooleanType)))
+        s.read.schema(schema).csv(s"$tmpDir/graft_s8_fixture.csv")
+      },
+      Some(s"""SELECT id, fecha, nombre, valor, flag
+               FROM read_csv('$tmpDir/graft_s8_fixture.csv', delim=',',
+                             header=false,
+                             columns={'id':'INTEGER','fecha':'DATE',
+                                      'nombre':'VARCHAR','valor':'DOUBLE',
+                                      'flag':'BOOLEAN'})""")),
+
     // ESIOS e2e — raw fixture derived deterministically from `events`
     // (geo filter fodder, mixed granularity), through transform → lake
     // upsert → pruned read. Lambda/oracle defined above (esiosE2eQ) so the
