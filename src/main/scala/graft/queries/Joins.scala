@@ -89,15 +89,16 @@ object Joins {
     // ref: _linking_algorithm.py:332-378
     ("j3_profile_hash_match",
       (s, d) => {
-        // a self-join on h would evaluate the whole aggregation pipeline
-        // twice (or force an eager checkpoint); instead group the hashes
-        // once and emit every within-group pair with two explodes —
-        // identical semantics, single lineage, one extra ~|entities|-row
-        // shuffle on h
-        profileHashes(s, d)
-          .groupBy("h").agg(collect_list(col("l_suppkey")).as("ks"))
-          .select(col("h"), explode(col("ks")).as("up"), col("ks"))
-          .select(col("up"), explode(col("ks")).as("uof"), col("h"))
+        // materialize the hashed profiles once (~|entities| tiny rows),
+        // then self-join on h — the oracle's own shape. The join's per-key
+        // match buffers SPILL (ExternalAppendOnlyUnsafeRowArray), unlike
+        // the previous collect_list-of-keys aggregation state, which
+        // materialized a hot hash's entire entity list in one agg buffer
+        // (ADVICE r6) — the quadratic blowup of a degenerate hash belongs
+        // in the (spillable, streamed) join output, never in memory
+        val h = profileHashes(s, d).localCheckpoint()
+        h.select(col("h"), col("l_suppkey").as("up"))
+          .join(h.select(col("h"), col("l_suppkey").as("uof")), "h")
           .select("up", "uof", "h")
       },
       Some(profileHashSql +
