@@ -71,13 +71,19 @@ object LlmOps {
              CAST((shiftright(instr('0123456789abcdef',
                                     substr(md5(tok), 1 + j div 4, 1)) - 1,
                               j % 4) & 1) * 2 - 1 AS BIGINT))"""))
+    // per-doc vote sums as 32 PLAIN long sum() aggregates, assembled into
+    // the array afterwards: a HashAggregate of longs runs in whole-stage
+    // codegen, where the previous collect_list + aggregate/zip_with fold
+    // was an interpreted object aggregation (r7; measured ~0.4 s faster at
+    // sf0.1). No exchange here either — toks is already partitioned by
+    // doc_id from the repartition, and the vocab join broadcasts.
+    val sums = (0 until 32).map(j =>
+      sum(expr(s"w * element_at(bits, ${j + 1})")).as(s"v$j"))
     toks.join(vocab, "tok")
-      .withColumn("wb", expr("transform(bits, b -> b * w)"))
       .groupBy("doc_id")
-      .agg(expr(
-        """aggregate(collect_list(wb),
-                     array_repeat(CAST(0 AS BIGINT), 32),
-                     (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""").as("v"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(j => col(s"v$j")): _*).as("v"))
   }
 
   /** The (doc, token, bit-vote) SQL shared by both simhash oracles. */
@@ -413,19 +419,19 @@ object LlmOps {
         // signature-free profile: the Jaccard path needs hs/c only
         val ds = shingleProfile(s, d, withSignature = false)
         // rare-shingle inverted index with BOUNDED aggregation state
-        // (ADVICE r6): count per key FIRST — partial-agg-combined longs,
-        // never a doc list — filter to the 2..4-doc band, and only then
-        // collect the ≤4-element sets. A stop shingle thus never
-        // materializes its full doc-id set in an aggregation buffer. `inv`
-        // is re-derived narrowly from the profile checkpoint on each
-        // branch (an explode of in-memory arrays — cheaper than
-        // materializing a second checkpoint), and after the shuffle join
-        // on x the set aggregation reuses the join's partitioning. Each
-        // kept bucket expands to at most C(4,2)=6 pairs inside the row.
-        def inv = ds.select(col("doc_id"), explode(col("hs")).as("x"))
-        val rare = inv.groupBy("x").agg(count(lit(1)).as("f"))
-          .filter(col("f").between(2, 4)).select("x")
-        val cand = inv.join(rare, "x")
+        // (ADVICE r6): a per-key window COUNT (spillable frame buffers,
+        // never a doc list in an agg buffer) gates the 2..4-doc band, and
+        // only the surviving rows reach collect_set — so a stop shingle
+        // never materializes its full doc-id set in aggregation state.
+        // ONE exchange: the window partitions by x and the set aggregation
+        // reuses that partitioning (the count-then-join formulation paid a
+        // second exchange of the exploded index). Each kept bucket expands
+        // to at most C(4,2)=6 pairs inside the row.
+        val inv = ds.select(col("doc_id"), explode(col("hs")).as("x"))
+        val cand = inv
+          .withColumn("f", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("x")))
+          .filter(col("f").between(2, 4))
           .groupBy("x").agg(collect_set(col("doc_id")).as("dset"))
           .select(explode(expr(
             """flatten(transform(dset,
