@@ -33,13 +33,12 @@ object Ingest {
   def parseEuropeanDecimal(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast(DoubleType)
 
-  /** S2 — zipped-workbook source: the reference downloads daily I90 zips,
-    * extracts the workbook and filters sheets (_descargador_i90.py:77-196).
-    * The ZIP layer here is real — `binaryFile` + the JDK inflater, one task
-    * per archive, fully distributed across files — and entry filtering is
-    * the sheet-filter analog. Only the Excel codec itself is out of scope
-    * (no spreadsheet library in this environment), so fixtures carry CSV
-    * payloads of identical structure inside real zip archives.
+  /** S2 — zipped-CSV source arm: some providers ship CSV payloads inside
+    * daily zip archives (_descargador_i90.py:77-196). The ZIP layer is
+    * real — `binaryFile` + the JDK inflater, one task per archive, fully
+    * distributed across files — with entry filtering as the sheet-filter
+    * analog. Workbook payloads (xlsx AND legacy BIFF8 .xls) go through
+    * `readZippedXlsx` below instead.
     */
   def readZippedCsv(spark: SparkSession, path: String, entryPattern: String,
       schema: StructType, skipLines: Int = 0,
@@ -80,9 +79,19 @@ object Ingest {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(bytes => parseXlsxBytes(bytes, sheetPattern))
+      .flatMap(bytes => parseWorkbookBytes(bytes, sheetPattern))
       .toDF("sheet", "row_idx", "cells")
   }
+
+  /** Format dispatch by magic bytes, not file name: `PK` → xlsx (zip of
+    * XML), the OLE2 signature → legacy binary `.xls` (BIFF8, `Biff`).
+    * The reference's pd.read_excel accepts both; daily zips name entries
+    * `.xls` regardless of what's inside.
+    */
+  private[ingest] def parseWorkbookBytes(bytes: Array[Byte],
+      sheetPattern: String): Seq[(String, Int, Seq[String])] =
+    if (Biff.looksLikeCfb(bytes)) Biff.parseXlsBytes(bytes, sheetPattern)
+    else parseXlsxBytes(bytes, sheetPattern)
 
   /** S2 — the reference's actual shape: a daily zip ARCHIVE containing the
     * workbook (_descargador_i90.py:77-196). Outer zip entry filter, then
@@ -101,7 +110,7 @@ object Ingest {
         var e = zis.getNextEntry
         while (e != null) {
           if (!e.isDirectory && re.findFirstIn(e.getName).isDefined)
-            out ++= parseXlsxBytes(zis.readAllBytes(), sheetPattern)
+            out ++= parseWorkbookBytes(zis.readAllBytes(), sheetPattern)
           e = zis.getNextEntry
         }
         out.toSeq

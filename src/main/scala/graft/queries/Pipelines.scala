@@ -259,6 +259,84 @@ object Pipelines {
               CAST(datetime_utc AS DATE) AS fecha_fichero
        FROM sides"""
 
+  /** A minimal REAL BIFF8 `.xls` twin of the s2 fixture sheet: an OLE2/CFB
+    * container (header, FAT, directory, padded Workbook stream) holding
+    * BOF/BOUNDSHEET/LABEL/NUMBER/EOF records — the legacy-format arm of
+    * the S2 codec (`graft.ingest.Biff`), same rows as `s2SheetRows`, plus
+    * a noise sheet the pattern filter must skip. Deterministic bytes.
+    */
+  private def s2XlsBytes: Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def rec(id: Int, data: Array[Byte]): Array[Byte] = {
+      val b = le(4 + data.length)
+      b.putShort(id.toShort).putShort(data.length.toShort).put(data); b.array
+    }
+    def u16b(v: Int) = le(2).putShort(v.toShort).array
+    def i32b(v: Int) = le(4).putInt(v).array
+    def cat(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+    def comp(s: String): Array[Byte] = s.map(_.toByte).toArray
+    def label(r: Int, c: Int, s: String) = rec(0x0204,
+      cat(u16b(r), u16b(c), u16b(0), u16b(s.length), Array(0.toByte), comp(s)))
+    def number(r: Int, c: Int, v: Double) = rec(0x0203,
+      cat(u16b(r), u16b(c), u16b(0),
+        le(8).putLong(java.lang.Double.doubleToLongBits(v)).array))
+    def bof(typ: Int) = rec(0x0809,
+      cat(u16b(0x0600), u16b(typ), u16b(0), u16b(0), i32b(0), i32b(0)))
+    val eof = rec(0x000a, Array.empty[Byte])
+    val sheet1 = cat(
+      (bof(0x0010) +:
+        label(0, 0, "up") +: label(0, 1, "00-01") +: label(0, 2, "01-02") +:
+        s2SheetRows.zipWithIndex.flatMap { case ((up, h1, h2), i) =>
+          val r = i + 1
+          Seq(label(r, 0, up)) ++
+            (if (h1.nonEmpty) Seq(number(r, 1, h1.toDouble)) else Nil) ++
+            (if (h2.nonEmpty) Seq(number(r, 2, h2.toDouble)) else Nil)
+        } :+ eof): _*)
+    val sheet2 = cat(bof(0x0010), label(0, 0, "nope"), eof)
+    def boundSheet(off: Int, name: String) = rec(0x0085,
+      cat(i32b(off), u16b(0), Array(name.length.toByte, 0.toByte), comp(name)))
+    def globalsOf(o1: Int, o2: Int) = cat(bof(0x0005),
+      boundSheet(o1, "I90DIA01"), boundSheet(o2, "Resumen"), eof)
+    val gLen = globalsOf(0, 0).length
+    val wb = cat(globalsOf(gLen, gLen + sheet1.length), sheet1, sheet2)
+
+    // CFB: sector 0 = FAT, 1 = directory, 2.. = stream (padded past the
+    // 4096-byte mini cutoff so it lives in the main FAT)
+    val padded = java.util.Arrays.copyOf(wb, math.max(wb.length, 4096))
+    val ssz = 512
+    val nStream = (padded.length + ssz - 1) / ssz
+    val total = 2 + nStream
+    require(total <= ssz / 4, "fixture exceeds one FAT sector")
+    val buf = le((total + 1) * ssz)
+    buf.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    buf.position(24)
+    buf.putShort(0x3e).putShort(3).putShort(0xfffe.toShort)
+      .putShort(9).putShort(6)
+    buf.position(44)
+    buf.putInt(1).putInt(1)
+    buf.position(56)
+    buf.putInt(4096).putInt(-2).putInt(0).putInt(-2).putInt(0)
+    buf.putInt(0)
+    (1 until 109).foreach(_ => buf.putInt(-1))
+    buf.position(ssz)
+    buf.putInt(-3).putInt(-2)
+    (0 until nStream).foreach(i => buf.putInt(if (i == nStream - 1) -2 else 3 + i))
+    (total until ssz / 4).foreach(_ => buf.putInt(-1))
+    def dirEntry(pos: Int, name: String, typ: Int, start: Int, size: Int): Unit = {
+      val o = 2 * ssz + pos * 128
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      buf.position(o); buf.put(nb)
+      buf.position(o + 64); buf.putShort((nb.length + 2).toShort)
+      buf.put(o + 66, typ.toByte)
+      buf.position(o + 116); buf.putInt(start).putInt(size)
+    }
+    dirEntry(0, "Root Entry", 5, -2, 0)
+    dirEntry(1, "Workbook", 2, 2, padded.length)
+    buf.position(3 * ssz); buf.put(padded)
+    buf.array
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // S2 — the real xlsx codec, oracled end to end: the lambda writes the
@@ -294,6 +372,41 @@ object Pipelines {
                  FROM wide WHERE "01-02" IS NOT NULL)
                SELECT up, hora, volumenes FROM long""")),
 
+
+    // S2 (legacy arm) — the real BIFF8 .xls codec, oracled end to end with
+    // the same CSV-twin scheme as s2_xlsx_sheet: the lambda writes a REAL
+    // OLE2/BIFF8 workbook of the same fixture sheet (read through the CFB
+    // container, record stream, sheet filter, dynamic header, melt) and an
+    // independent CSV twin for DuckDB — any container/record misread
+    // hash-fails. ref: _descargador_i90.py:197-304 (pd.read_excel accepts
+    // both formats; daily zips name entries .xls)
+    ("s2_xls_sheet",
+      (s, _) => {
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s2_fixture.xls"),
+          s2XlsBytes)
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s2xls_twin.csv"),
+          ("up;00-01;01-02\n" + s2SheetRows
+            .map { case (u, h1, h2) => s"$u;$h1;$h2" }.mkString("\n") + "\n")
+            .getBytes("UTF-8"))
+        val sheets = graft.ingest.Ingest.readXlsx(s,
+          s"$tmpDir/graft_s2_fixture.xls", "^I90DIA")
+        val wide = graft.ingest.Ingest.sheetToWide(sheets, headerRowIdx = 0)
+        graft.ingest.Ingest.melt(
+          wide.withColumn("00-01", expr("try_cast(`00-01` AS DOUBLE)"))
+            .withColumn("01-02", expr("try_cast(`01-02` AS DOUBLE)")),
+          Seq("up"), Seq("00-01", "01-02"))
+      },
+      Some(s"""WITH wide AS (
+                 SELECT * FROM read_csv('$tmpDir/graft_s2xls_twin.csv',
+                                        delim=';', header=true,
+                                        all_varchar=true)),
+               long AS (
+                 SELECT up, '00-01' AS hora, CAST("00-01" AS DOUBLE) AS volumenes
+                 FROM wide WHERE "00-01" IS NOT NULL
+                 UNION ALL
+                 SELECT up, '01-02', CAST("01-02" AS DOUBLE)
+                 FROM wide WHERE "01-02" IS NOT NULL)
+               SELECT up, hora, volumenes FROM long""")),
 
     // S4 — the OMIE CSV dialect read, oracled DIRECTLY against DuckDB's
     // read_csv on the same fixture (VERDICT r5 item 6). The lambda writes
