@@ -655,6 +655,57 @@ object LlmOps {
                              AS bucket
                     FROM documents) t""")),
 
+    // Sequence PACKING: assign documents to fixed-token-budget training
+    // bins (budget 512) — the classic pretraining batch-prep step. Docs
+    // pack greedily in deterministic doc_id order WITHIN a shard
+    // (doc_id % 16): bin = floor(preceding-token-cumsum / budget), i.e. a
+    // doc may straddle a boundary and continues in its bin — the
+    // "pack then split on read" convention. Sharding is the scale shape:
+    // each shard's cumsum is an independent window partition, so packing
+    // parallelizes instead of serializing on one global ordered window.
+    ("llm_pack_bins",
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("tok_start",
+            coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            (col("tok_start") / 512).cast(LongType).as("bin"))
+      },
+      Some("""SELECT doc_id, doc_id % 16 AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                            OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) // 512 AS BIGINT)
+                       AS bin
+              FROM documents""")),
+
+    // Context-window CHUNKING: split each document's token sequence into
+    // fixed-size 50-token chunks (last chunk partial) — the RAG/pretraining
+    // chunker. One narrow explode per doc; chunk text re-joined inside
+    // codegen (slice + array_join), rows scale with total tokens / 50.
+    ("llm_chunk",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+          explode(expr("sequence(0, (size(toks) - 1) div 50)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+          least(lit(50), col("n") - col("chunk_idx") * 50)
+            .cast(IntegerType).as("chunk_tokens"),
+          expr("array_join(slice(toks, chunk_idx * 50 + 1, 50), ' ')")
+            .as("chunk_text")),
+      Some("""SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                     CAST(least(50, len(l) - ci * 50) AS INTEGER) AS chunk_tokens,
+                     array_to_string(l[ci * 50 + 1 : ci * 50 + 50], ' ')
+                       AS chunk_text
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+                   LATERAL (SELECT unnest(generate_series(0,
+                              (len(l) - 1) // 50)) AS ci) g""")),
+
     // Multimodal metadata plumbing: opaque binary payload + typed metadata.
     // The decode/feature step is the stubbed mapPartitions in
     // graft.llm.Multimodal; this query is the schema/checksum surface.

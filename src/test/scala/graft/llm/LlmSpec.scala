@@ -161,6 +161,30 @@ class LlmSpec extends SparkSpec {
     assert(resampled(2L).payload.sameElements("not audio".getBytes("UTF-8")))
   }
 
+  test("chunking reconstructs each document; packing matches a sequential re-derivation") {
+    val chunks = graft.SparkEntry.queries("llm_chunk")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, rows) =>
+      val rebuilt = rows.sortBy(_.getInt(1)).map(_.getString(3)).mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id chunk round-trip")
+      assert(rows.map(_.getInt(2)).sum == docs(id).split(" ").length)
+    }
+
+    val packed = graft.SparkEntry.queries("llm_pack_bins")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, bin) =>
+        assert(bin == cum / 512, s"doc $id bin assignment")
+        cum += n
+      }
+    }
+  }
+
   test("minhash near-dup query finds the planted near-duplicates") {
     val dups = graft.SparkEntry.queries("llm_minhash_dedup")(spark, sfDir)
     val n = dups.count()
