@@ -311,9 +311,14 @@ object Joins {
     // ref: read/natlanguage_duckdb_queries.py:254-275
     ("j9_fact_join",
       (s, d) => lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"),
-          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"))
+        // derive the month bucket on the BUILD side before the join: the
+        // tz-aware date_trunc then runs once per order (150k rows at
+        // sf0.1), not once per joined lineitem row (600k) — Catalyst does
+        // not push a post-join grouping expression below the join itself
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("mes"))
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n")),
       Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
