@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for the training-data pipeline surface:
+  * benchmark decontamination, repetition (Gopher-style) quality metrics,
+  * per-group quota sampling, PII redaction, and int8 embedding
+  * quantization. Same shapes as LlmOps — bucketed/banded joins, narrow
+  * maps, never all-pairs — so every plan holds at 100 TB.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // Benchmark DECONTAMINATION: flag training documents sharing any
+    // 3-gram shingle with a held-out benchmark set (doc_id % 50 == 0 —
+    // deterministic stand-in for an eval suite). The benchmark shingle
+    // vocabulary is tiny relative to the corpus, so candidate generation
+    // is a BROADCAST semi-join against it — the training corpus is
+    // scanned once and never shuffled, the shape that matters at 100 TB
+    // (the eval suites stay ~MBs while the corpus grows).
+    ("llm_decontaminate",
+      (s, d) => {
+        val prof = LlmOps.shingleProfile(s, d, withSignature = false)
+        val benchVocab = prof.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("hs")).as("x")).distinct()
+        prof.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("c"), explode(col("hs")).as("x"))
+          .join(broadcast(benchVocab), "x")
+          // hs is a set, so count(*) per doc counts DISTINCT shared shingles
+          .groupBy("doc_id", "c")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("doc_id"), col("n_hits"),
+            col("c").cast(LongType).as("n_shingles"),
+            (col("n_hits").cast(DoubleType) / col("c")).as("overlap_frac"))
+      },
+      Some("WITH " + LlmOps.shingleSql + """,
+            shx AS (SELECT DISTINCT doc_id,
+                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                             AS x
+                    FROM sh),
+            bench AS (SELECT DISTINCT x FROM shx WHERE doc_id % 50 = 0),
+            cnt AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+            hits AS (SELECT s.doc_id, count(*) AS n_hits
+                     FROM shx s JOIN bench b ON s.x = b.x
+                     WHERE s.doc_id % 50 <> 0
+                     GROUP BY 1)
+            SELECT h.doc_id, h.n_hits, CAST(c.c AS BIGINT) AS n_shingles,
+                   CAST(h.n_hits AS DOUBLE) / c.c AS overlap_frac
+            FROM hits h JOIN cnt c ON c.doc_id = h.doc_id""")),
+
+    // REPETITION metrics (the Gopher/MassiveText quality-filter family):
+    // per-document bigram duplication — total vs distinct bigrams, the
+    // heaviest bigram's share, and the distinct-token ratio. The doc is
+    // repartitioned by doc_id BEFORE the bigram fan-out, so both
+    // aggregations (per-(doc,bigram), then per-doc) reuse that
+    // partitioning — ONE exchange total regardless of corpus size.
+    ("llm_repetition",
+      (s, d) => {
+        val grams = documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("doc_id"), size(col("l")).as("n_tok"),
+            size(array_distinct(col("l"))).as("d_tok"),
+            explode(expr("sequence(1, size(l) - 1)")).as("i"),
+            col("l"))
+          .select(col("doc_id"), col("n_tok"), col("d_tok"),
+            expr("concat_ws(' ', element_at(l, i), element_at(l, i + 1))")
+              .as("g"))
+        grams.groupBy("doc_id", "n_tok", "d_tok", "g")
+          .agg(count(lit(1)).as("cg"))
+          .groupBy("doc_id", "n_tok", "d_tok")
+          .agg(sum(col("cg")).as("n2"), count(lit(1)).as("d2"),
+            max(col("cg")).as("m2"))
+          .select(col("doc_id"), col("n2"), col("d2"),
+            (lit(1.0) - col("d2").cast(DoubleType) / col("n2")).as("dup_bigram_frac"),
+            (col("m2").cast(DoubleType) / col("n2")).as("top_bigram_frac"),
+            (col("d_tok").cast(DoubleType) / col("n_tok")).as("distinct_tok_ratio"))
+      },
+      Some("""WITH l AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+              bg AS (
+                SELECT doc_id, len(l) AS n_tok,
+                       len(list_distinct(l)) AS d_tok,
+                       concat(l[i], ' ', l[i + 1]) AS g
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1, len(l) - 1)) AS i
+                      FROM l WHERE len(l) >= 2) t),
+              cg AS (
+                SELECT doc_id, n_tok, d_tok, g, count(*) AS cg
+                FROM bg GROUP BY 1, 2, 3, 4)
+              SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS n2,
+                     count(*) AS d2,
+                     1.0 - CAST(count(*) AS DOUBLE) / SUM(cg) AS dup_bigram_frac,
+                     CAST(MAX(cg) AS DOUBLE) / SUM(cg) AS top_bigram_frac,
+                     CAST(d_tok AS DOUBLE) / n_tok AS distinct_tok_ratio
+              FROM cg GROUP BY doc_id, n_tok, d_tok""")),
+
+    // Per-group QUOTA sampling (domain/language mixing): keep the 20
+    // lowest-content-hash documents per language — a deterministic
+    // reservoir whose membership is stable under re-runs, re-shards and
+    // corpus growth-at-the-tail. Top-k-per-group shape (o4): a per-group
+    // window over the hash, never a global sort; at 100 TB each group
+    // ranks independently and AQE handles the skewed-language partition.
+    ("llm_quota_sample",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("doc_id"), col("lang"),
+            col("rank").cast(IntegerType).as("rank"))
+      },
+      Some("""SELECT doc_id, lang, CAST(rank AS INTEGER) AS rank
+              FROM (SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY md5(text), doc_id)
+                             AS rank
+                    FROM documents) t
+              WHERE rank <= 20""")),
+
+    // PII REDACTION: deterministic synthetic PII is appended to a slice of
+    // docs (the corpus itself is clean synthetic text), then scrubbed with
+    // the classic email/phone regex pass — counts + redacted-content hash
+    // published. Regexes stay in the Java-regex ∩ RE2 common dialect; a
+    // pure narrow map, no shuffle.
+    ("llm_pii_redact",
+      (s, d) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 7 === 3,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+                lit(" today")))
+            .otherwise(lit("")))
+        documents(s, d)
+          .withColumn("aug", aug)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"),
+              lit("[a-z0-9.]+@[a-z0-9.]+"), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("aug"),
+              lit("[0-9]{3}-[0-9]{4}"), lit(0))).as("n_phone"),
+            md5(regexp_replace(
+              regexp_replace(col("aug"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+              "[0-9]{3}-[0-9]{4}", "<PHONE>")).as("redacted_md5"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+'))
+                          AS INTEGER) AS n_email,
+                     CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}'))
+                          AS INTEGER) AS n_phone,
+                     md5(regexp_replace(
+                           regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+',
+                                          '<EMAIL>', 'g'),
+                           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS redacted_md5
+              FROM (SELECT doc_id,
+                           concat(text,
+                             CASE WHEN doc_id % 7 = 0
+                                  THEN concat(' contact user',
+                                              CAST(doc_id AS VARCHAR),
+                                              '@example.com now')
+                                  WHEN doc_id % 7 = 3
+                                  THEN concat(' call 555-',
+                                              lpad(CAST(doc_id % 10000
+                                                        AS VARCHAR), 4, '0'),
+                                              ' today')
+                                  ELSE '' END) AS aug
+                    FROM documents) t""")),
+
+    // int8 scalar QUANTIZATION of the embedding column: per-vector max-abs
+    // scale, symmetric round-to-nearest codes, published as the code
+    // checksum + saturation count + reconstruction error (rounded — both
+    // engines sum 64 doubles whose reorder noise is ~1e-18, twelve orders
+    // below the rounding grain). Narrow map over the vector array; the
+    // 4× memory cut is what makes billion-vector ANN shards fit executors.
+    ("llm_int8_quant",
+      (s, d) => embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("scale", expr(
+          "greatest(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("""aggregate(v, CAST(0 AS BIGINT),
+                    (a, x) -> a + CAST(round(x * 127 / scale, 0) AS BIGINT))""")
+            .as("code_sum"),
+          expr("""aggregate(v, 0,
+                    (a, x) -> a + CASE WHEN abs(CAST(round(x * 127 / scale, 0)
+                                                     AS BIGINT)) = 127
+                                       THEN 1 ELSE 0 END)""")
+            .cast(IntegerType).as("n_sat"),
+          expr("""round(aggregate(v, CAST(0 AS DOUBLE),
+                    (a, x) -> a + pow(x - CAST(round(x * 127 / scale, 0)
+                                               AS BIGINT) * scale / 127, 2)),
+                  6)""").as("recon_err_r")),
+      Some("""WITH e AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings) t),
+              s AS (SELECT vec_id, greatest(MAX(abs(x)), 1e-12) AS scale
+                    FROM e GROUP BY 1),
+              q AS (SELECT e.vec_id, e.x, s.scale,
+                           CAST(round(e.x * 127 / s.scale, 0) AS BIGINT) AS c
+                    FROM e JOIN s ON e.vec_id = s.vec_id)
+              SELECT vec_id, round(ANY_VALUE(scale), 6) AS scale_r,
+                     CAST(SUM(c) AS BIGINT) AS code_sum,
+                     CAST(SUM(CASE WHEN abs(c) = 127 THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_sat,
+                     round(SUM(pow(x - c * scale / 127, 2)), 6) AS recon_err_r
+              FROM q GROUP BY vec_id"""))
+  )
+}

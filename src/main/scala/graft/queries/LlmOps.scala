@@ -17,7 +17,7 @@ object LlmOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     """sh AS (
          SELECT DISTINCT doc_id, concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS s
          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
@@ -120,7 +120,7 @@ object LlmOps {
     * a lazy cache leaves join sides racing to materialize the same blocks
     * (measured multi-second stalls).
     */
-  private def shingleProfile(s: SparkSession, d: String,
+  private[queries] def shingleProfile(s: SparkSession, d: String,
       withSignature: Boolean = true): DataFrame = {
     val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
       // shiftright(x, 32) = the md5-prefix's top 28 bits

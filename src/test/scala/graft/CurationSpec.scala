@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the corpus-curation operators (graft.queries.Curation).
+  * Value-level exactness is the DuckDB oracle; these assert the properties
+  * the oracle can't state: set membership, determinism, quota bounds, and
+  * quantization error bounds.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination never flags a benchmark document and bounds the overlap") {
+    val rows = SparkEntry.queries("llm_decontaminate")(spark, sfDir)
+      .select($"doc_id", $"overlap_frac", $"n_hits", $"n_shingles")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 50 != 0), "a benchmark doc leaked into the output")
+    assert(rows.forall { case (_, f, h, c) => h >= 1 && h <= c && f > 0 && f <= 1 })
+  }
+
+  test("repetition metrics match a hand computation on one real document") {
+    val (docId, text) = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].first()
+    val toks = text.split(" ")
+    val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val counts = grams.groupBy(identity).map(_._2.size)
+    val row = SparkEntry.queries("llm_repetition")(spark, sfDir)
+      .filter($"doc_id" === docId)
+      .select($"n2", $"d2", $"dup_bigram_frac", $"top_bigram_frac",
+        $"distinct_tok_ratio")
+      .as[(Long, Long, Double, Double, Double)].first()
+    assert(row._1 == grams.size && row._2 == counts.size)
+    assert(math.abs(row._3 - (1.0 - counts.size.toDouble / grams.size)) < 1e-12)
+    assert(math.abs(row._4 - counts.max.toDouble / grams.size) < 1e-12)
+    assert(math.abs(row._5 - toks.distinct.length.toDouble / toks.length) < 1e-12)
+  }
+
+  test("quota sample keeps at most 20 per language, deterministically") {
+    val q = SparkEntry.queries("llm_quota_sample")
+    val a = q(spark, sfDir).select($"doc_id", $"lang", $"rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(a.nonEmpty && a.forall { case (_, _, r) => r >= 1 && r <= 20 })
+    val perLang = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 20))
+    assert(q(spark, sfDir).select($"doc_id", $"lang", $"rank")
+      .as[(Long, String, Int)].collect().toSet == a, "sample not deterministic")
+  }
+
+  test("PII redaction counts the injected identifiers") {
+    val rows = SparkEntry.queries("llm_pii_redact")(spark, sfDir)
+      .select($"doc_id", $"n_email", $"n_phone", $"redacted_md5")
+      .as[(Long, Int, Int, String)].collect()
+    assert(rows.forall { case (id, e, p, h) =>
+      h.length == 32 &&
+        (id % 7 != 0 || e >= 1) && (id % 7 != 3 || p >= 1)
+    })
+    // docs without injected PII: synthetic corpus text is clean
+    assert(rows.forall { case (id, e, p, _) =>
+      (id % 7 == 0 || e == 0) && (id % 7 == 3 || p == 0)
+    })
+  }
+
+  test("int8 quantization saturates the max element and bounds the error") {
+    val rows = SparkEntry.queries("llm_int8_quant")(spark, sfDir)
+      .select($"vec_id", $"scale_r", $"n_sat", $"recon_err_r")
+      .as[(Long, Double, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    // the max-abs element quantizes to exactly ±127
+    assert(rows.forall(_._3 >= 1), "no saturated code in some vector")
+    // per-element error ≤ (step/2)²; 64 elements
+    assert(rows.forall { case (_, sc, _, err) =>
+      err >= 0 && err <= 64 * math.pow(sc / 127 / 2, 2) * 1.01 + 1e-9
+    })
+  }
+}
