@@ -219,6 +219,71 @@ object Curation {
                      CAST(SUM(CASE WHEN abs(c) = 127 THEN 1 ELSE 0 END)
                           AS INTEGER) AS n_sat,
                      round(SUM(pow(x - c * scale / 127, 2)), 6) AS recon_err_r
-              FROM q GROUP BY vec_id"""))
+              FROM q GROUP BY vec_id""")),
+
+    // SOURCE MIXTURE weights (domain mixing): per-source document/token
+    // tallies, the corpus token share, and sqrt-temperature sampling
+    // weights (τ=0.5 — upweights small domains, the standard multi-source
+    // pretraining recipe). One aggregation shuffle to ~|sources| rows; the
+    // share/weight normalizations are windows over that tiny aggregate, so
+    // corpus size never touches the second stage.
+    ("llm_source_mix",
+      (s, d) => {
+        val w = Window.partitionBy()
+        documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+              .cast(LongType)).as("n_tok"))
+          .select(col("source"), col("n_docs"), col("n_tok"),
+            round(col("n_tok").cast(DoubleType) / sum(col("n_tok")).over(w), 6)
+              .as("tok_share"),
+            round(sqrt(col("n_tok").cast(DoubleType))
+              / sum(sqrt(col("n_tok").cast(DoubleType))).over(w), 6)
+              .as("mix_weight"))
+      },
+      Some("""WITH t AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(text, '[^ ]+')))
+                            AS BIGINT) AS n_tok
+                FROM documents GROUP BY source)
+              SELECT source, n_docs, n_tok,
+                     round(CAST(n_tok AS DOUBLE) / SUM(n_tok) OVER (), 6)
+                       AS tok_share,
+                     round(sqrt(CAST(n_tok AS DOUBLE))
+                           / SUM(sqrt(CAST(n_tok AS DOUBLE))) OVER (), 6)
+                       AS mix_weight
+              FROM t""")),
+
+    // Character-ENTROPY perplexity proxy: Shannon entropy of the per-doc
+    // character distribution — the model-free "is this text or noise"
+    // quality signal (gibberish and repeated filler score low). Same
+    // one-exchange shape as llm_repetition: repartition(doc_id) before the
+    // char fan-out, then both aggregations reuse the partitioning.
+    ("llm_char_entropy",
+      (s, d) => documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        // Java's zero-width split can emit a trailing "" that DuckDB's
+        // string_split never produces — drop it
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_ch"),
+          sum(col("c") * log(col("c").cast(DoubleType))).as("clogc"))
+        .select(col("doc_id"), col("n"),
+          col("n_distinct_ch").cast(IntegerType).as("n_distinct_ch"),
+          round((log(col("n").cast(DoubleType))
+            - col("clogc") / col("n")) / log(lit(2.0)), 6).as("entropy_bits")),
+      Some("""WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+              c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(count(*) AS INTEGER) AS n_distinct_ch,
+                     round((ln(CAST(SUM(c) AS DOUBLE))
+                            - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c))
+                           / ln(2.0), 6) AS entropy_bits
+              FROM c GROUP BY doc_id"""))
   )
 }

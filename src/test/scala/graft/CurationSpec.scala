@@ -61,6 +61,36 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("source mixture weights normalize and cover the corpus") {
+    val rows = SparkEntry.queries("llm_source_mix")(spark, sfDir)
+      .select($"source", $"n_docs", $"tok_share", $"mix_weight")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sfDir).count())
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    // sqrt temperature flattens the mixture: every weight sits between the
+    // raw share of the smallest and largest domain
+    val (minS, maxS) = (rows.map(_._3).min, rows.map(_._3).max)
+    assert(rows.forall { case (_, _, _, w) => w >= minS - 1e-9 && w <= maxS + 1e-9 })
+  }
+
+  test("char entropy matches a hand computation and its bounds") {
+    val (docId, text) = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].first()
+    val counts = text.toSeq.groupBy(identity).map(_._2.size.toDouble)
+    val n = counts.sum
+    val h = counts.map(c => -c / n * math.log(c / n) / math.log(2)).sum
+    val rows = SparkEntry.queries("llm_char_entropy")(spark, sfDir)
+      .select($"doc_id", $"n", $"n_distinct_ch", $"entropy_bits")
+      .as[(Long, Long, Int, Double)].collect()
+    val row = rows.find(_._1 == docId).get
+    assert(row._2 == n.toLong && row._3 == counts.size)
+    assert(math.abs(row._4 - h) < 1e-5)
+    assert(rows.forall { case (_, _, d, e) =>
+      e >= -1e-9 && e <= math.log(d.toDouble) / math.log(2) + 1e-9 })
+  }
+
   test("int8 quantization saturates the max element and bounds the error") {
     val rows = SparkEntry.queries("llm_int8_quant")(spark, sfDir)
       .select($"vec_id", $"scale_r", $"n_sat", $"recon_err_r")
