@@ -27,15 +27,19 @@ object Curation {
     // (the eval suites stay ~MBs while the corpus grows).
     ("llm_decontaminate",
       (s, d) => {
-        val prof = LlmOps.shingleProfile(s, d, withSignature = false)
-        val benchVocab = prof.filter(col("doc_id") % 50 === 0)
-          .select(explode(col("hs")).as("x")).distinct()
-        prof.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"), col("c"), explode(col("hs")).as("x"))
+        // distinct (doc_id, code) pairs straight off the shared shingle
+        // stream — this path never needs per-doc arrays, so it skips the
+        // profile's collect_set object aggregation entirely. The distinct,
+        // the per-doc count and the post-join hit count all reuse the
+        // stream's doc_id hash partitioning: ONE corpus exchange total.
+        val base = LlmOps.shinglePairs(s, d).distinct().localCheckpoint()
+        val benchVocab = base.filter(col("doc_id") % 50 === 0)
+          .select("x").distinct()
+        val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        base.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(benchVocab), "x")
-          // hs is a set, so count(*) per doc counts DISTINCT shared shingles
-          .groupBy("doc_id", "c")
-          .agg(count(lit(1)).as("n_hits"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .join(cnt, "doc_id")
           .select(col("doc_id"), col("n_hits"),
             col("c").cast(LongType).as("n_shingles"),
             (col("n_hits").cast(DoubleType) / col("c")).as("overlap_frac"))

@@ -120,16 +120,14 @@ object LlmOps {
     * a lazy cache leaves join sides racing to materialize the same blocks
     * (measured multi-second stalls).
     */
-  private[queries] def shingleProfile(s: SparkSession, d: String,
-      withSignature: Boolean = true): DataFrame = {
-    val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
-      // shiftright(x, 32) = the md5-prefix's top 28 bits
-      // = conv(substr(md5, 1, 7), 16, 10), the oracle's per-seed input;
-      // a·x28 < 2^59, no overflow
-      min(expr(s"(${a}L * shiftright(x, 32) + ${c}L) % ${MinhashP}L"))
-        .as(s"mh$j")
-    }
-    val base = documents(s, d)
+  /** One row per shingle INSTANCE (doc_id, 60-bit code x) — the shared
+    * pre-aggregation stream: hash-partitioned by doc_id BEFORE the fan-out,
+    * every hash inside whole-stage codegen (see shingleProfile scaladoc).
+    * Consumers aggregate it per doc (profile) or distinct it
+    * (decontamination) without a further exchange.
+    */
+  private[queries] def shinglePairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       // the corpus lands as few large files; spread docs across the core
       // budget BEFORE the shingle fan-out so the (per-row ~50x) explode
       // parallelizes instead of running on the file's partition count.
@@ -146,6 +144,17 @@ object LlmOps {
         expr("""CAST(conv(substr(md5(concat_ws(' ', element_at(l, i),
                 element_at(l, i + 1), element_at(l, i + 2))), 1, 15), 16, 10)
                 AS BIGINT)""").as("x"))
+
+  private[queries] def shingleProfile(s: SparkSession, d: String,
+      withSignature: Boolean = true): DataFrame = {
+    val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
+      // shiftright(x, 32) = the md5-prefix's top 28 bits
+      // = conv(substr(md5, 1, 7), 16, 10), the oracle's per-seed input;
+      // a·x28 < 2^59, no overflow
+      min(expr(s"(${a}L * shiftright(x, 32) + ${c}L) % ${MinhashP}L"))
+        .as(s"mh$j")
+    }
+    val base = shinglePairs(s, d)
     val prof =
       if (withSignature) base.groupBy("doc_id")
         .agg(collect_set(col("x")).as("hs"), mins: _*)
