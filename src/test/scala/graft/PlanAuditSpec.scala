@@ -25,11 +25,18 @@ class PlanAuditSpec extends SparkSpec {
   test("candidate-generation joins are never cartesian") {
     for (q <- Seq("llm_minhash_dedup", "llm_ann_lsh", "llm_embed_neardup",
         "llm_ngram_jaccard", "llm_simhash_neardup", "j11_range_join",
-        "j10_asof_join")) {
+        "j10_asof_join", "llm_decontaminate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("decontamination broadcasts the benchmark vocabulary") {
+    // the corpus side must never shuffle into the vocabulary join — the
+    // eval-suite side stays ~MBs while the corpus grows
+    assert(plan("llm_decontaminate").contains("BroadcastHashJoin"),
+      "benchmark vocabulary join is not broadcast")
   }
 
   test("filter queries push predicates into the parquet scan") {
