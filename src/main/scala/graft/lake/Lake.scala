@@ -138,6 +138,55 @@ object Lake {
       .option("compression", "zstd")
       .saveAsTable(table)
 
+  /** Small-file COMPACTION (maintenance op): every upsert into an
+    * append-only dataset adds a file per touched partition, and at 100 TB
+    * the accumulated small files dominate scan cost (footer reads, one
+    * task per file). Rewrites each leaf partition holding more than
+    * `maxFiles` parquet files into ceil(bytes / targetBytes) files,
+    * preserving the datetime_utc sort runs and the physical layout.
+    * Row content is untouched, so it can run any time; only oversized
+    * partitions are rewritten. The directory listing and the swap loop are
+    * driver-side over PARTITIONS (bounded by markets × months — metadata,
+    * never data); each rewrite is a distributed job. The swap
+    * (write-aside, delete, move) is best-effort atomic — a concurrent
+    * reader can see a partition mid-swap; a production lake would layer a
+    * table format's commit protocol on top.
+    * Returns the number of partitions compacted.
+    */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    def leaves(p: Path): Seq[Path] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      if (files.exists(_.getPath.getName.endsWith(".parquet"))) Seq(p)
+      else dirs.flatMap(d => leaves(d.getPath))
+    }
+    var compacted = 0
+    leaves(root).foreach { dir =>
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (parts.length > maxFiles) {
+        val bytes = parts.map(_.getLen).sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(dir.getParent, s".compact_${dir.getName}")
+        fs.delete(tmp, true)
+        layout(spark.read.parquet(dir.toString)
+          .coalesce(n).sortWithinPartitions("datetime_utc")
+          .write.mode(SaveMode.Overwrite)).parquet(tmp.toString)
+        parts.foreach(s => fs.delete(s.getPath, false))
+        fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+        fs.delete(tmp, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** S9/O3 — latest loaded partition (descending year/month walk becomes a
     * partition-only aggregate; no data files are read).
     * ref: raw_file_utils.py:316-419

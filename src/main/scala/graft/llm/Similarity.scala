@@ -381,6 +381,146 @@ object Similarity {
         WHERE rn <= $k"""
   }
 
+  /** Product-quantization ANN (the FAISS ADC shape): vectors are encoded
+    * as `m` sub-codes (argmin-L2 against a per-subspace codebook), queries
+    * score candidates in the COMPRESSED domain — est(q,x) = Σ_j q_subj ·
+    * codebook_j[code_x(j)] — and only a `shortlist`-sized prefix is
+    * re-ranked with the exact cosine. The 100 TB story is the memory cut:
+    * the ADC scan touches m bytes per vector instead of dims·4, which is
+    * what makes an exhaustive per-list scan feasible after IVF pruning
+    * (compose with ivfTopK's list assignment for IVF-PQ).
+    *
+    * FIXED deterministic codebooks (the subvectors of the embeddings of
+    * `vec_id < ksub`) so every stage — encode, ADC estimate, shortlist,
+    * refine — is DuckDB-computable and the whole pipeline gets a full
+    * hash-checked oracle, exactly the ivfTopKFixed precedent. The two
+    * broadcast cross joins (codebook into encode, queries into the ADC
+    * scan) are intentional tiny-side broadcasts, same as IVF's centroid
+    * probe.
+    */
+  def pqTopKFixed(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
+      roundScale: Int): DataFrame = {
+    val sub = dims / m
+    require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .localCheckpoint() // feeds codebook, encode, ADC and refine
+    val cent = e.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // ENCODE: per (vector, subspace) argmin L2 over the ksub codebook rows.
+    // Left-assoc fold from 0D = the oracle's left-assoc term chain, so the
+    // distances (and therefore the codes, tie-broken on c_id) match
+    // bit-for-bit.
+    val coded = e.select(col("vec_id"), col("v"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", expr(
+        s"""aggregate(zip_with(slice(v, j * $sub + 1, $sub),
+                               slice(cv, j * $sub + 1, $sub),
+                               (a, b) -> (a - b) * (a - b)),
+                      0D, (s, x) -> s + x)"""))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id", "j").orderBy(col("d2").asc, col("c_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("j"), col("c_id").as("code"))
+      .localCheckpoint() // the ADC scan reads it once per query batch
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // ADC scan: per-(pair, subspace) partial dot against the coded
+    // centroid's subvector, summed per pair. Rounded before ranking — the
+    // m-term sum is the one reduction whose order differs between engines.
+    val est = coded
+      .join(broadcast(cent.withColumnRenamed("c_id", "code")), "code")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("pd", expr(
+        s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(cv, j * $sub + 1, $sub))"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(round(sum(col("pd")), roundScale).as("est_r"))
+    val ws = Window.partitionBy("qid").orderBy(col("est_r").desc, col("cid"))
+    val short = est.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select("qid", "cid")
+    // REFINE: exact cosine on the shortlist only
+    val scored = short
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv2"),
+        col("nrm").as("cn")), "cid")
+      .withColumn("cos_r",
+        round(expr("vec_dot(qv, cv2)") / (col("qn") * col("cn")), roundScale))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_r"),
+        col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle for pqTopKFixed — same codebooks, same left-associated
+    * subspace chains, same rounded-estimate shortlist and tiebreaks.
+    */
+  def pqFixedOracleSql(dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
+      roundScale: Int): String = {
+    val sub = dims / m
+    def acc(tbl: String, i: String) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    def cacc(i: String) = s"CAST(c.cv[$i] AS DOUBLE)"
+    // per-subspace chains with j a COLUMN: index expressions j*sub + i
+    val d2Chain = (1 to sub).map { i =>
+      val ix = s"j * $sub + $i"
+      s"(${acc("e", ix)} - ${cacc(ix)}) * (${acc("e", ix)} - ${cacc(ix)})"
+    }.mkString(" + ")
+    val pdChain = (1 to sub).map { i =>
+      val ix = s"j * $sub + $i"
+      s"${acc("q", ix)} * ${cacc(ix)}"
+    }.mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${acc("e", i.toString)} * ${acc("e", i.toString)}")
+      .mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${acc("a", i.toString)} * ${acc("b", i.toString)}")
+      .mkString(" + ")
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv
+                      FROM embeddings WHERE vec_id < $ksub),
+        coded AS (
+          SELECT vec_id, j, c_id AS code FROM (
+            SELECT e.vec_id, g.j, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id, g.j
+                                      ORDER BY ($d2Chain) ASC, c.c_id) AS rnk
+            FROM embeddings e, generate_series(0, ${m - 1}) g(j), cent c) t
+          WHERE rnk = 1),
+        est AS (
+          SELECT q.vec_id AS qid, cd.vec_id AS cid,
+                 round(SUM($pdChain), $roundScale) AS est_r
+          FROM coded cd
+          JOIN cent c ON c.c_id = cd.code
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          WHERE cd.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY est_r DESC, cid) AS srnk
+            FROM est) t
+          WHERE srnk <= $shortlist),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        scored AS (
+          SELECT s.qid, s.cid,
+                 round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+          FROM short s
+          JOIN embeddings a ON a.vec_id = s.qid
+          JOIN embeddings b ON b.vec_id = s.cid
+          JOIN n na ON na.vec_id = s.qid
+          JOIN n nb ON nb.vec_id = s.cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
+  }
+
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */
   def bruteForceTopK(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {

@@ -505,6 +505,18 @@ object LlmOps {
       Some(graft.llm.Similarity.ivfFixedOracleSql(
         dims = 64, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4))),
 
+    // Product-quantization ANN (ADC scan + exact refine) with fixed
+    // deterministic codebooks — the compressed-domain scale path next to
+    // LSH and IVF: the estimate scan touches m bytes per vector instead of
+    // dims·4, the refine re-ranks only a bounded shortlist. Full oracle
+    // (same fixed-quantizer pattern as llm_ann_ivf_fixed).
+    ("llm_ann_pq",
+      (s, d) => graft.llm.Similarity.pqTopKFixed(embeddings(s, d),
+        col("vec_id") < 10, dims = 64, m = 8, ksub = 16, shortlist = 60,
+        k = 5, roundScale = 4),
+      Some(graft.llm.Similarity.pqFixedOracleSql(
+        dims = 64, m = 8, ksub = 16, shortlist = 60, k = 5, roundScale = 4))),
+
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",

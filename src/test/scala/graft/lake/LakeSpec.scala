@@ -55,6 +55,32 @@ class LakeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("id_mercado"))
   }
 
+  test("compaction merges small files without changing rows") {
+    val path = tmpDir() + "/mic2"
+    // five append-only batches → ≥5 files in the single touched partition
+    (1 to 5).foreach { b =>
+      Lake.upsert(spark, batch(b,
+        ("2024-01-01 00:00:00", 1, b.toDouble),
+        ("2024-01-01 01:00:00", 1, b + 0.5)),
+        path, "continuo", Nil, "batch_id")
+    }
+    def files() = {
+      val d = new java.io.File(
+        s"$path/mercado=continuo/id_mercado=1/year=2024/month=1")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def rows() = spark.read.parquet(path)
+      .select(col("datetime_utc").cast("string"), col("precio"), col("batch_id"))
+      .as[(String, Double, Int)].collect().sorted.toSeq
+    val before = rows()
+    assert(files() >= 5)
+    assert(Lake.compact(spark, path, maxFiles = 1) == 1)
+    assert(files() == 1, "partition not compacted to one file")
+    assert(rows() == before, "compaction changed row content")
+    // already compact ⇒ no-op
+    assert(Lake.compact(spark, path, maxFiles = 1) == 0)
+  }
+
   test("S9 latest partition") {
     val path = tmpDir() + "/lake3"
     Lake.upsert(spark, batch(1,

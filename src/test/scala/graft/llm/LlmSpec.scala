@@ -18,6 +18,20 @@ class LlmSpec extends SparkSpec {
     assert(approx.size <= exact.size * 2)
   }
 
+  test("PQ ANN: compressed-domain shortlist + refine recovers the exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopKFixed(emb, col("vec_id") < 10,
+        dims = 64, m = 8, ksub = 16, shortlist = 60, k = 5, roundScale = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // crude 16-entry fixed codebooks, but the exact refine over a 60-wide
+    // shortlist recovers most of the true neighbors
+    assert(recall >= 0.5, s"recall $recall")
+    assert(pq.size == exact.size) // k rows per query either way
+  }
+
   test("IVF ANN: k-means lists give high recall without a cross join") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
