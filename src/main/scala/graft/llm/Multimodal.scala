@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * one batch of decoded media per task. Image payloads decode for REAL via
   * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs); WAV
   * audio decodes for REAL via `javax.sound.sampled` (PCM 8/16-bit, any
-  * channel count — also JDK-only). Video, whose codecs are not in this
-  * environment, falls back to `decodeStub`, a clearly-marked deterministic
-  * fake keeping the schema/batch contract identical — swap it for a
-  * JNI/codec call in production.
+  * channel count — also JDK-only); MJPEG-in-AVI video demuxes for REAL via
+  * a plain RIFF walk with ImageIO decoding each JPEG frame. Only
+  * compressed video codecs (H.264 etc.), which have no JDK decoder, fall
+  * back to `decodeStub`, a clearly-marked deterministic fake keeping the
+  * schema/batch contract identical — swap it for a JNI/codec call in
+  * production.
   */
 object Multimodal {
 
@@ -153,12 +155,63 @@ object Multimodal {
         math.round(fmt.getSampleRate), fmt.getChannels, feats)
     }
 
+  /** Demux an MJPEG-in-AVI payload into its raw JPEG frames — a plain
+    * RIFF walk (chunk ids + little-endian sizes), JDK-only: recurse into
+    * LIST chunks and collect `??dc` (compressed-video) chunks that start
+    * with the JPEG SOI marker. None for anything that is not a RIFF AVI
+    * holding at least one JPEG frame (compressed codecs like H.264 have
+    * no JDK decoder and stay on the stub path).
+    */
+  private[llm] def readAviFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        def le32(off: Int) = java.nio.ByteBuffer.wrap(payload, off, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = le32(off + 4)
+            if (sz < 0 || off + 8 + sz > end) ok = false
+            else {
+              if (id == "LIST") walk(off + 12, off + 8 + sz)
+              else if (id.endsWith("dc") && sz >= 2 &&
+                  (payload(off + 8) & 0xff) == 0xff &&
+                  (payload(off + 9) & 0xff) == 0xd8)
+                frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+              off += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+          }
+        }
+        walk(12, math.min(payload.length, 8 + le32(4)))
+        if (frames.isEmpty) None else Some(frames.toSeq)
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL video decode for MJPEG-AVI: demux the RIFF container, decode the
+    * FIRST frame with ImageIO (the classic thumbnail signature), publish
+    * its band-luminance features and true dimensions; the feature tail is
+    * unchanged so downstream schemas never see which path decoded.
+    */
+  private[llm] def decodeVideo(r: MediaRow): Option[MediaFeatures] =
+    readAviFrames(r.payload).flatMap(frames =>
+      decodeImage(MediaRow(r.doc_id, frames.head, "image/jpeg"))
+        .map(f => f.copy(n_bytes = r.payload.length,
+          checksum = md5Hex(r.payload))))
+
   /** Decode dispatch: real ImageIO for image payloads, real JDK WAV decode
-    * for audio, stub only for video/unknown media.
+    * for audio, real RIFF+ImageIO demux for MJPEG-AVI video; stub only for
+    * codecs the JDK cannot read.
     */
   private[llm] def decode(r: MediaRow): MediaFeatures =
     if (r.mime.startsWith("image/")) decodeImage(r).getOrElse(decodeStub(r))
     else if (r.mime.startsWith("audio/")) decodeAudio(r).getOrElse(decodeStub(r))
+    else if (r.mime.startsWith("video/")) decodeVideo(r).getOrElse(decodeStub(r))
     else decodeStub(r)
 
   /** Feature extraction over the binary column, partition-streamed. */
@@ -250,6 +303,31 @@ object Multimodal {
     * rows, the shape that matters for downstream partition sizing.
     */
   case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** REAL frame sampling for MJPEG-AVI: demux the container and emit every
+    * `every`-th JPEG frame as its own row (frame_idx = original frame
+    * number, payload = the standalone JPEG — directly decodable by the
+    * image path). Payloads that are not MJPEG-AVI fall back to the stub's
+    * deterministic slicing, keeping the fan-out shape identical.
+    */
+  def sampleFramesAvi(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      readAviFrames(r.payload) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.collect {
+            case (f, i) if i % every == 0 => FrameRow(r.doc_id, i, f)
+          }
+        case None =>
+          val n = math.max(1, r.payload.length / every)
+          (0 until every).iterator.map { i =>
+            val from = math.min(i * n, r.payload.length)
+            val to = math.min(from + n, r.payload.length)
+            FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
+          }
+      }
+    }
+  }
 
   def sampleFramesStub(media: Dataset[MediaRow], frames: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._

@@ -225,6 +225,38 @@ object Curation {
                      round(SUM(pow(x - c * scale / 127, 2)), 6) AS recon_err_r
               FROM q GROUP BY vec_id""")),
 
+    // SPAN-level dedup (repeated-passage removal, the C4/RefinedWeb move):
+    // hash every 50-token window at stride 25 and surface windows appearing
+    // in ≥2 documents — catches long verbatim passages that whole-doc
+    // near-dup misses when the surrounding text differs. Same one-exchange
+    // shape as the other fan-outs: repartition(doc_id), per-doc DISTINCT
+    // window hashes reuse that partitioning, then one groupBy(h) whose
+    // input is |windows| ids — never the text.
+    ("llm_span_dedup",
+      (s, d) => documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 50)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (size(l) - 50) div 25)")).as("w"),
+          col("l"))
+        .select(col("doc_id"),
+          md5(expr("concat_ws(' ', slice(l, w * 25 + 1, 50))")).as("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") >= 2),
+      Some("""WITH w AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(l[i*25+1 : i*25+50], ' ')) AS h
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(0, (len(l)-50)//25)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l
+                            FROM documents) x
+                      WHERE len(l) >= 50) t)
+              SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
+              FROM w GROUP BY h HAVING count(*) >= 2""")),
+
     // SOURCE MIXTURE weights (domain mixing): per-source document/token
     // tallies, the corpus token share, and sqrt-temperature sampling
     // weights (τ=0.5 — upweights small domains, the standard multi-source

@@ -125,6 +125,59 @@ class LlmSpec extends SparkSpec {
     assert(resized(2L).payload.sameElements("not an image".getBytes("UTF-8")))
   }
 
+  test("real MJPEG-AVI demux: frame sampling and first-frame decode") {
+    import spark.implicits._
+    // a real JPEG per frame (ImageIO-encoded solid gray), wrapped in a
+    // minimal RIFF AVI container: LIST hdrl (header only) + LIST movi
+    // with one 00dc chunk per frame
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, 32, 24); g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val frames = (0 until 6).map(i => jpeg(30 + i * 40))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val aviBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(aviBody.length) ++ aviBody
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, avi, "video/x-msvideo"),
+      Multimodal.MediaRow(2L, "not a video".getBytes("UTF-8"), "video/mp4"))
+      .toDS()
+    // REAL demux: every 2nd frame, original frame indices, decodable JPEGs
+    val sampled = Multimodal.sampleFramesAvi(media.filter(_.doc_id == 1L), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    val lumas = sampled.map { f =>
+      val d = Multimodal.decodeImage(
+        Multimodal.MediaRow(1L, f.payload, "image/jpeg")).get
+      assert(d.width == 32 && d.height == 24)
+      d.features.sum / 8
+    }
+    assert(lumas.sameElements(lumas.sorted), "frame grays should ascend")
+    // REAL first-frame video decode: true dimensions, darkest frame's luma
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 32 && feats(1L).height == 24)
+    assert(feats(1L).features.forall(f => f > 0.05f && f < 0.2f)) // gray 30
+    // compressed/unknown codec: stub fallback keeps the contract
+    assert(feats(2L).features.length == 8 && feats(2L).checksum.length == 32)
+  }
+
   test("real WAV decode: javax.sound path extracts rate/channels and band amplitude") {
     import spark.implicits._
     // generate a real PCM16 mono WAV @8 kHz: first half silence, second
