@@ -521,6 +521,83 @@ object Similarity {
         WHERE rn <= $k"""
   }
 
+  /** IVF-PQ: the two scale paths COMPOSED, the way a billion-vector index
+    * actually ships — IVF list assignment prunes the candidate set to the
+    * `nProbe` probed lists, and the ADC estimate scan runs over PQ codes
+    * (m bytes per vector) only within those lists, followed by the exact
+    * refine over the shortlist. Fixed deterministic quantizers on both
+    * levels (the ivfTopKFixed / pqTopKFixed precedent); LlmSpec proves
+    * recall against brute force and that candidate generation stays a
+    * fraction of the corpus.
+    */
+  def ivfPqTopKFixed(embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, nCentroids: Int, nProbe: Int,
+      dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
+      roundScale: Int): DataFrame = {
+    val sub = dims / m
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .localCheckpoint()
+    // level 1 — coarse lists (ivfTopKFixed shape)
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val ranked = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd", expr("vec_dot(v, cv)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cd").desc, col("c_id"))))
+    val assigned = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"))
+    // level 2 — PQ codes (pqTopKFixed shape)
+    val pqCent = e.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val coded = e.select(col("vec_id"), col("v"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(pqCent))
+      .withColumn("d2", expr(
+        s"""aggregate(zip_with(slice(v, j * $sub + 1, $sub),
+                               slice(pv, j * $sub + 1, $sub),
+                               (a, b) -> (a - b) * (a - b)),
+                      0D, (s, x) -> s + x)"""))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("vec_id", "j").orderBy(col("d2").asc, col("p_id"))))
+      .filter(col("prnk") === 1)
+      .select(col("vec_id"), col("j"), col("p_id").as("code"))
+      .join(assigned, "vec_id") // codes carry their list id
+      .localCheckpoint()
+    val q = ranked.filter(queryPred && col("rnk") <= nProbe)
+      .join(e.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
+        "vec_id")
+      .select(col("vec_id").as("qid"), col("qv"), col("qn"),
+        col("c_id").as("list_id"))
+    // ADC scan restricted to the probed lists: shuffle on list_id, codes
+    // only — the pruning IVF buys before PQ's compressed-domain estimate
+    val est = coded
+      .join(broadcast(pqCent.withColumnRenamed("p_id", "code")), "code")
+      .join(q, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("pd", expr(
+        s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(pv, j * $sub + 1, $sub))"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(round(sum(col("pd")), roundScale).as("est_r"))
+    val ws = Window.partitionBy("qid").orderBy(col("est_r").desc, col("cid"))
+    val short = est.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select("qid", "cid")
+    val scored = short
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv2"),
+        col("nrm").as("cn")), "cid")
+      .withColumn("cos_r",
+        round(expr("vec_dot(qv, cv2)") / (col("qn") * col("cn")), roundScale))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_r"),
+        col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */
   def bruteForceTopK(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {

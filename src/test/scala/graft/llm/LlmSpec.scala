@@ -32,6 +32,26 @@ class LlmSpec extends SparkSpec {
     assert(pq.size == exact.size) // k rows per query either way
   }
 
+  test("IVF-PQ composition: list pruning bounds the ADC scan, refine keeps recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopKFixed(emb, col("vec_id") < 10,
+        nCentroids = 8, nProbe = 3, dims = 64, m = 8, ksub = 16,
+        shortlist = 40, k = 5, roundScale = 4)
+    val got = ivfpq.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall") // 3 of 8 lists probed, then PQ
+    // the probed-list candidate set must be a strict fraction of all-pairs
+    val nVec = emb.count()
+    val nQ = 10L
+    assert(got.size == exact.size)
+    val estRows = Similarity.ivfPqTopKFixed(emb, col("vec_id") < 10,
+        8, 3, 64, 8, 16, shortlist = Int.MaxValue, k = Int.MaxValue, 4)
+      .select("qid", "cid").as[(Long, Long)].collect().length
+    assert(estRows < nQ * (nVec - 1), s"ADC scan not pruned: $estRows pairs")
+  }
+
   test("IVF ANN: k-means lists give high recall without a cross join") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
