@@ -225,6 +225,53 @@ object Curation {
                      round(SUM(pow(x - c * scale / 127, 2)), 6) AS recon_err_r
               FROM q GROUP BY vec_id""")),
 
+    // INCREMENTAL dedup — the daily-ingest mode: near-dup candidates of a
+    // NEW batch (doc_id % 10 == 0, the deterministic stand-in for today's
+    // crawl) against the EXISTING corpus, oriented new → matched. Reuses
+    // the banded minhash pipeline, so candidate generation stays a shuffle
+    // on band key; in production the corpus side's signatures are read
+    // precomputed from the lake rather than re-derived, which only removes
+    // work from this plan.
+    ("llm_incremental_dedup",
+      (s, d) => {
+        val isNew1 = col("d1") % 10 === 0
+        val isNew2 = col("d2") % 10 === 0
+        LlmOps.minhashPairs(s, d)
+          .filter(isNew1 =!= isNew2)
+          .select(
+            when(isNew1, col("d1")).otherwise(col("d2")).as("doc_id"),
+            when(isNew1, col("d2")).otherwise(col("d1")).as("matched_doc"),
+            col("jac"))
+      },
+      Some("WITH " + LlmOps.minhashPairsSql + """
+            SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS doc_id,
+                   CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS matched_doc,
+                   jac
+            FROM pairs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)""")),
+
+    // Per-source LENGTH percentiles (corpus health stats): exact
+    // interpolated p50/p90 token counts per source — Spark's percentile()
+    // and DuckDB's quantile_cont share the (n−1)·p linear-interpolation
+    // definition. One aggregation shuffle to ~|sources| rows.
+    ("llm_length_stats",
+      (s, d) => documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tok")), 6).as("mean_tok"),
+          round(expr("percentile(n_tok, 0.5D)"), 6).as("p50_tok"),
+          round(expr("percentile(n_tok, 0.9D)"), 6).as("p90_tok")),
+      Some("""SELECT source, count(*) AS n_docs,
+                     round(avg(n_tok), 6) AS mean_tok,
+                     round(quantile_cont(n_tok, 0.5), 6) AS p50_tok,
+                     round(quantile_cont(n_tok, 0.9), 6) AS p90_tok
+              FROM (SELECT source,
+                           CAST(len(string_split(text, ' ')) AS DOUBLE)
+                             AS n_tok
+                    FROM documents) t
+              GROUP BY source""")),
+
     // SPAN-level dedup (repeated-passage removal, the C4/RefinedWeb move):
     // hash every 50-token window at stride 25 and surface windows appearing
     // in ≥2 documents — catches long verbatim passages that whole-doc

@@ -169,7 +169,7 @@ object LlmOps {
   /** The full MinHash-LSH near-dup pair pipeline (shared by the pair query
     * and the clustering query).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val ds = shingleProfile(s, d)
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
@@ -199,7 +199,7 @@ object LlmOps {
   }
 
   /** The pair chain of the minhash oracle, shared by both oracles. */
-  private val minhashPairsSql = {
+  private[queries] val minhashPairsSql = {
     val bandKeys = (0 until 6)
       .map(b => s"mh${b * 2} * $MinhashP + mh${b * 2 + 1}")
       .mkString("[", ", ", "]")

@@ -61,6 +61,25 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("incremental dedup orients new-batch docs against the corpus") {
+    val rows = SparkEntry.queries("llm_incremental_dedup")(spark, sfDir)
+      .select($"doc_id", $"matched_doc", $"jac")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, m, j) =>
+      n % 10 == 0 && m % 10 != 0 && j >= 0.4 && j <= 1.0 })
+  }
+
+  test("length stats are ordered and cover the corpus") {
+    val rows = SparkEntry.queries("llm_length_stats")(spark, sfDir)
+      .select($"source", $"n_docs", $"mean_tok", $"p50_tok", $"p90_tok")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sfDir).count())
+    assert(rows.forall { case (_, _, mean, p50, p90) =>
+      p50 <= p90 && mean > 0 && p50 > 0 })
+  }
+
   test("source mixture weights normalize and cover the corpus") {
     val rows = SparkEntry.queries("llm_source_mix")(spark, sfDir)
       .select($"source", $"n_docs", $"tok_share", $"mix_weight")
