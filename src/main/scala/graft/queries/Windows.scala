@@ -155,8 +155,15 @@ object Windows {
     // plan fans out across |suppliers| tasks instead of one global sort.
     ("w11_rolling_fact",
       (s, d) => {
+        // quantity/price tiebreakers because the synthetic lineitem is NOT
+        // keyed by (orderkey, linenumber) — duplicate keys with different
+        // quantities exist (1 such tie at sf0.1), and a ROWS frame over a
+        // non-total order makes the tied rows' 24-row frames engine-
+        // dependent. With the extra columns any remaining tie is between
+        // fully-identical rows, whose swapped frames are value-identical.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .rowsBetween(-23, 0)
         // long-cents formulation of the exact-decimal sum: quantities carry
         // ≤2 decimals, so sum(cents)/100.0 is the correctly-rounded double
@@ -173,7 +180,8 @@ object Windows {
                        / COUNT(*) OVER w AS media24
               FROM lineitem
               WINDOW w AS (PARTITION BY l_suppkey
-                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                    l_quantity, l_extendedprice
                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")),
 
     // W3 (DST arm) — hourly label parse INCLUDING the fall-back a/b suffix,
