@@ -304,6 +304,55 @@ object Curation {
               SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
               FROM w GROUP BY h HAVING count(*) >= 2""")),
 
+    // CORPUS health report — the one-row dashboard a curation pipeline
+    // publishes per snapshot: document/token totals, exact-duplicate count,
+    // near-dup pair count (banded minhash), repeated-span count. Each
+    // input is an already-bounded aggregate; the single-row combine is a
+    // cross join of 1-row frames (broadcast, trivially safe).
+    ("llm_corpus_report",
+      (s, d) => {
+        val base = documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+            .cast(LongType)).as("n_tok"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+        val pairs = LlmOps.minhashPairs(s, d)
+          .agg(count(lit(1)).as("n_neardup_pairs"))
+        val spans = documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= 50)
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(l) - 50) div 25)")).as("w"),
+            col("l"))
+          .select(col("doc_id"),
+            md5(expr("concat_ws(' ', slice(l, w * 25 + 1, 50))")).as("h"))
+          .distinct()
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .agg(count(lit(1)).as("n_dup_spans"))
+        base.crossJoin(pairs).crossJoin(spans)
+      },
+      Some("WITH " + LlmOps.minhashPairsSql + """,
+            base AS (
+              SELECT count(*) AS n_docs,
+                     CAST(SUM(len(regexp_extract_all(text, '[^ ]+')))
+                          AS BIGINT) AS n_tok,
+                     count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+              FROM documents),
+            np AS (SELECT count(*) AS n_neardup_pairs FROM pairs),
+            w AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(l[i*25+1 : i*25+50], ' ')) AS h
+              FROM (SELECT doc_id, l,
+                           unnest(generate_series(0, (len(l)-50)//25)) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents) x
+                    WHERE len(l) >= 50) t),
+            ns AS (SELECT count(*) AS n_dup_spans
+                   FROM (SELECT h FROM w GROUP BY h HAVING count(*) >= 2) g)
+            SELECT * FROM base, np, ns""")),
+
     // SOURCE MIXTURE weights (domain mixing): per-source document/token
     // tallies, the corpus token share, and sqrt-temperature sampling
     // weights (τ=0.5 — upweights small domains, the standard multi-source

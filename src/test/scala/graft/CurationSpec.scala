@@ -61,6 +61,16 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("corpus report agrees with the per-operator queries") {
+    val r = SparkEntry.queries("llm_corpus_report")(spark, sfDir)
+      .select($"n_docs", $"n_exact_dups", $"n_neardup_pairs", $"n_dup_spans")
+      .as[(Long, Long, Long, Long)].first()
+    assert(r._1 == Tables.documents(spark, sfDir).count())
+    assert(r._3 == SparkEntry.queries("llm_minhash_dedup")(spark, sfDir).count())
+    assert(r._4 == SparkEntry.queries("llm_span_dedup")(spark, sfDir).count())
+    assert(r._2 >= 0)
+  }
+
   test("incremental dedup orients new-batch docs against the corpus") {
     val rows = SparkEntry.queries("llm_incremental_dedup")(spark, sfDir)
       .select($"doc_id", $"matched_doc", $"jac")
