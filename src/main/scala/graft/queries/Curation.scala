@@ -304,6 +304,67 @@ object Curation {
               SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
               FROM w GROUP BY h HAVING count(*) >= 2""")),
 
+    // CURATION pipeline e2e — the composition the per-operator oracles
+    // never see, as one registered query (the pipeline_*_e2e pattern from
+    // the energy side): normalize → token-count quality gate → exact dedup
+    // on normalized content (min-doc_id keeper) → content-hash train/val/
+    // test split → per-split totals. Built exclusively from constructs
+    // individually green in the driver gate.
+    ("pipeline_curation_e2e",
+      (s, d) => {
+        val cleaned = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,;:!?]", ""), "\\s+", " "))
+        val base = documents(s, d)
+          .withColumn("norm", cleaned)
+          .withColumn("n_tok",
+            size(regexp_extract_all(col("norm"), lit("[^ ]+"), lit(0))))
+          .filter(col("n_tok") >= 20)
+          .withColumn("h", md5(col("norm")))
+        val kept = base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val b = expr(
+          """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(h, 2, 1)) - 1""")
+        kept
+          .withColumn("split",
+            when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast(LongType)).as("n_tok"))
+      },
+      Some("""WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                         '\s+', ' ', 'g')) AS norm
+                FROM documents),
+              gated AS (
+                SELECT doc_id, md5(norm) AS h,
+                       len(regexp_extract_all(norm, '[^ ]+')) AS n_tok
+                FROM norm
+                WHERE len(regexp_extract_all(norm, '[^ ]+')) >= 20),
+              kept AS (
+                SELECT h, n_tok FROM (
+                  SELECT h, n_tok,
+                         row_number() OVER (PARTITION BY h
+                                            ORDER BY doc_id) AS rn
+                  FROM gated) t
+                WHERE rn = 1),
+              tagged AS (
+                SELECT CASE WHEN b < 205 THEN 'train'
+                            WHEN b < 230 THEN 'val'
+                            ELSE 'test' END AS split,
+                       n_tok
+                FROM (SELECT n_tok,
+                             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                             + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b
+                      FROM kept) u)
+              SELECT split, count(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tok
+              FROM tagged GROUP BY split""")),
+
     // CORPUS health report — the one-row dashboard a curation pipeline
     // publishes per snapshot: document/token totals, exact-duplicate count,
     // near-dup pair count (banded minhash), repeated-span count. Each
