@@ -249,6 +249,52 @@ object Curation {
                    jac
             FROM pairs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)""")),
 
+    // TF-IDF top terms per document — the classic salient-term extraction.
+    // tf and df are integer aggregates, idf = ln(N/df) computed from
+    // identical integer operands in both engines; the score is ROUNDED
+    // before ranking (the one cross-engine ulp surface) with the term as
+    // tiebreak, so the top-3 cut is deterministic. N arrives as a
+    // broadcast 1-row aggregate, never a driver-side action.
+    ("llm_tfidf_terms",
+      (s, d) => {
+        val toks = documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDf = documents(s, d)
+          .agg(countDistinct(col("doc_id")).cast(DoubleType).as("n"))
+        val scored = toks.join(dfreq, "tok")
+          .crossJoin(broadcast(nDf))
+          .withColumn("score_r",
+            round(col("tf") * log(col("n") / col("df")), 6))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_r").desc, col("tok"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("tok").as("term"), col("score_r"),
+            col("rank").cast(IntegerType).as("rank"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents) u
+                GROUP BY 1, 2),
+              d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+              n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                    FROM documents),
+              sc AS (
+                SELECT t.doc_id, t.tok,
+                       round(t.tf * ln(n.n / d.df), 6) AS score_r
+                FROM t JOIN d ON t.tok = d.tok CROSS JOIN n)
+              SELECT doc_id, tok AS term, score_r, CAST(rank AS INTEGER) AS rank
+              FROM (SELECT doc_id, tok, score_r,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY score_r DESC, tok)
+                             AS rank
+                    FROM sc) x
+              WHERE rank <= 3""")),
+
     // Per-source LENGTH percentiles (corpus health stats): exact
     // interpolated p50/p90 token counts per source — Spark's percentile()
     // and DuckDB's quantile_cont share the (n−1)·p linear-interpolation

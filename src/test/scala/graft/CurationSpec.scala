@@ -61,6 +61,21 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("tf-idf yields exactly three ranked salient terms per document") {
+    val rows = SparkEntry.queries("llm_tfidf_terms")(spark, sfDir)
+      .select($"doc_id", $"term", $"score_r", $"rank")
+      .as[(Long, String, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.size == Tables.documents(spark, sfDir).count())
+    assert(perDoc.values.forall { g =>
+      val scores = g.sortBy(_._4).map(_._3).toSeq
+      g.map(_._4).sorted.toSeq == (1 to g.size) && g.size <= 3 &&
+        // ranks follow score: rank 1 has the (weakly) highest score
+        scores.zip(scores.drop(1)).forall { case (a, b) => a >= b }
+    })
+  }
+
   test("corpus report agrees with the per-operator queries") {
     val r = SparkEntry.queries("llm_corpus_report")(spark, sfDir)
       .select($"n_docs", $"n_exact_dups", $"n_neardup_pairs", $"n_dup_spans")
