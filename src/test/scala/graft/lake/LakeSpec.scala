@@ -81,6 +81,30 @@ class LakeSpec extends SparkSpec {
     assert(Lake.compact(spark, path, maxFiles = 1) == 0)
   }
 
+  test("compaction touches only oversized partitions across a multi-month lake") {
+    val path = tmpDir() + "/mic3"
+    // month 1 gets five small batches; month 2 gets one (already compact)
+    (1 to 5).foreach { b =>
+      Lake.upsert(spark, batch(b, ("2024-01-01 00:00:00", 1, b.toDouble)),
+        path, "continuo", Nil, "batch_id")
+    }
+    Lake.upsert(spark, batch(9, ("2024-02-01 00:00:00", 1, 9.0)),
+      path, "continuo", Nil, "batch_id")
+    val before = spark.read.parquet(path)
+      .select(col("datetime_utc").cast("string"), col("precio"), col("batch_id"))
+      .as[(String, Double, Int)].collect().sorted.toSeq
+    // only the january partition exceeds the threshold
+    assert(Lake.compact(spark, path, maxFiles = 2) == 1)
+    val feb = new java.io.File(
+      s"$path/mercado=continuo/id_mercado=1/year=2024/month=2")
+    assert(feb.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      "already-compact partition was rewritten")
+    val after = spark.read.parquet(path)
+      .select(col("datetime_utc").cast("string"), col("precio"), col("batch_id"))
+      .as[(String, Double, Int)].collect().sorted.toSeq
+    assert(after == before, "compaction changed row content")
+  }
+
   test("S9 latest partition") {
     val path = tmpDir() + "/lake3"
     Lake.upsert(spark, batch(1,
