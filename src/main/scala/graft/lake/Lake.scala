@@ -147,10 +147,13 @@ object Lake {
     * Row content is untouched, so it can run any time; only oversized
     * partitions are rewritten. The directory listing and the swap loop are
     * driver-side over PARTITIONS (bounded by markets × months — metadata,
-    * never data); each rewrite is a distributed job. The swap
-    * (write-aside, delete, move) is best-effort atomic — a concurrent
-    * reader can see a partition mid-swap; a production lake would layer a
-    * table format's commit protocol on top.
+    * never data); each rewrite is a distributed job. The swap is
+    * write-aside → move-in → delete-originals, in that order, so a crash
+    * mid-swap can leave DUPLICATE rows visible (old + rewritten files
+    * coexist until the deletes finish) but never loses the partition;
+    * renames are checked and abort the swap before any original is
+    * deleted. A concurrent reader can still observe the duplicate window —
+    * a production lake would layer a table format's commit protocol on top.
     * Returns the number of partitions compacted.
     */
   def compact(spark: SparkSession, path: String, maxFiles: Int = 8,
@@ -160,7 +163,14 @@ object Lake {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     def leaves(p: Path): Seq[Path] = {
-      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      // skip hidden/metadata entries (".compact_*" work dirs from a crashed
+      // run, "_SUCCESS", Spark staging) — they are not data partitions
+      val (dirs, files) = fs.listStatus(p).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }
+        .partition(_.isDirectory)
       if (files.exists(_.getPath.getName.endsWith(".parquet"))) Seq(p)
       else dirs.flatMap(d => leaves(d.getPath))
     }
@@ -176,10 +186,19 @@ object Lake {
         layout(spark.read.parquet(dir.toString)
           .coalesce(n).sortWithinPartitions("datetime_utc")
           .write.mode(SaveMode.Overwrite)).parquet(tmp.toString)
-        parts.foreach(s => fs.delete(s.getPath, false))
+        // move-in BEFORE deleting originals: rewritten part files carry
+        // fresh UUID names so they never collide with `parts`; any failed
+        // rename aborts here, leaving the partition's original files intact
         fs.listStatus(tmp).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+          .foreach { s =>
+            val dest = new Path(dir, s.getPath.getName)
+            if (!fs.rename(s.getPath, dest))
+              throw new java.io.IOException(
+                s"compact: rename ${s.getPath} -> $dest failed; " +
+                  s"originals in $dir left untouched")
+          }
+        parts.foreach(s => fs.delete(s.getPath, false))
         fs.delete(tmp, true)
         compacted += 1
       }

@@ -307,11 +307,15 @@ object Multimodal {
   /** REAL frame sampling for MJPEG-AVI: demux the container and emit every
     * `every`-th JPEG frame as its own row (frame_idx = original frame
     * number, payload = the standalone JPEG — directly decodable by the
-    * image path). Payloads that are not MJPEG-AVI fall back to the stub's
-    * deterministic slicing, keeping the fan-out shape identical.
+    * image path). Payloads that are not MJPEG-AVI fall back to slicing the
+    * payload into fixed 4 KiB pseudo-frames and keeping every `every`-th —
+    * the SAME stride semantics as the real path (frame_idx = original
+    * pseudo-frame index), so mixed-codec corpora get a consistent per-row
+    * fan-out proportional to media size / stride.
     */
   def sampleFramesAvi(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
+    val pseudoFrameBytes = 4096
     media.flatMap { r =>
       readAviFrames(r.payload) match {
         case Some(frames) =>
@@ -319,10 +323,11 @@ object Multimodal {
             case (f, i) if i % every == 0 => FrameRow(r.doc_id, i, f)
           }
         case None =>
-          val n = math.max(1, r.payload.length / every)
-          (0 until every).iterator.map { i =>
-            val from = math.min(i * n, r.payload.length)
-            val to = math.min(from + n, r.payload.length)
+          val nChunks = math.max(1,
+            (r.payload.length + pseudoFrameBytes - 1) / pseudoFrameBytes)
+          (0 until nChunks).iterator.filter(_ % every == 0).map { i =>
+            val from = math.min(i * pseudoFrameBytes, r.payload.length)
+            val to = math.min(from + pseudoFrameBytes, r.payload.length)
             FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
           }
       }

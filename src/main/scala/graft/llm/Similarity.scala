@@ -98,7 +98,7 @@ object Similarity {
     * boundaries).
     */
   def annOracleSql(dims: Int, nBits: Int, nTables: Int, k: Int,
-      roundScale: Int): String = {
+      roundScale: Int, queryIdBound: Int = 10): String = {
     def acc(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
     def sig(salt: Int): String = {
       val bits = (0 until nBits).map { p =>
@@ -120,7 +120,7 @@ object Similarity {
         cand AS (
           SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
           FROM eb x JOIN eb y ON x.bucket = y.bucket
-          WHERE x.vec_id < 10 AND y.vec_id <> x.vec_id),
+          WHERE x.vec_id < $queryIdBound AND y.vec_id <> x.vec_id),
         n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
         scored AS (
           SELECT qid, cid,
@@ -216,7 +216,11 @@ object Similarity {
     */
   /** Plain Lloyd's iterations over a driver-held sample (the IVF coarse
     * quantizer). Deterministic: first-k init, fixed iteration count; an
-    * emptied cluster keeps its previous centroid.
+    * emptied cluster keeps its previous centroid. Every UPDATED centroid
+    * coordinate is snapped to the 1e-6 grid via floor(mean·1e6 + 0.5)/1e6 —
+    * pure IEEE double ops that the DuckDB oracle (ivfOracleSql) replays
+    * bit-for-bit, so the accumulation-order noise of a SQL SUM (~1e-12)
+    * vanishes below the grid and both engines learn IDENTICAL centroids.
     */
   private def lloyd(pts: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
@@ -241,14 +245,16 @@ object Similarity {
       }
       cents = Array.tabulate(k) { j =>
         if (cnts(j) == 0) cents(j)
-        else sums(j).map(_ / cnts(j))
+        else sums(j).map(x =>
+          math.floor(x / cnts(j) * 1000000.0 + 0.5) / 1000000.0)
       }
     }
     cents
   }
 
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
-      nLists: Int = 16, nProbe: Int = 3, k: Int = 5): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 3, k: Int = 5,
+      roundScale: Int = -1): DataFrame = {
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
@@ -258,9 +264,13 @@ object Similarity {
     // |data|, so the 100 TB path trains identically — only assignment and
     // scoring scan the full table, and assignment is a narrow map against
     // broadcast literal centroids (no ML pipeline, no extra jobs).
-    // Deterministic: hash-ordered sample, first-k init, fixed iterations.
-    val sample = e.select(col("v"), xxhash64(col("vec_id")).as("hx"))
-      .orderBy("hx").limit(nLists * 64)
+    // Deterministic: hash-ordered sample (md5 of the id string — a hash
+    // both engines compute identically, so the oracle replays the exact
+    // same sample in the exact same order), first-k init, fixed iterations.
+    val sample = e
+      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
+        col("vec_id"))
+      .orderBy("hx", "vec_id").limit(nLists * 64)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = lloyd(sample, nLists, iters = 8).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -291,13 +301,126 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), col("c_id").as("list_id"))
     val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cn"), col("list_id"))
+    val rawCos = expr("vec_dot(qv, cv)") / (col("qn") * col("cn"))
+    val cosCol = if (roundScale >= 0) round(rawCos, roundScale) else rawCos
+    val cosName = if (roundScale >= 0) "cos_r" else "cos"
     val scored = probes.join(c, Seq("list_id")) // shuffle on centroid list
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-      .withColumn("cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      .withColumn(cosName, cosCol)
+    val w = Window.partitionBy("qid").orderBy(col(cosName).desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("qid", "cid", "cos", "rn")
+      .select(col("qid"), col("cid"), col(cosName),
+        col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle for ivfTopK with the LEARNED quantizer — the 8 Lloyd's
+    * iterations over the bounded md5-ordered sample unrolled as chained
+    * CTEs (argmin assignment + per-cluster mean per iteration). The cross-
+    * engine determinism protocol matches `lloyd` exactly: (a) the sample
+    * order is md5(vec_id-as-string) — both engines produce the same hex;
+    * (b) updated centroid coordinates snap to the 1e-6 grid with
+    * floor(mean·1e6 + 0.5)/1e6, so SUM accumulation-order noise (~1e-12)
+    * cannot diverge the engines; (c) all distance/dot chains are generated
+    * left-associated in dim order, the same accumulation the Scala loops
+    * and vec_dot perform. Assignment ties break to the lowest centroid id
+    * in both (strict-< fold vs row_number ORDER BY d, c_id).
+    */
+  def ivfOracleSql(dims: Int, nLists: Int, nProbe: Int, k: Int,
+      roundScale: Int, queryIdBound: Int = 10, iters: Int = 8,
+      samplePerList: Int = 64): String = {
+    val cap = nLists * samplePerList
+    def emb(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    val d2Chain = (1 to dims)
+      .map(i => s"(${emb("p", i)} - c.cv[$i]) * (${emb("p", i)} - c.cv[$i])")
+      .mkString(" + ")
+    val initList = (1 to dims).map(i => emb("pts", i)).mkString(", ")
+    val sumCols = (1 to dims).map(i => s"SUM(${emb("p", i)}) AS s$i")
+      .mkString(", ")
+    val meanList = (1 to dims)
+      .map(i => s"floor(m.s$i / m.n * 1000000.0 + 0.5) / 1000000.0")
+      .mkString(", ")
+    val iterCtes = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      // AS MATERIALIZED is load-bearing: each c$t is referenced twice (the
+      // next assignment and the empty-cluster fallback), so DuckDB's
+      // default CTE inlining would expand the chain 2^iters-fold
+      s"""a$t AS (
+            SELECT p.rk, c.c_id,
+                   row_number() OVER (PARTITION BY p.rk
+                                      ORDER BY ($d2Chain) ASC, c.c_id) AS rn
+            FROM pts p, $prev c),
+          m$t AS (
+            SELECT a.c_id, COUNT(*) AS n, $sumCols
+            FROM a$t a JOIN pts p ON p.rk = a.rk
+            WHERE a.rn = 1 GROUP BY a.c_id),
+          c$t AS MATERIALIZED (
+            SELECT pc.c_id,
+                   CASE WHEN m.c_id IS NULL THEN pc.cv
+                        ELSE list_value($meanList) END AS cv
+            FROM $prev pc LEFT JOIN m$t m ON m.c_id = pc.c_id)"""
+    }.mkString(",\n        ")
+    val cF = s"c$iters"
+    // full-table assignment: the same ||c||² − 2·v·c ordering (||v||² is
+    // row-constant) the Spark fold evaluates, inlined as chains over the
+    // final centroids
+    val cn2Chain = (1 to dims).map(i => s"c.cv[$i] * c.cv[$i]")
+      .mkString(" + ")
+    val assignDot = (1 to dims).map(i => s"${emb("e", i)} * c.cv[$i]")
+      .mkString(" + ")
+    val probeD2 = (1 to dims)
+      .map(i => s"(${emb("e", i)} - c.cv[$i]) * (${emb("e", i)} - c.cv[$i])")
+      .mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${emb("e", i)} * ${emb("e", i)}").mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${emb("a", i)} * ${emb("b", i)}").mkString(" + ")
+    s"""WITH pts AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rk,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT $cap) s),
+        c0 AS MATERIALIZED (
+          SELECT rk - 1 AS c_id, list_value($initList) AS cv
+          FROM pts WHERE rk <= $nLists),
+        $iterCtes,
+        asg AS (
+          SELECT vec_id, c_id AS list_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY (($cn2Chain) - 2 * ($assignDot)) ASC,
+                               c.c_id) AS rnk
+            FROM embeddings e, $cF c) t
+          WHERE rnk = 1),
+        probes AS (
+          SELECT vec_id AS qid, c_id AS list_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ($probeD2) ASC, c.c_id) AS rnk
+            FROM embeddings e, $cF c
+            WHERE e.vec_id < $queryIdBound) t
+          WHERE rnk <= $nProbe),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        cand AS (
+          SELECT p.qid, a.vec_id AS cid
+          FROM probes p JOIN asg a
+            ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+        scored AS (
+          SELECT qid, cid,
+                 round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+          FROM cand
+          JOIN embeddings a ON a.vec_id = qid
+          JOIN embeddings b ON b.vec_id = cid
+          JOIN n na ON na.vec_id = qid
+          JOIN n nb ON nb.vec_id = cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
   }
 
   /** IVF with FIXED deterministic centroids (the embeddings of
@@ -342,7 +465,7 @@ object Similarity {
     * tiebreaks, same left-associated IEEE dot chains as annOracleSql.
     */
   def ivfFixedOracleSql(dims: Int, nCentroids: Int, nProbe: Int, k: Int,
-      roundScale: Int): String = {
+      roundScale: Int, queryIdBound: Int = 10): String = {
     def acc(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
     val assignChain = (1 to dims)
       .map(i => s"${acc("e", i)} * CAST(c.cv[$i] AS DOUBLE)").mkString(" + ")
@@ -359,7 +482,7 @@ object Similarity {
           FROM embeddings e, cent c),
         assign AS (SELECT vec_id, c_id AS list_id FROM ranked WHERE rnk = 1),
         probes AS (SELECT vec_id AS qid, c_id AS list_id
-                   FROM ranked WHERE vec_id < 10 AND rnk <= $nProbe),
+                   FROM ranked WHERE vec_id < $queryIdBound AND rnk <= $nProbe),
         n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
         cand AS (
           SELECT p.qid, a.vec_id AS cid
@@ -461,7 +584,7 @@ object Similarity {
     * subspace chains, same rounded-estimate shortlist and tiebreaks.
     */
   def pqFixedOracleSql(dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
-      roundScale: Int): String = {
+      roundScale: Int, queryIdBound: Int = 10): String = {
     val sub = dims / m
     def acc(tbl: String, i: String) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
     def cacc(i: String) = s"CAST(c.cv[$i] AS DOUBLE)"
@@ -494,7 +617,7 @@ object Similarity {
                  round(SUM($pdChain), $roundScale) AS est_r
           FROM coded cd
           JOIN cent c ON c.c_id = cd.code
-          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $queryIdBound) q
           WHERE cd.vec_id <> q.vec_id
           GROUP BY 1, 2),
         short AS (

@@ -17,6 +17,12 @@ object LlmOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The ANN query set is `vec_id < AnnQueryBound` — threaded into BOTH the
+    * Spark predicate and every generated oracle SQL (ADVICE r7: a predicate
+    * edit must not silently desynchronize the oracle).
+    */
+  private val AnnQueryBound = 10
+
   private[queries] val shingleSql =
     """sh AS (
          SELECT DISTINCT doc_id, concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS s
@@ -372,7 +378,7 @@ object LlmOps {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         val withNorm = e.withColumn("nrm",
           expr("sqrt(vec_dot(v, v))"))
-        val q = withNorm.filter(col("vec_id") < 10)
+        val q = withNorm.filter(col("vec_id") < AnnQueryBound)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val c = withNorm
           .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -385,7 +391,7 @@ object LlmOps {
           .select(col("qid"), col("cid"), col("cos_r"),
             col("rn").cast(IntegerType).as("rn"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
                 SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
                 FROM (SELECT vec_id, embedding,
                              unnest(generate_series(1, len(embedding))) AS i
@@ -393,7 +399,7 @@ object LlmOps {
               n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
               dots AS (
                 SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
-                FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10
+                FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $AnnQueryBound
                                  AND c.vec_id <> q.vec_id
                 GROUP BY 1, 2),
               scored AS (
@@ -414,10 +420,11 @@ object LlmOps {
     // oracle SQL is generated from the identical hyperplane family.
     ("llm_ann_lsh",
       (s, d) => graft.llm.Similarity.annTopK(embeddings(s, d),
-        col("vec_id") < 10, dims = 64, nBits = 4, nTables = 2, k = 5,
-        roundScale = 4),
+        col("vec_id") < AnnQueryBound, dims = 64, nBits = 4, nTables = 2,
+        k = 5, roundScale = 4),
       Some(graft.llm.Similarity.annOracleSql(
-        dims = 64, nBits = 4, nTables = 2, k = 5, roundScale = 4))),
+        dims = 64, nBits = 4, nTables = 2, k = 5, roundScale = 4,
+        queryIdBound = AnnQueryBound))),
 
     // n-gram Jaccard similarity join, bucketed by rare shingles: docs
     // sharing a low-frequency shingle become candidates, exact Jaccard on
@@ -487,23 +494,31 @@ object LlmOps {
             JOIN cnt cb ON cb.doc_id = d2
             WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3""")),
 
-    // IVF ANN (k-means inverted lists, nProbe probing) — the second scale
-    // path next to LSH. No oracle: the coarse quantizer isn't expressible
-    // in DuckDB; recall vs brute force is asserted in LlmSpec instead.
+    // IVF ANN (LEARNED k-means inverted lists, nProbe probing) — the second
+    // scale path next to LSH. Fully oracled since r8: the 8 Lloyd's
+    // iterations over the bounded md5-ordered sample unroll as chained CTEs
+    // in DuckDB (centroids snapped to a 1e-6 grid in both engines — see
+    // Similarity.lloyd / ivfOracleSql); recall vs brute force additionally
+    // asserted in LlmSpec.
     ("llm_ann_ivf",
       (s, d) => graft.llm.Similarity.ivfTopK(embeddings(s, d),
-        col("vec_id") < 10, nLists = 8, nProbe = 3, k = 5),
-      None),
+        col("vec_id") < AnnQueryBound, nLists = 8, nProbe = 3, k = 5,
+        roundScale = 4),
+      Some(graft.llm.Similarity.ivfOracleSql(
+        dims = 64, nLists = 8, nProbe = 3, k = 5, roundScale = 4,
+        queryIdBound = AnnQueryBound))),
 
     // IVF with fixed deterministic centroids — the same assign → probe →
-    // rank pipeline as llm_ann_ivf but with a DuckDB-computable quantizer,
-    // so the IVF shape gets a full hash-checked oracle (the learned
-    // variant keeps its recall assertion in LlmSpec).
+    // rank pipeline as llm_ann_ivf but with the trivial quantizer
+    // (embeddings of vec_id < nCentroids), kept as the simpler-to-audit
+    // oracle precedent next to the learned arm.
     ("llm_ann_ivf_fixed",
       (s, d) => graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
-        col("vec_id") < 10, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4),
+        col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, k = 5,
+        roundScale = 4),
       Some(graft.llm.Similarity.ivfFixedOracleSql(
-        dims = 64, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4))),
+        dims = 64, nCentroids = 8, nProbe = 3, k = 5, roundScale = 4,
+        queryIdBound = AnnQueryBound))),
 
     // Product-quantization ANN (ADC scan + exact refine) with fixed
     // deterministic codebooks — the compressed-domain scale path next to
@@ -512,10 +527,11 @@ object LlmOps {
     // (same fixed-quantizer pattern as llm_ann_ivf_fixed).
     ("llm_ann_pq",
       (s, d) => graft.llm.Similarity.pqTopKFixed(embeddings(s, d),
-        col("vec_id") < 10, dims = 64, m = 8, ksub = 16, shortlist = 60,
-        k = 5, roundScale = 4),
+        col("vec_id") < AnnQueryBound, dims = 64, m = 8, ksub = 16,
+        shortlist = 60, k = 5, roundScale = 4),
       Some(graft.llm.Similarity.pqFixedOracleSql(
-        dims = 64, m = 8, ksub = 16, shortlist = 60, k = 5, roundScale = 4))),
+        dims = 64, m = 8, ksub = 16, shortlist = 60, k = 5, roundScale = 4,
+        queryIdBound = AnnQueryBound))),
 
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Streaming twin of the corpus-curation filters (batch:
-  * `llm_quality_score` / `llm_pii_redact` in graft.queries.Curation):
+  * `llm_quality_score` in graft.queries.LlmOps, `llm_pii_redact` in
+  * graft.queries.Curation):
   * quality-gate and PII-scrub a continuous document stream.
   *
   * Every expression here is a pure narrow map — no aggregation, no state
