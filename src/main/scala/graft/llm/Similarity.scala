@@ -551,15 +551,21 @@ object Similarity {
       .localCheckpoint() // the ADC scan reads it once per query batch
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    // ADC scan: per-(pair, subspace) partial dot against the coded
-    // centroid's subvector, summed per pair. Rounded before ranking — the
-    // m-term sum is the one reduction whose order differs between engines.
-    val est = coded
-      .join(broadcast(cent.withColumnRenamed("c_id", "code")), "code")
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
+    // ADC LOOKUP TABLE (the textbook formulation): the per-(query,
+    // subspace, code) partial dots are computed ONCE — |q|·m·ksub rows, a
+    // broadcast-sized frame — and the compressed-domain scan just joins
+    // codes to the table. The scan itself never touches a vector array or
+    // evaluates a dot product again: per pair it reads m precomputed
+    // doubles, which is what makes the m-bytes-per-vector scan real.
+    val lut = q.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("pd", expr(
         s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(cv, j * $sub + 1, $sub))"))
+      .select(col("qid"), col("j"), col("c_id").as("code"), col("pd"))
+    val est = coded
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("cid"))
       .agg(round(sum(col("pd")), roundScale).as("est_r"))
     val ws = Window.partitionBy("qid").orderBy(col("est_r").desc, col("cid"))
@@ -695,13 +701,20 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qv"), col("qn"),
         col("c_id").as("list_id"))
     // ADC scan restricted to the probed lists: shuffle on list_id, codes
-    // only — the pruning IVF buys before PQ's compressed-domain estimate
-    val est = coded
-      .join(broadcast(pqCent.withColumnRenamed("p_id", "code")), "code")
-      .join(q, Seq("list_id"))
-      .filter(col("vec_id") =!= col("qid"))
+    // only — the pruning IVF buys before PQ's compressed-domain estimate.
+    // Partial dots come from the precomputed broadcast LOOKUP TABLE
+    // (|q|·m·ksub rows), so the probed-list scan reads m doubles per pair
+    // and never re-evaluates a dot product.
+    val lut = q.select(col("qid"), col("qv")).dropDuplicates("qid")
+      .crossJoin(broadcast(pqCent))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("pd", expr(
         s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(pv, j * $sub + 1, $sub))"))
+      .select(col("qid"), col("j"), col("p_id").as("code"), col("pd"))
+    val est = coded
+      .join(q.select(col("qid"), col("list_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "j", "code"))
       .groupBy(col("qid"), col("vec_id").as("cid"))
       .agg(round(sum(col("pd")), roundScale).as("est_r"))
     val ws = Window.partitionBy("qid").orderBy(col("est_r").desc, col("cid"))
@@ -719,6 +732,89 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("cos_r"),
         col("rn").cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle for ivfPqTopKFixed — the ivfFixedOracleSql assignment/
+    * probe CTEs composed with the pqFixedOracleSql encode/ADC/refine CTEs,
+    * with the ADC estimate restricted to the probed lists exactly as the
+    * Spark plan restricts it. Same fixed quantizers, same left-associated
+    * chains, same rounded-estimate shortlist and tiebreaks.
+    */
+  def ivfPqFixedOracleSql(dims: Int, nCentroids: Int, nProbe: Int, m: Int,
+      ksub: Int, shortlist: Int, k: Int, roundScale: Int,
+      queryIdBound: Int = 10): String = {
+    val sub = dims / m
+    def acc(tbl: String, i: String) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+    def cacc(i: String) = s"CAST(c.cv[$i] AS DOUBLE)"
+    val assignChain = (1 to dims)
+      .map(i => s"${acc("e", i.toString)} * CAST(c.cv[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val d2Chain = (1 to sub).map { i =>
+      val ix = s"j * $sub + $i"
+      s"(${acc("e", ix)} - ${cacc(ix)}) * (${acc("e", ix)} - ${cacc(ix)})"
+    }.mkString(" + ")
+    val pdChain = (1 to sub).map { i =>
+      val ix = s"j * $sub + $i"
+      s"${acc("q", ix)} * ${cacc(ix)}"
+    }.mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${acc("e", i.toString)} * ${acc("e", i.toString)}")
+      .mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${acc("a", i.toString)} * ${acc("b", i.toString)}")
+      .mkString(" + ")
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv
+                      FROM embeddings WHERE vec_id < $nCentroids),
+        ranked AS (
+          SELECT e.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ($assignChain) DESC, c.c_id) AS rnk
+          FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, c_id AS list_id FROM ranked WHERE rnk = 1),
+        probes AS (SELECT vec_id AS qid, c_id AS list_id
+                   FROM ranked
+                   WHERE vec_id < $queryIdBound AND rnk <= $nProbe),
+        pqc AS (SELECT vec_id AS c_id, embedding AS cv
+                FROM embeddings WHERE vec_id < $ksub),
+        coded AS (
+          SELECT t.vec_id, t.j, t.c_id AS code, a.list_id FROM (
+            SELECT e.vec_id, g.j, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id, g.j
+                                      ORDER BY ($d2Chain) ASC, c.c_id) AS rnk
+            FROM embeddings e, generate_series(0, ${m - 1}) g(j), pqc c) t
+          JOIN assign a ON a.vec_id = t.vec_id
+          WHERE t.rnk = 1),
+        est AS (
+          SELECT p.qid, cd.vec_id AS cid,
+                 round(SUM($pdChain), $roundScale) AS est_r
+          FROM coded cd
+          JOIN pqc c ON c.c_id = cd.code
+          JOIN probes p ON p.list_id = cd.list_id
+          JOIN embeddings q ON q.vec_id = p.qid
+          WHERE cd.vec_id <> p.qid
+          GROUP BY 1, 2),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY est_r DESC, cid) AS srnk
+            FROM est) t
+          WHERE srnk <= $shortlist),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        scored AS (
+          SELECT s.qid, s.cid,
+                 round(($dotChain) / (na.nrm * nb.nrm), $roundScale) AS cos_r
+          FROM short s
+          JOIN embeddings a ON a.vec_id = s.qid
+          JOIN embeddings b ON b.vec_id = s.cid
+          JOIN n na ON na.vec_id = s.qid
+          JOIN n nb ON nb.vec_id = s.cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
   }
 
   /** Exact brute-force cosine top-k — the recall oracle for annTopK. */

@@ -533,6 +533,19 @@ object LlmOps {
         dims = 64, m = 8, ksub = 16, shortlist = 60, k = 5, roundScale = 4,
         queryIdBound = AnnQueryBound))),
 
+    // IVF-PQ composition — the billion-vector index shape end to end:
+    // coarse-list pruning, then the compressed-domain ADC estimate over
+    // codes WITHIN the probed lists only, then the exact refine. Fully
+    // oracled since r8 (the ivf_fixed and pq CTE chains composed).
+    ("llm_ann_ivfpq",
+      (s, d) => graft.llm.Similarity.ivfPqTopKFixed(embeddings(s, d),
+        col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, dims = 64,
+        m = 8, ksub = 16, shortlist = 40, k = 5, roundScale = 4),
+      Some(graft.llm.Similarity.ivfPqFixedOracleSql(
+        dims = 64, nCentroids = 8, nProbe = 3, m = 8, ksub = 16,
+        shortlist = 40, k = 5, roundScale = 4,
+        queryIdBound = AnnQueryBound))),
+
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",
