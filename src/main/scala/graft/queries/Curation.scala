@@ -418,16 +418,19 @@ object Curation {
     // cross join of 1-row frames (broadcast, trivially safe).
     ("llm_corpus_report",
       (s, d) => {
+        // ONE checkpointed tokenization feeds both the minhash-signature
+        // pipeline and the span-hash stream (r7 recomputed the corpus
+        // scan + split per sub-aggregate); only the base tallies scan the
+        // raw text (their token regex is not the split tokenization).
+        val toks = LlmOps.tokenized(s, d).localCheckpoint()
         val base = documents(s, d).agg(
           count(lit(1)).as("n_docs"),
           sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
             .cast(LongType)).as("n_tok"),
           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
-        val pairs = LlmOps.minhashPairs(s, d)
+        val pairs = LlmOps.minhashPairs(s, d, Some(toks))
           .agg(count(lit(1)).as("n_neardup_pairs"))
-        val spans = documents(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), split(col("text"), " ").as("l"))
+        val spans = toks
           .filter(size(col("l")) >= 50)
           .select(col("doc_id"),
             explode(expr("sequence(0, (size(l) - 50) div 25)")).as("w"),

@@ -132,17 +132,25 @@ object LlmOps {
     * Consumers aggregate it per doc (profile) or distinct it
     * (decontamination) without a further exchange.
     */
-  private[queries] def shinglePairs(s: SparkSession, d: String): DataFrame =
+  /** The shared (doc_id, token-array) stream every fan-out starts from:
+    * the corpus lands as few large files, so docs are spread across the
+    * core budget BEFORE any explode parallelizes over them. Callers that
+    * need the SAME tokenization several times (llm_corpus_report) pass a
+    * checkpointed instance into shinglePairs/shingleProfile/minhashPairs
+    * instead of re-scanning and re-splitting the corpus per sub-aggregate.
+    */
+  private[queries] def tokenized(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      // the corpus lands as few large files; spread docs across the core
-      // budget BEFORE the shingle fan-out so the (per-row ~50x) explode
-      // parallelizes instead of running on the file's partition count.
-      // The shingle string is built INSIDE the exploded projection (no
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+
+  private[queries] def shinglePairs(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None): DataFrame =
+    toks.getOrElse(tokenized(s, d))
+      // the shingle string is built INSIDE the exploded projection (no
       // transform lambda anywhere): explode(sequence) + concat_ws/md5/conv
       // all stay in whole-stage codegen — measured 0.4 s faster than
       // exploding an interpreted transform()'s output at sf0.1.
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), col("l"),
         explode(expr("sequence(1, size(l) - 2)")).as("i"))
@@ -152,7 +160,8 @@ object LlmOps {
                 AS BIGINT)""").as("x"))
 
   private[queries] def shingleProfile(s: SparkSession, d: String,
-      withSignature: Boolean = true): DataFrame = {
+      withSignature: Boolean = true,
+      toks: Option[DataFrame] = None): DataFrame = {
     val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
       // shiftright(x, 32) = the md5-prefix's top 28 bits
       // = conv(substr(md5, 1, 7), 16, 10), the oracle's per-seed input;
@@ -160,7 +169,7 @@ object LlmOps {
       min(expr(s"(${a}L * shiftright(x, 32) + ${c}L) % ${MinhashP}L"))
         .as(s"mh$j")
     }
-    val base = shinglePairs(s, d)
+    val base = shinglePairs(s, d, toks)
     val prof =
       if (withSignature) base.groupBy("doc_id")
         .agg(collect_set(col("x")).as("hs"), mins: _*)
@@ -175,8 +184,9 @@ object LlmOps {
   /** The full MinHash-LSH near-dup pair pipeline (shared by the pair query
     * and the clustering query).
     */
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val ds = shingleProfile(s, d)
+  private[queries] def minhashPairs(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val ds = shingleProfile(s, d, toks = toks)
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
     // injective) — a numeric join key, no re-hash, no re-aggregation
@@ -192,10 +202,15 @@ object LlmOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     // exact Jaccard: two hash joins back to the checkpointed sets, then a
-    // narrow array_intersect — no explode/groupBy over candidate shingles
-    cand
+    // narrow array_intersect — no explode/groupBy over candidate shingles.
+    // The CANDIDATE side is the broadcast build side (id pairs, bounded by
+    // band selectivity ∝ true-dup rate): without the hint Catalyst builds
+    // on the profile side and ships every doc's full shingle SET through a
+    // driver collect + broadcast — the fat side must never move.
+    broadcast(cand)
       .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
         col("c").as("ca")), "d1")
+      .hint("broadcast")
       .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"),
         col("c").as("cb")), "d2")
       .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
@@ -435,19 +450,20 @@ object LlmOps {
         // signature-free profile: the Jaccard path needs hs/c only
         val ds = shingleProfile(s, d, withSignature = false)
         // rare-shingle inverted index with BOUNDED aggregation state
-        // (ADVICE r6): a per-key window COUNT (spillable frame buffers,
-        // never a doc list in an agg buffer) gates the 2..4-doc band, and
-        // only the surviving rows reach collect_set — so a stop shingle
-        // never materializes its full doc-id set in aggregation state.
-        // ONE exchange: the window partitions by x and the set aggregation
-        // reuses that partitioning (the count-then-join formulation paid a
-        // second exchange of the exploded index). Each kept bucket expands
-        // to at most C(4,2)=6 pairs inside the row.
+        // (ADVICE r6): a plain long-state COUNT per shingle (whole-stage
+        // codegen, no sort, never a doc list in an agg buffer) gates the
+        // 2..4-doc band, and only instances of surviving shingles reach
+        // collect_set — a stop shingle never materializes its doc-id set.
+        // The r7 window-count formulation saved an exchange but paid a
+        // full SORT of the exploded index inside WindowExec — measured
+        // slower than the second (much smaller, rare-only) exchange here.
+        // AQE broadcasts the rare set at this scale and degrades to a
+        // shuffle join when it outgrows the threshold. Each kept bucket
+        // expands to at most C(4,2)=6 pairs inside the row.
         val inv = ds.select(col("doc_id"), explode(col("hs")).as("x"))
-        val cand = inv
-          .withColumn("f", count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("x")))
-          .filter(col("f").between(2, 4))
+        val rare = inv.groupBy("x").agg(count(lit(1)).as("f"))
+          .filter(col("f").between(2, 4)).select("x")
+        val cand = inv.join(rare, "x")
           .groupBy("x").agg(collect_set(col("doc_id")).as("dset"))
           .select(explode(expr(
             """flatten(transform(dset,
@@ -456,10 +472,13 @@ object LlmOps {
           .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
         // exact Jaccard via two hash joins + narrow array_intersect over
         // the 60-bit code sets (the oracle mirrors the same mapping, so a
-        // never-observed collision cannot diverge the gate)
-        cand
+        // never-observed collision cannot diverge the gate). Candidates are
+        // the broadcast build side (see minhashPairs) — the profile's
+        // shingle sets stay put.
+        broadcast(cand)
           .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
             col("c").as("ca")), "d1")
+          .hint("broadcast")
           .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"),
             col("c").as("cb")), "d2")
           .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
