@@ -326,6 +326,46 @@ object Joins {
                           AS DOUBLE) AS revenue,
                      count(*) AS n
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2""")),
+
+    // J9 over BUCKETED fact tables — the 100 TB answer to the repeated
+    // precios×volumenes join: both facts are bucketed on the join key at
+    // ingest (Lake.writeBucketed), so the join itself runs with NO Exchange
+    // on the join key — the shuffle was paid once at write time, never per
+    // query. The bucketed copies are (re)built once per session (the warm
+    // pass in Bench / the first call in Verify) and keyed by the source
+    // dir, so different scale factors never alias; within a session every
+    // subsequent call reads the exchange-free layout. Same oracle as
+    // j9_fact_join — identical values, different physical plan
+    // (PlanAuditSpec asserts the join keys never reshuffle).
+    ("j9_fact_join_bucketed",
+      (s, d) => {
+        val sfx = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val liT = s"b9_lineitem_$sfx"
+        val orT = s"b9_orders_$sfx"
+        if (!s.catalog.tableExists(liT))
+          graft.lake.Lake.writeBucketed(lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")), liT, Seq("l_orderkey"), 8)
+        if (!s.catalog.tableExists(orT))
+          graft.lake.Lake.writeBucketed(orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_orderdate")), orT, Seq("o_orderkey"), 8)
+        s.table(liT)
+          .join(s.table(orT).select(col("o_orderkey"),
+            col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"), col("mes"))
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                          AS DOUBLE) AS revenue,
+                     count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1, 2"""))
   )
 }

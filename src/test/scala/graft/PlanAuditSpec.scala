@@ -80,6 +80,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("j9_fact_join_bucketed never reshuffles the join keys") {
+    // force the bucket-join path (at the spec's tiny SF Catalyst would
+    // broadcast, which also avoids the exchange but proves nothing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // first call (re)builds the bucketed copies; the plan under audit is
+      // the steady-state read
+      SparkEntry.queries("j9_fact_join_bucketed")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val p = plan("j9_fact_join_bucketed")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed j9 reshuffles a join key:\n$p")
+      assert(p.contains("partial_"), "bucketed j9 lost partial aggregation")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed fact tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
