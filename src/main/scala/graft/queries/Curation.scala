@@ -295,6 +295,94 @@ object Curation {
                     FROM sc) x
               WHERE rank <= 3""")),
 
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis): rank every
+    // document by ln(u)/w — the monotone log form of the classic u^(1/w)
+    // reservoir key — where u is a content-hash uniform in [0,1) and w the
+    // token count, and keep the global top 50. Importance sampling by
+    // length whose membership is stable under re-runs, re-shards and
+    // engine changes: no RNG state, no seed drift. The global top-k is a
+    // sort+limit (TakeOrdered — per-partition top-k then a k-row merge,
+    // never a global sort); the key is ROUNDED before ranking with doc_id
+    // as tiebreak so the cut is deterministic across engines.
+    ("llm_weighted_sample",
+      (s, d) => {
+        val u = expr("""CAST(conv(substr(md5(text), 1, 13), 16, 10)
+                        AS BIGINT) / 4503599627370496.0D""")
+        val w = size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+          .cast(DoubleType)
+        val scored = documents(s, d)
+          .select(col("doc_id"), w.as("w"),
+            round(log(u) / w, 6).as("key_r"))
+          .orderBy(col("key_r").desc, col("doc_id")).limit(50)
+        scored.withColumn("rank", row_number().over(
+            Window.orderBy(col("key_r").desc, col("doc_id"))))
+          .select(col("doc_id"), col("w"), col("key_r"),
+            col("rank").cast(IntegerType).as("rank"))
+      },
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)
+                         AS w,
+                       round(ln(CAST(concat('0x', substr(md5(text), 1, 13))
+                                     AS BIGINT) / 4503599627370496.0)
+                             / CAST(len(regexp_extract_all(text, '[^ ]+'))
+                                    AS DOUBLE), 6) AS key_r
+                FROM documents)
+              SELECT doc_id, w, key_r, CAST(rank AS INTEGER) AS rank
+              FROM (SELECT doc_id, w, key_r,
+                           row_number() OVER (ORDER BY key_r DESC, doc_id)
+                             AS rank
+                    FROM s) t
+              WHERE rank <= 50""")),
+
+    // Edit-distance FUZZY matching: length-banded candidates (each doc
+    // posts its normalized-length band and the successor band, so
+    // near-equal lengths always share a key), exact Levenshtein over the
+    // 48-char normalized head on candidates only — never all-pairs. Both
+    // engines implement the same unit-cost DP distance, so the gate is
+    // integer-exact. At corpora where one length band dominates, salt the
+    // band with a coarse content feature; here bands follow the length
+    // distribution.
+    ("llm_fuzzy_match",
+      (s, d) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        val base = documents(s, d)
+          .select(col("doc_id"), substring(norm, 1, 48).as("head"),
+            length(norm).as("len"))
+          .localCheckpoint() // both sides of the band self-join
+        val banded = base.select(col("doc_id"), col("head"), col("len"),
+          explode(array(expr("len div 16"), expr("len div 16 + 1")))
+            .as("band"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.len") - col("b.len")) <= 8)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.head").as("h1"), col("b.head").as("h2"))
+          .distinct()
+        cand.withColumn("lev", levenshtein(col("h1"), col("h2")))
+          .filter(col("lev") <= 8)
+          .select(col("d1"), col("d2"), col("lev").cast(IntegerType).as("lev"))
+      },
+      Some("""WITH base AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                  'g')), 1, 48) AS head,
+                       length(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                  'g'))) AS len
+                FROM documents),
+              banded AS (
+                SELECT doc_id, head, len, len // 16 + b AS band
+                FROM base, generate_series(0, 1) g(b)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                                a.head AS h1, b.head AS h2
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.doc_id < b.doc_id
+                 AND abs(a.len - b.len) <= 8)
+              SELECT d1, d2, CAST(levenshtein(h1, h2) AS INTEGER) AS lev
+              FROM cand WHERE levenshtein(h1, h2) <= 8""")),
+
     // Per-source LENGTH percentiles (corpus health stats): exact
     // interpolated p50/p90 token counts per source — Spark's percentile()
     // and DuckDB's quantile_cont share the (n−1)·p linear-interpolation

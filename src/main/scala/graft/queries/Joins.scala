@@ -344,14 +344,23 @@ object Joins {
           .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
         val liT = s"b9_lineitem_$sfx"
         val orT = s"b9_orders_$sfx"
-        if (!s.catalog.tableExists(liT))
-          graft.lake.Lake.writeBucketed(lineitem(s, d)
-            .select(col("l_orderkey"), col("l_extendedprice"),
-              col("l_discount")), liT, Seq("l_orderkey"), 8)
-        if (!s.catalog.tableExists(orT))
-          graft.lake.Lake.writeBucketed(orders(s, d)
-            .select(col("o_orderkey"), col("o_orderpriority"),
-              col("o_orderdate")), orT, Seq("o_orderkey"), 8)
+        def build(tbl: String, keys: Seq[String])(df: => DataFrame): Unit =
+          if (!s.catalog.tableExists(tbl)) {
+            // a fresh session's in-memory catalog has no tables, but the
+            // warehouse DIRECTORY survives from earlier sessions — clear
+            // the stale location or the CTAS refuses it
+            val p = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), tbl)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            graft.lake.Lake.writeBucketed(df, tbl, keys, 8)
+          }
+        build(liT, Seq("l_orderkey"))(lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")))
+        build(orT, Seq("o_orderkey"))(orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate")))
         s.table(liT)
           .join(s.table(orT).select(col("o_orderkey"),
             col("o_orderpriority"),

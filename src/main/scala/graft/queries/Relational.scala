@@ -276,6 +276,27 @@ object Relational {
                     FROM orders JOIN customer ON o_custkey = c_custkey) t
               WHERE rn <= 3""")),
 
+    // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
+    // quantity totals pivoted into one column per linestatus. Pivot values
+    // are FIXED (the scale contract — value discovery would cost an extra
+    // pass over the data); exact decimal sums per cell; the oracle is the
+    // classic conditional-aggregation formulation.
+    ("o5_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum2(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"),
+          col("O").as("qty_o")),
+      Some("""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                          AS DOUBLE) AS qty_f,
+                     CAST(SUM(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                          AS DOUBLE) AS qty_o
+              FROM lineitem GROUP BY 1""")),
+
     // U1 — UNION ALL by name with missing columns (null-filled)
     // ref: pd.concat sites, e.g. _descargador_i90.py:282
     ("u1_union_by_name",
