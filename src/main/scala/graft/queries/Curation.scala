@@ -335,14 +335,16 @@ object Curation {
                     FROM s) t
               WHERE rank <= 50""")),
 
-    // Edit-distance FUZZY matching: length-banded candidates (each doc
-    // posts its normalized-length band and the successor band, so
-    // near-equal lengths always share a key), exact Levenshtein over the
-    // 48-char normalized head on candidates only — never all-pairs. Both
-    // engines implement the same unit-cost DP distance, so the gate is
-    // integer-exact. At corpora where one length band dominates, salt the
-    // band with a coarse content feature; here bands follow the length
-    // distribution.
+    // Edit-distance FUZZY matching: banded candidates — each doc posts its
+    // normalized-length band and the successor band (near-equal lengths
+    // always share a key), SALTED with the head's 2-char prefix (document
+    // lengths cluster, so unsalted length bands go quadratic: measured 59 s
+    // vs ~1 s at sf0.1) — then exact Levenshtein over the 48-char
+    // normalized head on candidates only, never all-pairs. Both engines
+    // implement the same unit-cost DP distance, so the gate is
+    // integer-exact. The prefix salt trades recall for the candidate
+    // bound: a pair whose edit touches the first two characters is missed,
+    // the standard banding trade.
     ("llm_fuzzy_match",
       (s, d) => {
         val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
@@ -352,15 +354,26 @@ object Curation {
           .localCheckpoint() // both sides of the band self-join
         val banded = base.select(col("doc_id"), col("head"), col("len"),
           explode(array(expr("len div 16"), expr("len div 16 + 1")))
-            .as("band"))
+            .as("lb"))
+          .select(col("doc_id"), col("head"), col("len"),
+            concat(col("lb").cast(StringType), lit(":"),
+              substring(col("head"), 1, 2)).as("band"))
+        // id-only candidates through the dedup shuffle; heads re-join from
+        // the checkpointed base so the DP only ever runs once per distinct
+        // pair (the same id-only shape as the minhash pipelines)
         val cand = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.len") - col("b.len")) <= 8)
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.head").as("h1"), col("b.head").as("h2"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        cand.withColumn("lev", levenshtein(col("h1"), col("h2")))
+        broadcast(cand)
+          .join(base.select(col("doc_id").as("d1"), col("head").as("h1")),
+            "d1")
+          .hint("broadcast")
+          .join(base.select(col("doc_id").as("d2"), col("head").as("h2")),
+            "d2")
+          .withColumn("lev", levenshtein(col("h1"), col("h2")))
           .filter(col("lev") <= 8)
           .select(col("d1"), col("d2"), col("lev").cast(IntegerType).as("lev"))
       },
@@ -372,7 +385,9 @@ object Curation {
                                                   'g'))) AS len
                 FROM documents),
               banded AS (
-                SELECT doc_id, head, len, len // 16 + b AS band
+                SELECT doc_id, head, len,
+                       concat(CAST(len // 16 + b AS VARCHAR), ':',
+                              substr(head, 1, 2)) AS band
                 FROM base, generate_series(0, 1) g(b)),
               cand AS (
                 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
