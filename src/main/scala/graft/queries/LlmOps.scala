@@ -251,7 +251,7 @@ object LlmOps {
               WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4)"""
   }
 
-  val all: Seq[(String, Q, Option[String])] = Seq(
+  val all: Seq[(String, Q, Option[String])] = Seq[(String, Q, Option[String])](
 
     // Exact dedup: content-hash groupBy, keep min id (deterministic keeper)
     ("llm_exact_dedup",
@@ -276,8 +276,54 @@ object LlmOps {
     // iterative joins are the standard scalable formulation (diameter-
     // bounded rounds of hash joins, per-round eager materialization); the
     // oracle computes the same components with a recursive CTE.
-    ("llm_dedup_clusters",
+    ("llm_dedup_clusters", (s, d) => dedupClusters(s, d),
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+            SELECT v AS doc_id, min(u) AS cluster
+            FROM reach GROUP BY v""")),
+
+    // Dedup APPLY — the survivor selection the clustering feeds: every doc
+    // whose cluster keeper (the component's min doc_id) is a DIFFERENT doc
+    // is dropped; everything else (incl. docs in no near-dup pair at all)
+    // survives. The anti-join is the standard corpus-sized application:
+    // the dropped set is bounded by the duplicate rate, documents stream
+    // through one hash join on doc_id.
+    ("llm_dedup_apply",
       (s, d) => {
+        val dropped = dedupClusters(s, d)
+          .filter(col("cluster") < col("doc_id")).select("doc_id")
+        documents(s, d).select("doc_id")
+          .join(dropped, Seq("doc_id"), "left_anti")
+      },
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+            clusters AS (SELECT v, min(u) AS cluster FROM reach GROUP BY v)
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                              WHERE c.v = d.doc_id
+                                AND c.cluster < c.v)""")),
+  ) ++ moreOps
+
+  /** Min-label propagation over the near-dup pair graph (the scalable
+    * connected-components formulation: diameter-bounded rounds of hash
+    * joins, per-round eager materialization). Shared by the clustering
+    * query and the dedup-apply survivor selection.
+    */
+  private[queries] def dedupClusters(s: SparkSession, d: String): DataFrame = {
         val p = minhashPairs(s, d).select("d1", "d2").localCheckpoint()
         val edges = p.unionByName(
           p.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -308,18 +354,10 @@ object LlmOps {
         require(sum == prevSum,
           s"label propagation did not converge in $maxRounds rounds")
         labels.select(col("v").as("doc_id"), col("l").as("cluster"))
-      },
-      Some("WITH RECURSIVE " + minhashPairsSql + """,
-            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                      UNION ALL
-                      SELECT d2, d1 FROM pairs),
-            verts AS (SELECT DISTINCT src AS v FROM edges),
-            reach(v, u) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
-            SELECT v AS doc_id, min(u) AS cluster
-            FROM reach GROUP BY v""")),
+  }
+
+  // def, not val: `all` initializes before this point in the object body
+  private def moreOps: Seq[(String, Q, Option[String])] = Seq(
 
     // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
     // bucketing on the signature gives near-dup candidates at scale.

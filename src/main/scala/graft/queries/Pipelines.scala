@@ -714,6 +714,61 @@ object Pipelines {
               SELECT datetime_utc, id_mercado, uof, volumenes,
                      CAST(year(datetime_utc) AS INTEGER) AS year,
                      CAST(month(datetime_utc) AS INTEGER) AS month
-              FROM src WHERE o_orderkey % 3 = 0"""))
+              FROM src WHERE o_orderkey % 3 = 0""")),
+
+    // S7 maintenance — COMPACTION proved end to end under the driver's
+    // hash gate: three overlapping append-only batches accumulate small
+    // files per partition, Lake.compact (maxFiles=0 ⇒ every partition
+    // rewrites) coalesces them, and the read-back must hash-match the
+    // plain UNION ALL of the batches — compaction that loses, duplicates
+    // or reorders ROW CONTENT fails the gate (LakeSpec separately asserts
+    // the file-count mechanics). Follows the e2e driver-proofing rules
+    // (UUID path, 2020s dates, dyadic doubles, eager checkpoint).
+    ("s7_compact_e2e",
+      (s, d) => {
+        val src = orders(s, d).filter(col("o_orderkey") % 211 === 0)
+          .select(
+            date_add(lit("2024-02-01").cast(DateType),
+              (col("o_orderkey") % 56).cast(IntegerType))
+              .cast(TimestampType).as("datetime_utc"),
+            (col("o_orderkey") % 2 + 31).cast(IntegerType).as("id_mercado"),
+            concat(lit("UOF"), (col("o_orderkey") % 40).cast(StringType))
+              .as("uof"),
+            ((col("o_orderkey") % 200).cast(DoubleType) / 4).as("volumenes"),
+            col("o_orderkey"))
+        val path = s"$tmpDir/graft_e2e_s7_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def batch(p: org.apache.spark.sql.Column) =
+          src.filter(p).drop("o_orderkey")
+        for (m <- Seq(2, 3, 5))
+          Lake.upsert(s, batch(col("o_orderkey") % m === 0), path, "continuo",
+            dedupKeys = Seq.empty, precedenceCol = "volumenes")
+        Lake.compact(s, path, maxFiles = 0)
+        val res = Lake.read(s, path, Some("continuo"))
+          .select(col("datetime_utc"),
+            col("id_mercado").cast(IntegerType).as("id_mercado"),
+            col("uof"), col("volumenes"),
+            col("year").cast(IntegerType).as("year"),
+            col("month").cast(IntegerType).as("month"))
+          .localCheckpoint() // eager: materialize before the temp lake goes away
+        fs.delete(hp, true)
+        res
+      },
+      Some("""WITH src AS (
+                SELECT CAST(DATE '2024-02-01'
+                         + to_days(CAST(o_orderkey % 56 AS INTEGER))
+                         AS TIMESTAMP) AS datetime_utc,
+                       CAST(o_orderkey % 2 + 31 AS INTEGER) AS id_mercado,
+                       concat('UOF', CAST(o_orderkey % 40 AS VARCHAR)) AS uof,
+                       CAST(o_orderkey % 200 AS DOUBLE) / 4 AS volumenes,
+                       o_orderkey
+                FROM orders WHERE o_orderkey % 211 = 0),
+              m(m) AS (VALUES (2), (3), (5))
+              SELECT datetime_utc, id_mercado, uof, volumenes,
+                     CAST(year(datetime_utc) AS INTEGER) AS year,
+                     CAST(month(datetime_utc) AS INTEGER) AS month
+              FROM src, m WHERE o_orderkey % m.m = 0"""))
   )
 }
