@@ -11,7 +11,8 @@ object SparkEntry {
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.Relational.all ++ graft.queries.Joins.all ++
       graft.queries.Windows.all ++ graft.queries.LlmOps.all ++
-      graft.queries.Curation.all ++ graft.queries.Pipelines.all
+      graft.queries.Curation.all ++ graft.queries.Pipelines.all ++
+      graft.queries.StreamingE2e.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §3.3 canonical shape: fact×fact equi-join + time-bucketed rollup.

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** REAL Structured Streaming runs under the driver's hash gate: each query
+  * lands a deterministic fixture as parquet files, drives a `readStream` →
+  * transform → memory-sink query to completion with `Trigger.AvailableNow`,
+  * and returns the sink contents — so the DuckDB oracle checks what the
+  * STREAM actually produced, not a batch twin of it. (The MemoryStream
+  * parity specs remain; this is the stronger, driver-checked claim.)
+  *
+  * Determinism rules: results must not depend on file/micro-batch order —
+  * the dedup keeps byte-identical duplicate rows (any survivor is the same
+  * row) and the rollup runs in Complete mode (final per-window totals).
+  * Follows the e2e driver-proofing rules (UUID paths, 2020s dates, dyadic
+  * doubles, eager checkpoint, cleanup).
+  */
+object StreamingE2e {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir = System.getProperty("java.io.tmpdir")
+
+  /** Deterministic event fixture derived from orders: (user_id, event_id,
+    * ts, amount) with full-row duplicates across the two batches (every
+    * row with o_orderkey % 6 == 0 appears in both files).
+    */
+  private def fixture(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .select(
+        (col("o_orderkey") % 7).as("user_id"),
+        col("o_orderkey").as("event_id"),
+        expr("""TIMESTAMP '2024-05-01 00:00:00'
+                + make_interval(0, 0, 0, 0, 0, CAST(o_orderkey % 300 AS INT), 0)""")
+          .as("ts"),
+        ((col("o_orderkey") % 80).cast(DoubleType) / 4).as("amount"))
+
+  private val fixtureSql =
+    """SELECT o_orderkey % 7 AS user_id,
+              o_orderkey AS event_id,
+              TIMESTAMP '2024-05-01 00:00:00'
+                + to_minutes(CAST(o_orderkey % 300 AS BIGINT)) AS ts,
+              CAST(o_orderkey % 80 AS DOUBLE) / 4 AS amount
+       FROM orders WHERE o_orderkey % 97 = 0"""
+
+  private val fixtureSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("event_id", LongType),
+    StructField("ts", TimestampType), StructField("amount", DoubleType)))
+
+  /** Land the fixture as two overlapping parquet files, run `transform`
+    * over a file-source stream to completion, return the memory sink.
+    */
+  private def runStream(s: SparkSession, d: String, name: String,
+      outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val id = java.util.UUID.randomUUID.toString.replace("-", "")
+    val dir = s"$tmpDir/graft_stream_${name}_$id"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val src = fixture(s, d)
+    // batch 1: keys % 2 == 0; batch 2: keys % 3 == 0 — the overlap rows
+    // are byte-identical duplicates arriving in a later micro-batch
+    src.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    src.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val qn = s"graft_sink_$id"
+    val q = transform(
+        s.readStream.schema(fixtureSchema).option("maxFilesPerTrigger", 1)
+          .parquet(dir))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.table(qn).localCheckpoint() // eager: sink + files go away
+    s.catalog.dropTempView(qn)
+    fs.delete(hp, true)
+    res
+  }
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // W13 — STREAMING exact dedup e2e: the re-download dedup made
+    // continuous, driven through a real file-source stream (2 micro-
+    // batches, duplicate rows arriving in the later one) and checked by
+    // the driver against DISTINCT of the fixture derivation. Full-row
+    // dedup keys ⇒ any survivor is byte-identical ⇒ the result is
+    // micro-batch-order independent. State: dropDuplicates over the full
+    // row — the bounded-key-space arm (StreamDedup's watermarked arm
+    // covers unbounded keys in its spec).
+    ("w13_stream_dedup_e2e",
+      (s, d) => runStream(s, d, "dedup", "append")(
+        _.dropDuplicates("user_id", "event_id", "ts", "amount")),
+      Some(s"""WITH src AS ($fixtureSql)
+               SELECT DISTINCT user_id, event_id, ts, amount
+               FROM src WHERE event_id % 2 = 0 OR event_id % 3 = 0""")),
+
+    // W14 — STREAMING tumbling-window rollup e2e (the A1/A2 face as a
+    // stream): per-user hourly totals in Complete mode — final window
+    // values independent of micro-batch boundaries. Duplicate rows from
+    // the overlapping batches are COUNTED (streams at the raw-ingest tier
+    // see re-deliveries; the dedup above is the cure, this op measures
+    // what arrived), so the oracle unions both batch selections.
+    ("w14_stream_rollup_e2e",
+      (s, d) => runStream(s, d, "rollup", "complete")(
+        _.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum2(col("amount")).as("total"))
+          .select(col("window.start").as("ws"), col("window.end").as("we"),
+            col("user_id"), col("n_events"), col("total"))),
+      Some(s"""WITH src AS ($fixtureSql),
+               arrived AS (SELECT * FROM src WHERE event_id % 2 = 0
+                           UNION ALL
+                           SELECT * FROM src WHERE event_id % 3 = 0)
+               SELECT date_trunc('hour', ts) AS ws,
+                      date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+                      user_id, count(*) AS n_events,
+                      CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+                        AS total
+               FROM arrived GROUP BY 1, 2, 3"""))
+  )
+}
