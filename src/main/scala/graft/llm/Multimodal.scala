@@ -193,6 +193,55 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Demux an animated GIF into its frames via the JDK's GIF ImageReader
+    * (every frame image, in order); each frame re-encodes standalone as
+    * PNG so the image path decodes it directly. None for payloads that
+    * are not ImageIO-readable GIFs.
+    */
+  private[llm] def readGifFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            if (!reader.getFormatName.equalsIgnoreCase("gif")) None
+            else {
+              reader.setInput(iis, false)
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else Some((0 until n).map { i =>
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(reader.read(i), "png", buf)
+                buf.toByteArray
+              })
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** REAL frame sampling for animated GIF: decode every `every`-th frame
+    * and emit it as a standalone PNG row (frame_idx = original frame
+    * number) — the GIF face of sampleFramesAvi, same stride semantics,
+    * same pseudo-frame fallback for undecodable payloads.
+    */
+  def sampleFramesGif(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      readGifFrames(r.payload) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.collect {
+            case (f, i) if i % every == 0 => FrameRow(r.doc_id, i, f)
+          }
+        case None => strideFallback(r, every)
+      }
+    }
+  }
+
   /** REAL video decode for MJPEG-AVI: demux the RIFF container, decode the
     * FIRST frame with ImageIO (the classic thumbnail signature), publish
     * its band-luminance features and true dimensions; the feature tail is
@@ -315,22 +364,29 @@ object Multimodal {
     */
   def sampleFramesAvi(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
-    val pseudoFrameBytes = 4096
     media.flatMap { r =>
       readAviFrames(r.payload) match {
         case Some(frames) =>
           frames.iterator.zipWithIndex.collect {
             case (f, i) if i % every == 0 => FrameRow(r.doc_id, i, f)
           }
-        case None =>
-          val nChunks = math.max(1,
-            (r.payload.length + pseudoFrameBytes - 1) / pseudoFrameBytes)
-          (0 until nChunks).iterator.filter(_ % every == 0).map { i =>
-            val from = math.min(i * pseudoFrameBytes, r.payload.length)
-            val to = math.min(from + pseudoFrameBytes, r.payload.length)
-            FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
-          }
+        case None => strideFallback(r, every)
       }
+    }
+  }
+
+  /** Shared undecodable-payload fallback: slice into fixed 4 KiB
+    * pseudo-frames and keep every `every`-th — the same stride semantics
+    * as the real demux paths (frame_idx = original pseudo-frame index).
+    */
+  private def strideFallback(r: MediaRow, every: Int): Iterator[FrameRow] = {
+    val pseudoFrameBytes = 4096
+    val nChunks = math.max(1,
+      (r.payload.length + pseudoFrameBytes - 1) / pseudoFrameBytes)
+    (0 until nChunks).iterator.filter(_ % every == 0).map { i =>
+      val from = math.min(i * pseudoFrameBytes, r.payload.length)
+      val to = math.min(from + pseudoFrameBytes, r.payload.length)
+      FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
     }
   }
 

@@ -198,6 +198,47 @@ class LlmSpec extends SparkSpec {
     assert(feats(2L).features.length == 8 && feats(2L).checksum.length == 32)
   }
 
+  test("real animated-GIF demux: every Nth frame as a decodable PNG") {
+    import spark.implicits._
+    // a real 4-frame animated GIF via ImageIO's sequence writer,
+    // ascending solid grays
+    def grayFrame(g: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g))
+      gr.fillRect(0, 0, 20, 10); gr.dispose()
+      img
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (g <- Seq(40, 90, 140, 190))
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(grayFrame(g), null, null),
+        writer.getDefaultWriteParam)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val media = Seq(
+      Multimodal.MediaRow(7L, buf.toByteArray, "image/gif"),
+      Multimodal.MediaRow(8L, "not a gif at all".getBytes("UTF-8"), "image/gif"))
+      .toDS()
+    val sampled = Multimodal.sampleFramesGif(media.filter(_.doc_id == 7L), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    val lumas = sampled.map { f =>
+      val d = Multimodal.decodeImage(
+        Multimodal.MediaRow(7L, f.payload, "image/png")).get
+      assert(d.width == 20 && d.height == 10)
+      d.features.sum / 8
+    }
+    assert(lumas(0) < lumas(1), "frame grays should ascend")
+    // undecodable payload keeps the stride-fallback contract (1 chunk < 4KiB)
+    val fb = Multimodal.sampleFramesGif(media.filter(_.doc_id == 8L), 2).collect()
+    assert(fb.map(_.frame_idx).toSeq == Seq(0))
+  }
+
   test("real WAV decode: javax.sound path extracts rate/channels and band amplitude") {
     import spark.implicits._
     // generate a real PCM16 mono WAV @8 kHz: first half silence, second
