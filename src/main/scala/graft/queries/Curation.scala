@@ -629,6 +629,51 @@ object Curation {
                      round((ln(CAST(SUM(c) AS DOUBLE))
                             - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c))
                            / ln(2.0), 6) AS entropy_bits
-              FROM c GROUP BY doc_id"""))
+              FROM c GROUP BY doc_id""")),
+
+    // Char-bigram LANGUAGE-MODEL quality score (the CCNet/KenLM-filter
+    // shape, model-free edition): train p(c2|c1) on the corpus itself —
+    // bigram counts over prefix-char totals — then score every document by
+    // its mean conditional log-probability. Fluent text lands near the
+    // corpus distribution; gibberish and repeated filler score low. The
+    // MODEL is vocabulary-sized (distinct bigrams) and broadcasts; the
+    // corpus-sized side is one repartition(doc_id) fan-out whose two
+    // aggregations reuse the partitioning — the same one-exchange shape as
+    // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
+    ("llm_lm_score",
+      (s, d) => {
+        val grams = documents(s, d)
+          .repartition(col("doc_id"))
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text) - 1)")).as("i"),
+            col("text"))
+          .select(col("doc_id"), expr("substr(text, i, 2)").as("g"))
+        val bc = grams.groupBy("g").agg(count(lit(1)).as("n"))
+        val model = bc
+          .withColumn("np", sum(col("n")).over(
+            Window.partitionBy(substring(col("g"), 1, 1))))
+          .select(col("g"),
+            log(col("n").cast(DoubleType) / col("np")).as("lp"))
+        grams.join(broadcast(model), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("lp")), 6).as("lm_score_r"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, substr(text, i, 2) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text) - 1)) AS i
+                      FROM documents WHERE length(text) >= 2) t),
+              bc AS (SELECT g, count(*) AS n FROM g GROUP BY 1),
+              model AS (
+                SELECT g, ln(CAST(n AS DOUBLE)
+                             / SUM(n) OVER (PARTITION BY substr(g, 1, 1)))
+                         AS lp
+                FROM bc)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(lp), 6) AS lm_score_r
+              FROM g JOIN model USING (g)
+              GROUP BY doc_id"""))
   )
 }
