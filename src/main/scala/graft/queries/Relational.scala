@@ -276,6 +276,18 @@ object Relational {
                     FROM orders JOIN customer ON o_custkey = c_custkey) t
               WHERE rn <= 3""")),
 
+    // F13 — known-bad publication days masked before transform (the
+    // reference's per-market error-date table; previously spec-only).
+    // The NOT-IN lands as a pushed parquet filter, so masked days prune
+    // at the scan.
+    ("f13_error_date_mask",
+      (s, d) => graft.transform.MarketFilters.maskErrorDates(
+        orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        "o_orderdate", Seq("1995-01-01", "1996-07-04", "1997-12-25")),
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+              WHERE CAST(o_orderdate AS DATE) NOT IN
+                    (DATE '1995-01-01', DATE '1996-07-04', DATE '1997-12-25')""")),
+
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values
     // are FIXED (the scale contract — value discovery would cost an extra

@@ -147,4 +147,45 @@ class CurationSpec extends SparkSpec {
       err >= 0 && err <= 64 * math.pow(sc / 127 / 2, 2) * 1.01 + 1e-9
     })
   }
+
+  test("weighted sample is a deterministic size-50 reservoir with descending keys") {
+    val q = SparkEntry.queries("llm_weighted_sample")
+    val a = q(spark, sfDir).select($"doc_id", $"w", $"key_r", $"rank")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._4)
+    assert(a.length == 50)
+    assert(a.map(_._4).toSeq == (1 to 50))
+    // ln(u)/w keys are negative and ranked descending (closer to 0 wins)
+    assert(a.forall(_._3 <= 0))
+    assert(a.map(_._3).toSeq == a.map(_._3).toSeq.sorted.reverse)
+    assert(q(spark, sfDir).select($"doc_id").as[Long].collect().toSet ==
+      a.map(_._1).toSet, "sample not deterministic")
+  }
+
+  test("fuzzy match finds exact duplicates at distance 0, bounds all pairs") {
+    val pairs = SparkEntry.queries("llm_fuzzy_match")(spark, sfDir)
+      .select($"d1", $"d2", $"lev").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (d1, d2, l) => d1 < d2 && l >= 0 && l <= 8 })
+    // exact-duplicate TEXTS (when the corpus instance has any) must
+    // surface as lev-0 pairs
+    Tables.documents(spark, sfDir)
+      .groupBy(md5($"text")).agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(array_min($"ids"), array_max($"ids"))
+      .as[(Long, Long)].collect().headOption.foreach { dupPair =>
+        assert(pairs.exists(p =>
+          p._1 == dupPair._1 && p._2 == dupPair._2 && p._3 == 0),
+          s"exact-dup pair $dupPair missing from fuzzy matches")
+      }
+  }
+
+  test("LM score is a negative mean log-prob over length-1 bigrams") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    val rows = SparkEntry.queries("llm_lm_score")(spark, sfDir)
+      .select($"doc_id", $"n_bigrams", $"lm_score_r")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == docs.size)
+    assert(rows.forall { case (id, n, s) => n == docs(id) - 1 && s < 0 })
+  }
 }
