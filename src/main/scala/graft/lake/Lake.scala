@@ -131,12 +131,16 @@ object Lake {
     * the table catalog, hence saveAsTable rather than a path write.)
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      nBuckets: Int, location: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("compression", "zstd")
-      .saveAsTable(table)
+    // explicit location ⇒ external bucketed table (callers that bucket
+    // scratch copies point it at a temp dir instead of the warehouse)
+    location.fold(w.saveAsTable(table))(p =>
+      w.option("path", p).saveAsTable(table))
+  }
 
   /** Small-file COMPACTION (maintenance op): every upsert into an
     * append-only dataset adds a file per touched partition, and at 100 TB

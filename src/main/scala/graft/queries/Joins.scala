@@ -340,20 +340,26 @@ object Joins {
     // (PlanAuditSpec asserts the join keys never reshuffle).
     ("j9_fact_join_bucketed",
       (s, d) => {
+        // keyed by source dir AND application id: concurrent driver
+        // processes (bench + correctness, the r5 race) must never share —
+        // or delete under — each other's bucketed copies
         val sfx = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+          .digest(s"$d:${s.sparkContext.applicationId}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
         val liT = s"b9_lineitem_$sfx"
         val orT = s"b9_orders_$sfx"
         def build(tbl: String, keys: Seq[String])(df: => DataFrame): Unit =
           if (!s.catalog.tableExists(tbl)) {
-            // a fresh session's in-memory catalog has no tables, but the
-            // warehouse DIRECTORY survives from earlier sessions — clear
-            // the stale location or the CTAS refuses it
-            val p = new org.apache.hadoop.fs.Path(
-              s.conf.get("spark.sql.warehouse.dir"), tbl)
+            // EXTERNAL table under the system temp dir: a fresh session's
+            // in-memory catalog has no tables, and pointing the data at a
+            // per-app temp location (cleared first — a crashed run's
+            // leftovers would fail the CTAS) keeps the repo warehouse
+            // clean and concurrent processes fully isolated
+            val loc = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+            val p = new org.apache.hadoop.fs.Path(loc)
             p.getFileSystem(s.sparkContext.hadoopConfiguration)
               .delete(p, true)
-            graft.lake.Lake.writeBucketed(df, tbl, keys, 8)
+            graft.lake.Lake.writeBucketed(df, tbl, keys, 8, Some(loc))
           }
         build(liT, Seq("l_orderkey"))(lineitem(s, d)
           .select(col("l_orderkey"), col("l_extendedprice"),
