@@ -154,10 +154,12 @@ object LlmOps {
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), col("l"),
         explode(expr("sequence(1, size(l) - 2)")).as("i"))
+      // md5_prefix60: the native one-expression form of
+      // conv(substr(md5(..), 1, 15), 16, 10) — same value, no hex-string
+      // materialization per shingle (graft.functions.Md5Prefix60)
       .select(col("doc_id"),
-        expr("""CAST(conv(substr(md5(concat_ws(' ', element_at(l, i),
-                element_at(l, i + 1), element_at(l, i + 2))), 1, 15), 16, 10)
-                AS BIGINT)""").as("x"))
+        expr("""md5_prefix60(concat_ws(' ', element_at(l, i),
+                element_at(l, i + 1), element_at(l, i + 2)))""").as("x"))
 
   private[queries] def shingleProfile(s: SparkSession, d: String,
       withSignature: Boolean = true,
