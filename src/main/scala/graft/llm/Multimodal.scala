@@ -193,10 +193,14 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Demux an animated GIF into its frames via the JDK's GIF ImageReader
-    * (every frame image, in order); each frame re-encodes standalone as
-    * PNG so the image path decodes it directly. None for payloads that
-    * are not ImageIO-readable GIFs.
+  /** Demux an animated GIF into FULL frames via the JDK's GIF ImageReader,
+    * COMPOSITED onto the logical-screen canvas: optimized GIFs store only
+    * the changed rectangle per frame (with an offset and a disposal mode),
+    * so the raw rasters after frame 0 are fragments — each raster is drawn
+    * at its (left, top) offset and the canvas snapshot re-encodes
+    * standalone as PNG, honoring none/doNotDispose,
+    * restoreToBackgroundColor and restoreToPrevious disposal. None for
+    * payloads that are not ImageIO-readable GIFs.
     */
   private[llm] def readGifFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
     try {
@@ -213,16 +217,82 @@ object Multimodal {
               reader.setInput(iis, false)
               val n = reader.getNumImages(true)
               if (n <= 0) None
-              else Some((0 until n).map { i =>
-                val buf = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(reader.read(i), "png", buf)
-                buf.toByteArray
-              })
+              else Some(compositeGif(reader, n))
             }
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
+
+  private def gifAttr(node: org.w3c.dom.Node, child: String,
+      attr: String): Option[String] = {
+    var c = node.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == child) {
+        val a = c.getAttributes.getNamedItem(attr)
+        return Option(a).map(_.getNodeValue)
+      }
+      c = c.getNextSibling
+    }
+    None
+  }
+
+  private def compositeGif(reader: javax.imageio.ImageReader,
+      n: Int): Seq[Array[Byte]] = {
+    import java.awt.image.BufferedImage
+    val first = reader.read(0)
+    // logical screen size from stream metadata; frame-0 size as fallback
+    val (sw, sh) = (for {
+      m <- Option(reader.getStreamMetadata)
+      t = m.getAsTree(m.getNativeMetadataFormatName)
+      w <- gifAttr(t, "LogicalScreenDescriptor", "logicalScreenWidth")
+      h <- gifAttr(t, "LogicalScreenDescriptor", "logicalScreenHeight")
+    } yield (w.toInt, h.toInt))
+      .filter { case (w, h) => w > 0 && h > 0 }
+      .getOrElse((first.getWidth, first.getHeight))
+    val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+    val g = canvas.createGraphics()
+    def snapshot(): Array[Byte] = {
+      val copy = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+      copy.createGraphics().drawImage(canvas, 0, 0, null)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(copy, "png", buf)
+      buf.toByteArray
+    }
+    try (0 until n).map { i =>
+      val img = if (i == 0) first else reader.read(i)
+      val im = reader.getImageMetadata(i)
+      val tree = im.getAsTree(im.getNativeMetadataFormatName)
+      val x = gifAttr(tree, "ImageDescriptor", "imageLeftPosition")
+        .fold(0)(_.toInt)
+      val y = gifAttr(tree, "ImageDescriptor", "imageTopPosition")
+        .fold(0)(_.toInt)
+      val disposal = gifAttr(tree, "GraphicControlExtension", "disposalMethod")
+        .getOrElse("none")
+      val before =
+        if (disposal == "restoreToPrevious") Some(snapshot()) else None
+      g.drawImage(img, x, y, null)
+      val frame = snapshot()
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          val comp = g.getComposite
+          g.setComposite(java.awt.AlphaComposite.Clear)
+          g.fillRect(x, y, img.getWidth, img.getHeight)
+          g.setComposite(comp)
+        case "restoreToPrevious" =>
+          before.foreach { b =>
+            val prev = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Src)
+            g.drawImage(prev, 0, 0, null)
+            g.setComposite(comp)
+          }
+        case _ => () // none / doNotDispose: canvas accumulates
+      }
+      frame
+    } finally g.dispose()
+  }
 
   /** REAL frame sampling for animated GIF: decode every `every`-th frame
     * and emit it as a standalone PNG row (frame_idx = original frame

@@ -383,8 +383,12 @@ object Similarity {
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                 LIMIT $cap) s),
         c0 AS MATERIALIZED (
-          SELECT rk - 1 AS c_id, list_value($initList) AS cv
-          FROM pts WHERE rk <= $nLists),
+          -- wrap-around init mirrors the Scala pts(i % pts.length): with a
+          -- sample smaller than nLists, centroids recycle sample points
+          -- instead of silently dropping clusters
+          SELECT g.c_id, list_value($initList) AS cv
+          FROM generate_series(0, ${nLists - 1}) g(c_id)
+          JOIN pts ON pts.rk = (g.c_id % (SELECT COUNT(*) FROM pts)) + 1),
         $iterCtes,
         asg AS (
           SELECT vec_id, c_id AS list_id FROM (

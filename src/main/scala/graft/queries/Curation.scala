@@ -642,6 +642,9 @@ object Curation {
     // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
     ("llm_lm_score",
       (s, d) => {
+        // checkpointed: the bigram stream feeds BOTH the model aggregation
+        // and the scoring join — without it the corpus scan + char fan-out
+        // evaluates twice (the same shared-scan rule as llm_corpus_report)
         val grams = documents(s, d)
           .repartition(col("doc_id"))
           .filter(length(col("text")) >= 2)
@@ -649,6 +652,7 @@ object Curation {
             explode(expr("sequence(1, length(text) - 1)")).as("i"),
             col("text"))
           .select(col("doc_id"), expr("substr(text, i, 2)").as("g"))
+          .localCheckpoint()
         val bc = grams.groupBy("g").agg(count(lit(1)).as("n"))
         val model = bc
           .withColumn("np", sum(col("n")).over(

@@ -47,6 +47,18 @@ object Joins {
          SELECT l_suppkey, md5(string_agg(els, ',' ORDER BY els)) AS h
          FROM e GROUP BY l_suppkey)"""
 
+  /** ONE oracle for both j9 arms (shuffled and bucketed): same values,
+    * different physical plans — a shared val so an edit cannot silently
+    * desynchronize the twins.
+    */
+  private val j9OracleSql: Option[String] =
+    Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2""")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // J1/W10 — session-cumulative differencing as an ordered lag window:
@@ -321,12 +333,7 @@ object Joins {
         .groupBy(col("o_orderpriority"), col("mes"))
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n")),
-      Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
-                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                          AS DOUBLE) AS revenue,
-                     count(*) AS n
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY 1, 2""")),
+      j9OracleSql),
 
     // J9 over BUCKETED fact tables — the 100 TB answer to the repeated
     // precios×volumenes join: both facts are bucketed on the join key at
@@ -354,12 +361,17 @@ object Joins {
             // in-memory catalog has no tables, and pointing the data at a
             // per-app temp location (cleared first — a crashed run's
             // leftovers would fail the CTAS) keeps the repo warehouse
-            // clean and concurrent processes fully isolated
+            // clean and concurrent processes fully isolated. A shutdown
+            // hook reclaims the copies so repeated runs don't accumulate
+            // scratch parquet in the temp dir.
             val loc = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
             val p = new org.apache.hadoop.fs.Path(loc)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .delete(p, true)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
             graft.lake.Lake.writeBucketed(df, tbl, keys, 8, Some(loc))
+            sys.addShutdownHook {
+              try fs.delete(p, true) catch { case _: Exception => () }
+            }
           }
         build(liT, Seq("l_orderkey"))(lineitem(s, d)
           .select(col("l_orderkey"), col("l_extendedprice"),
@@ -376,11 +388,6 @@ object Joins {
           .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"), count(lit(1)).as("n"))
       },
-      Some("""SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
-                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                          AS DOUBLE) AS revenue,
-                     count(*) AS n
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY 1, 2"""))
+      j9OracleSql)
   )
 }

@@ -742,19 +742,19 @@ object Pipelines {
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         def batch(p: org.apache.spark.sql.Column) =
           src.filter(p).drop("o_orderkey")
-        for (m <- Seq(2, 3, 5))
-          Lake.upsert(s, batch(col("o_orderkey") % m === 0), path, "continuo",
-            dedupKeys = Seq.empty, precedenceCol = "volumenes")
-        Lake.compact(s, path, maxFiles = 0)
-        val res = Lake.read(s, path, Some("continuo"))
-          .select(col("datetime_utc"),
-            col("id_mercado").cast(IntegerType).as("id_mercado"),
-            col("uof"), col("volumenes"),
-            col("year").cast(IntegerType).as("year"),
-            col("month").cast(IntegerType).as("month"))
-          .localCheckpoint() // eager: materialize before the temp lake goes away
-        fs.delete(hp, true)
-        res
+        try {
+          for (m <- Seq(2, 3, 5))
+            Lake.upsert(s, batch(col("o_orderkey") % m === 0), path, "continuo",
+              dedupKeys = Seq.empty, precedenceCol = "volumenes")
+          Lake.compact(s, path, maxFiles = 0)
+          Lake.read(s, path, Some("continuo"))
+            .select(col("datetime_utc"),
+              col("id_mercado").cast(IntegerType).as("id_mercado"),
+              col("uof"), col("volumenes"),
+              col("year").cast(IntegerType).as("year"),
+              col("month").cast(IntegerType).as("month"))
+            .localCheckpoint() // eager: materialize before the temp lake goes away
+        } finally fs.delete(hp, true)
       },
       Some("""WITH src AS (
                 SELECT CAST(DATE '2024-02-01'

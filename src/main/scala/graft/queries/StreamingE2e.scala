@@ -68,18 +68,23 @@ object StreamingE2e {
     src.filter(col("event_id") % 3 === 0).coalesce(1)
       .write.mode("append").parquet(dir)
     val qn = s"graft_sink_$id"
-    val q = transform(
-        s.readStream.schema(fixtureSchema).option("maxFilesPerTrigger", 1)
-          .parquet(dir))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val res = s.table(qn).localCheckpoint() // eager: sink + files go away
-    s.catalog.dropTempView(qn)
-    fs.delete(hp, true)
-    res
+    // finally-guarded: a failing stream must not leak the fixture dir or
+    // the memory-sink temp view (Bench catches per-query errors and keeps
+    // going — twice per query with the warm pass)
+    try {
+      val q = transform(
+          s.readStream.schema(fixtureSchema).option("maxFilesPerTrigger", 1)
+            .parquet(dir))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).localCheckpoint() // eager: sink + files go away
+    } finally {
+      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      fs.delete(hp, true)
+    }
   }
 
   val all: Seq[(String, Q, Option[String])] = Seq(

@@ -239,6 +239,64 @@ class LlmSpec extends SparkSpec {
     assert(fb.map(_.frame_idx).toSeq == Seq(0))
   }
 
+  test("delta-optimized GIF frames composite onto the logical screen") {
+    import spark.implicits._
+    // frame 0: full 20x10 dark gray; frame 1: a 4x4 BRIGHT fragment at
+    // offset (16, 0) — an optimized GIF stores only the changed rect, so
+    // an un-composited demux would emit a 4x4 image for frame 1
+    def img(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = i.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, w, h)
+      gr.dispose(); i
+    }
+    def meta(writer: javax.imageio.ImageWriter,
+        im: java.awt.image.BufferedImage, x: Int): javax.imageio.metadata.IIOMetadata = {
+      val m = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(im), writer.getDefaultWriteParam)
+      val fmt = m.getNativeMetadataFormatName
+      val tree = m.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      var c = tree.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == "ImageDescriptor") {
+          val d = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          d.setAttribute("imageLeftPosition", x.toString)
+          d.setAttribute("imageTopPosition", "0")
+        }
+        c = c.getNextSibling
+      }
+      m.setFromTree(fmt, tree)
+      m
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val full = img(20, 10, 40)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(full, null, meta(writer, full, 0)),
+      writer.getDefaultWriteParam)
+    val frag = img(4, 4, 220)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(frag, null, meta(writer, frag, 16)),
+      writer.getDefaultWriteParam)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val media = Seq(Multimodal.MediaRow(9L, buf.toByteArray, "image/gif")).toDS()
+    val frames = Multimodal.sampleFramesGif(media, 1).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1))
+    val decoded = frames.map(f => Multimodal.decodeImage(
+      Multimodal.MediaRow(9L, f.payload, "image/png")).get)
+    // BOTH frames are full logical-screen images
+    assert(decoded.forall(d => d.width == 20 && d.height == 10))
+    // frame 1 = dark base with the bright patch in the last band (x 16-19)
+    val f1 = decoded(1).features
+    assert(f1(0) < 0.25f, s"band0 ${f1(0)} should stay dark")
+    assert(f1(7) > f1(0) + 0.2f, s"band7 ${f1(7)} should carry the bright patch")
+  }
+
   test("real WAV decode: javax.sound path extracts rate/channels and band amplitude") {
     import spark.implicits._
     // generate a real PCM16 mono WAV @8 kHz: first half silence, second
