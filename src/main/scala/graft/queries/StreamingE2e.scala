@@ -125,6 +125,101 @@ object StreamingE2e {
                       user_id, count(*) AS n_events,
                       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
                         AS total
-               FROM arrived GROUP BY 1, 2, 3"""))
+               FROM arrived GROUP BY 1, 2, 3""")),
+
+    // W15 — STREAM-STREAM equi-join e2e (the J9 twin as real streams):
+    // precios and volumenes arrive as two file-source streams whose
+    // batches are deliberately CROSSED — precios' early hours land in its
+    // first file while the matching volumenes land in the second — so
+    // every match must pair through the join STATE across micro-batches.
+    // The watermark delay (7 days) exceeds the fixture span (48 h), so no
+    // row is ever late and the emitted inner-join set equals the batch
+    // join exactly — micro-batch-order independent. Dyadic quarter values
+    // keep precio·volumenes representation-stable in both engines.
+    ("w15_stream_join_e2e",
+      (s, d) => {
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        val pdir = s"$tmpDir/graft_stream_joinp_$id"
+        val vdir = s"$tmpDir/graft_stream_joinv_$id"
+        val hp = new org.apache.hadoop.fs.Path(pdir)
+        val hv = new org.apache.hadoop.fs.Path(vdir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base = orders(s, d).filter(col("o_orderkey") % 89 === 0)
+          .select(
+            (col("o_orderkey") % 48).cast(IntegerType).as("h"),
+            (col("o_orderkey") % 3 + 1).cast(IntegerType).as("id_mercado"),
+            concat(lit("U"), (col("o_orderkey") % 40).cast(StringType))
+              .as("uof"),
+            ((col("o_orderkey") % 64).cast(DoubleType) / 4).as("volumenes"))
+          .withColumn("datetime_utc", expr(
+            "TIMESTAMP '2024-05-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"))
+        val p = base.select(col("datetime_utc"), col("id_mercado"),
+            (((col("h") * 7 + col("id_mercado") * 13) % 100)
+              .cast(DoubleType) / 4).as("precio"), col("h"))
+          .dropDuplicates("datetime_utc", "id_mercado")
+        val v = base
+          .select(col("datetime_utc"), col("id_mercado"), col("uof"),
+            col("volumenes"), col("h"))
+        p.filter(col("h") < 24).drop("h").coalesce(1)
+          .write.mode("append").parquet(pdir)
+        p.filter(col("h") >= 24).drop("h").coalesce(1)
+          .write.mode("append").parquet(pdir)
+        v.filter(col("h") >= 24).drop("h").coalesce(1)
+          .write.mode("append").parquet(vdir)
+        v.filter(col("h") < 24).drop("h").coalesce(1)
+          .write.mode("append").parquet(vdir)
+        val pSchema = StructType(Seq(
+          StructField("datetime_utc", TimestampType),
+          StructField("id_mercado", IntegerType),
+          StructField("precio", DoubleType)))
+        val vSchema = StructType(Seq(
+          StructField("datetime_utc", TimestampType),
+          StructField("id_mercado", IntegerType),
+          StructField("uof", StringType),
+          StructField("volumenes", DoubleType)))
+        val qn = s"graft_sink_$id"
+        try {
+          val ps = s.readStream.schema(pSchema)
+            .option("maxFilesPerTrigger", 1).parquet(pdir)
+          val vs = s.readStream.schema(vSchema)
+            .option("maxFilesPerTrigger", 1).parquet(vdir)
+          val q = graft.streaming.StreamJoin
+            .joinPreciosVolumenes(ps, vs, lateness = "7 days")
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(qn).localCheckpoint()
+        } finally {
+          try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+          fs.delete(hp, true)
+          fs.delete(hv, true)
+        }
+      },
+      Some("""WITH base AS (
+                SELECT CAST(o_orderkey % 48 AS INTEGER) AS h,
+                       CAST(o_orderkey % 3 + 1 AS INTEGER) AS id_mercado,
+                       concat('U', CAST(o_orderkey % 40 AS VARCHAR)) AS uof,
+                       CAST(o_orderkey % 64 AS DOUBLE) / 4 AS volumenes
+                FROM orders WHERE o_orderkey % 89 = 0),
+              p AS (
+                SELECT DISTINCT
+                       TIMESTAMP '2024-05-01 00:00:00'
+                         + to_hours(CAST(h AS BIGINT)) AS datetime_utc,
+                       id_mercado,
+                       CAST((h * 7 + id_mercado * 13) % 100 AS DOUBLE) / 4
+                         AS precio
+                FROM base),
+              v AS (
+                SELECT TIMESTAMP '2024-05-01 00:00:00'
+                         + to_hours(CAST(h AS BIGINT)) AS datetime_utc,
+                       id_mercado, uof, volumenes
+                FROM base)
+              SELECT p.datetime_utc, p.id_mercado, precio, uof, volumenes,
+                     precio * volumenes AS importe
+              FROM p JOIN v
+                ON p.datetime_utc = v.datetime_utc
+               AND p.id_mercado = v.id_mercado"""))
   )
 }
