@@ -257,6 +257,9 @@ object Curation {
     // broadcast 1-row aggregate, never a driver-side action.
     ("llm_tfidf_terms",
       (s, d) => {
+        // toks feeds both the df aggregation and the scoring join; NOT
+        // checkpointed — materialization measured slower than recomputing
+        // the codegen'd fan-out (see simhashVotes)
         val toks = documents(s, d)
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -642,9 +645,11 @@ object Curation {
     // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
     ("llm_lm_score",
       (s, d) => {
-        // checkpointed: the bigram stream feeds BOTH the model aggregation
-        // and the scoring join — without it the corpus scan + char fan-out
-        // evaluates twice (the same shared-scan rule as llm_corpus_report)
+        // checkpointed: grams feeds both the model aggregation and the
+        // scoring join, and the ~10M-row char fan-out is expensive enough
+        // that one materialization beats two evaluations (isolated warm
+        // bench: 2.17 s at sf0.1 with the checkpoint). For the LIGHTER
+        // token streams the tradeoff flips — see simhashVotes.
         val grams = documents(s, d)
           .repartition(col("doc_id"))
           .filter(length(col("text")) >= 2)

@@ -67,6 +67,12 @@ object LlmOps {
     * vocabulary join's shuffles do.
     */
   private def simhashVotes(s: SparkSession, d: String): DataFrame = {
+    // toks feeds both the vocabulary derivation and the vote join and is
+    // deliberately NOT checkpointed: materializing ~|doc·distinct-token|
+    // string rows measured SLOWER than re-running the codegen'd
+    // scan+explode+agg (0.60 s → 1.4 s at sf0.1) — recompute beats
+    // materialize for wide fan-out streams at this scale (contrast the
+    // checkpointed shingle PROFILE, which several JOINS consume)
     val toks = documents(s, d)
       .repartition(col("doc_id")) // parallelize the token fan-out
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
