@@ -25,6 +25,20 @@ object StreamingE2e {
 
   private def tmpDir = System.getProperty("java.io.tmpdir")
 
+  /** Run `body` with a small shuffle-partition count. Stateful streaming
+    * cost scales with partitions × micro-batches (every batch commits a
+    * state store per partition per stateful op); the fixtures here are
+    * a few thousand rows, so 32 partitions is pure overhead. The result
+    * SET is partition-count independent (and the driver sorts before
+    * hashing), so this is a pure latency knob.
+    */
+  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Deterministic event fixture derived from orders: (user_id, event_id,
     * ts, amount) with full-row duplicates across the two batches (every
     * row with o_orderkey % 6 == 0 appears in both files).
@@ -71,7 +85,7 @@ object StreamingE2e {
     // finally-guarded: a failing stream must not leak the fixture dir or
     // the memory-sink temp view (Bench catches per-query errors and keeps
     // going — twice per query with the warm pass)
-    try {
+    try withFewPartitions(s) {
       val q = transform(
           s.readStream.schema(fixtureSchema).option("maxFilesPerTrigger", 1)
             .parquet(dir))
@@ -137,13 +151,15 @@ object StreamingE2e {
     // join exactly — micro-batch-order independent. Dyadic quarter values
     // keep precio·volumenes representation-stable in both engines.
     ("w15_stream_join_e2e",
-      (s, d) => {
+      (s, d) => withFewPartitions(s) {
         val id = java.util.UUID.randomUUID.toString.replace("-", "")
         val pdir = s"$tmpDir/graft_stream_joinp_$id"
         val vdir = s"$tmpDir/graft_stream_joinv_$id"
         val hp = new org.apache.hadoop.fs.Path(pdir)
         val hv = new org.apache.hadoop.fs.Path(vdir)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // localCheckpoint: the 4 fixture writes below would otherwise each
+        // re-scan orders
         val base = orders(s, d).filter(col("o_orderkey") % 89 === 0)
           .select(
             (col("o_orderkey") % 48).cast(IntegerType).as("h"),
@@ -153,6 +169,7 @@ object StreamingE2e {
             ((col("o_orderkey") % 64).cast(DoubleType) / 4).as("volumenes"))
           .withColumn("datetime_utc", expr(
             "TIMESTAMP '2024-05-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"))
+          .localCheckpoint()
         val p = base.select(col("datetime_utc"), col("id_mercado"),
             (((col("h") * 7 + col("id_mercado") * 13) % 100)
               .cast(DoubleType) / 4).as("precio"), col("h"))
