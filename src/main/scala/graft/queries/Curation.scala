@@ -645,19 +645,23 @@ object Curation {
     // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
     ("llm_lm_score",
       (s, d) => {
-        // checkpointed: grams feeds both the model aggregation and the
-        // scoring join, and the ~10M-row char fan-out is expensive enough
-        // that one materialization beats two evaluations (isolated warm
-        // bench: 2.17 s at sf0.1 with the checkpoint). For the LIGHTER
-        // token streams the tradeoff flips — see simhashVotes.
+        // Bigrams index into a pre-split char ARRAY (element_at is O(1))
+        // instead of substr(text, i, 2): UTF8String substring walks from
+        // the string start, so the substr form is O(len²) per doc —
+        // measured 1.66 s vs 0.62 s for this fan-out alone at sf0.1.
+        // split keeps a trailing "" (limit -1), hence size(cs)-2.
+        // NOT checkpointed: with the quadratic fixed, the stream joined
+        // twice re-evaluates cheaper than it materializes (1.34 s vs
+        // 1.83 s warm) — the simhashVotes rule, which this fan-out now
+        // falls under.
         val grams = documents(s, d)
           .repartition(col("doc_id"))
           .filter(length(col("text")) >= 2)
+          .withColumn("cs", split(col("text"), "(?!^)"))
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text) - 1)")).as("i"),
-            col("text"))
-          .select(col("doc_id"), expr("substr(text, i, 2)").as("g"))
-          .localCheckpoint()
+            explode(expr("sequence(1, size(cs) - 2)")).as("i"), col("cs"))
+          .select(col("doc_id"),
+            expr("concat(element_at(cs, i), element_at(cs, i+1))").as("g"))
         val bc = grams.groupBy("g").agg(count(lit(1)).as("n"))
         val model = bc
           .withColumn("np", sum(col("n")).over(
