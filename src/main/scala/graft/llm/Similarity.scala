@@ -536,22 +536,28 @@ object Similarity {
       .localCheckpoint() // feeds codebook, encode, ADC and refine
     val cent = e.filter(col("vec_id") < ksub)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // ENCODE: per (vector, subspace) argmin L2 over the ksub codebook rows.
-    // Left-assoc fold from 0D = the oracle's left-assoc term chain, so the
-    // distances (and therefore the codes, tie-broken on c_id) match
-    // bit-for-bit.
+    // ENCODE: per (vector, subspace) argmin L2 over the ksub codebook rows,
+    // ranked by the expanded key ‖c_j‖² − 2·v_j·c_j (argmin-equivalent: the
+    // dropped ‖v_j‖² is constant per (vector, subspace)). Everything stays
+    // in whole-stage codegen — the earlier aggregate(zip_with(...)) d2 ran
+    // interpreted per (vector, subspace, centroid) and measured 2× slower
+    // at sf0.1 — and the argmin itself is a hash-agg min(struct) instead of
+    // a row_number sort. The ORACLE ranks by the same expanded key
+    // (vec_dot's left-assoc fold ≡ the SQL chained `+`), so codes match
+    // bit-for-bit including c_id tiebreaks.
+    val centJ = cent
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("c_id"), col("j"),
+        expr(s"slice(cv, j * $sub + 1, $sub)").as("cj"))
+      .withColumn("nc2", expr("vec_dot(cj, cj)"))
     val coded = e.select(col("vec_id"), col("v"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .crossJoin(broadcast(cent))
-      .withColumn("d2", expr(
-        s"""aggregate(zip_with(slice(v, j * $sub + 1, $sub),
-                               slice(cv, j * $sub + 1, $sub),
-                               (a, b) -> (a - b) * (a - b)),
-                      0D, (s, x) -> s + x)"""))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id", "j").orderBy(col("d2").asc, col("c_id"))))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("j"), col("c_id").as("code"))
+      .withColumn("vj", expr(s"slice(v, j * $sub + 1, $sub)"))
+      .join(broadcast(centJ), Seq("j"))
+      .withColumn("key", expr("nc2 - 2 * vec_dot(vj, cj)"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("key"), col("c_id"))).as("mk"))
+      .select(col("vec_id"), col("j"), col("mk.c_id").as("code"))
       .localCheckpoint() // the ADC scan reads it once per query batch
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -598,11 +604,18 @@ object Similarity {
     val sub = dims / m
     def acc(tbl: String, i: String) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
     def cacc(i: String) = s"CAST(c.cv[$i] AS DOUBLE)"
-    // per-subspace chains with j a COLUMN: index expressions j*sub + i
-    val d2Chain = (1 to sub).map { i =>
-      val ix = s"j * $sub + $i"
-      s"(${acc("e", ix)} - ${cacc(ix)}) * (${acc("e", ix)} - ${cacc(ix)})"
-    }.mkString(" + ")
+    // per-subspace chains with j a COLUMN: index expressions j*sub + i.
+    // The encode key is the expanded ‖c_j‖² − 2·v_j·c_j, the same formula
+    // (and the same left-assoc chains) the Spark side ranks by.
+    val keyChain = {
+      val nc2 = (1 to sub).map { i =>
+        val ix = s"j * $sub + $i"; s"${cacc(ix)} * ${cacc(ix)}"
+      }.mkString(" + ")
+      val dj = (1 to sub).map { i =>
+        val ix = s"j * $sub + $i"; s"${acc("e", ix)} * ${cacc(ix)}"
+      }.mkString(" + ")
+      s"($nc2) - 2 * ($dj)"
+    }
     val pdChain = (1 to sub).map { i =>
       val ix = s"j * $sub + $i"
       s"${acc("q", ix)} * ${cacc(ix)}"
@@ -619,7 +632,7 @@ object Similarity {
           SELECT vec_id, j, c_id AS code FROM (
             SELECT e.vec_id, g.j, c.c_id,
                    row_number() OVER (PARTITION BY e.vec_id, g.j
-                                      ORDER BY ($d2Chain) ASC, c.c_id) AS rnk
+                                      ORDER BY ($keyChain) ASC, c.c_id) AS rnk
             FROM embeddings e, generate_series(0, ${m - 1}) g(j), cent c) t
           WHERE rnk = 1),
         est AS (
@@ -685,18 +698,21 @@ object Similarity {
     // level 2 — PQ codes (pqTopKFixed shape)
     val pqCent = e.filter(col("vec_id") < ksub)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    // same codegen encode as pqTopKFixed: expanded ‖c_j‖² − 2·v_j·c_j key,
+    // hash-agg min(struct) argmin (see the pqTopKFixed encode comment)
+    val pqCentJ = pqCent
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("p_id"), col("j"),
+        expr(s"slice(pv, j * $sub + 1, $sub)").as("pj"))
+      .withColumn("nc2", expr("vec_dot(pj, pj)"))
     val coded = e.select(col("vec_id"), col("v"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .crossJoin(broadcast(pqCent))
-      .withColumn("d2", expr(
-        s"""aggregate(zip_with(slice(v, j * $sub + 1, $sub),
-                               slice(pv, j * $sub + 1, $sub),
-                               (a, b) -> (a - b) * (a - b)),
-                      0D, (s, x) -> s + x)"""))
-      .withColumn("prnk", row_number().over(
-        Window.partitionBy("vec_id", "j").orderBy(col("d2").asc, col("p_id"))))
-      .filter(col("prnk") === 1)
-      .select(col("vec_id"), col("j"), col("p_id").as("code"))
+      .withColumn("vj", expr(s"slice(v, j * $sub + 1, $sub)"))
+      .join(broadcast(pqCentJ), Seq("j"))
+      .withColumn("key", expr("nc2 - 2 * vec_dot(vj, pj)"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("key"), col("p_id"))).as("mk"))
+      .select(col("vec_id"), col("j"), col("mk.p_id").as("code"))
       .join(assigned, "vec_id") // codes carry their list id
       .localCheckpoint()
     val q = ranked.filter(queryPred && col("rnk") <= nProbe)
@@ -753,10 +769,15 @@ object Similarity {
     val assignChain = (1 to dims)
       .map(i => s"${acc("e", i.toString)} * CAST(c.cv[$i] AS DOUBLE)")
       .mkString(" + ")
-    val d2Chain = (1 to sub).map { i =>
-      val ix = s"j * $sub + $i"
-      s"(${acc("e", ix)} - ${cacc(ix)}) * (${acc("e", ix)} - ${cacc(ix)})"
-    }.mkString(" + ")
+    val keyChain = {
+      val nc2 = (1 to sub).map { i =>
+        val ix = s"j * $sub + $i"; s"${cacc(ix)} * ${cacc(ix)}"
+      }.mkString(" + ")
+      val dj = (1 to sub).map { i =>
+        val ix = s"j * $sub + $i"; s"${acc("e", ix)} * ${cacc(ix)}"
+      }.mkString(" + ")
+      s"($nc2) - 2 * ($dj)"
+    }
     val pdChain = (1 to sub).map { i =>
       val ix = s"j * $sub + $i"
       s"${acc("q", ix)} * ${cacc(ix)}"
@@ -784,7 +805,7 @@ object Similarity {
           SELECT t.vec_id, t.j, t.c_id AS code, a.list_id FROM (
             SELECT e.vec_id, g.j, c.c_id,
                    row_number() OVER (PARTITION BY e.vec_id, g.j
-                                      ORDER BY ($d2Chain) ASC, c.c_id) AS rnk
+                                      ORDER BY ($keyChain) ASC, c.c_id) AS rnk
             FROM embeddings e, generate_series(0, ${m - 1}) g(j), pqc c) t
           JOIN assign a ON a.vec_id = t.vec_id
           WHERE t.rnk = 1),
