@@ -326,9 +326,15 @@ object Joins {
         // derive the month bucket on the BUILD side before the join: the
         // tz-aware date_trunc then runs once per order (150k rows at
         // sf0.1), not once per joined lineitem row (600k) — Catalyst does
-        // not push a post-join grouping expression below the join itself
+        // not push a post-join grouping expression below the join itself.
+        // merge hint: orders is a FACT-class side (one row per order, the
+        // same cardinality class as lineitem), not a dim — broadcasting it
+        // is a driver-memory cliff at scale, and even at sf0.1 the serial
+        // broadcast build measures slower than the shuffle join (1.7 s vs
+        // 1.1 s warm). Genuine dims (j8/f6) stay broadcast.
         .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"))
+          .hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"), col("mes"))
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
