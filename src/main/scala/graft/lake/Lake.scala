@@ -23,6 +23,40 @@ object Lake {
 
   val PartitionCols: Seq[String] = Seq("mercado", "id_mercado", "year", "month")
 
+  /** O1 sort key for partitioned writes: partition columns FIRST, then
+    * datetime. Sorting by datetime alone is not enough — FileFormatWriter
+    * inserts its own (non-stable) sort on the partition expressions when
+    * the incoming order doesn't already satisfy them, which scrambles the
+    * datetime order inside each file (caught by o1_sorted_write_e2e's
+    * per-file order audit under the driver gate). Leading with the
+    * partition columns satisfies the writer's requirement, so exactly ONE
+    * sort runs and every written file is datetime-ordered.
+    */
+  private def o1SortCols: Seq[Column] =
+    (PartitionCols :+ "datetime_utc").map(col)
+
+  /** Run a partitioned write with planned-write optimization OFF. With it
+    * on (the default), V1Writes inserts its own Sort on the partition
+    * columns and the optimizer then eliminates the caller's
+    * sortWithinPartitions as redundant — the replacement sort carries no
+    * datetime key, so the O1 per-file datetime order is silently lost
+    * (measured: 12 inverted rows in a 68-row fixture; 0 with the planned
+    * write off — caught by o1_sorted_write_e2e's order audit under the
+    * driver gate). Conf is restored in finally; queries in this engine
+    * run writes sequentially, so the session-scoped toggle never leaks
+    * into a concurrent plan.
+    */
+  private def withO1Write[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.optimizer.plannedWrite.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Derive year/month partition columns from datetime_utc and tag mercado.
     * ref: processed_file_utils.py:76-89
     */
@@ -70,9 +104,11 @@ object Lake {
       mercado: String, dedupKeys: Seq[String], precedenceCol: String): Unit = {
     val tagged = withPartitionCols(incoming, mercado)
     if (dedupKeys.isEmpty) { // append-only datasets (MIC): duplicates allowed
-      layout(tagged.sortWithinPartitions("datetime_utc")
-        .write.mode(SaveMode.Append).partitionBy(PartitionCols: _*))
-        .parquet(path)
+      withO1Write(spark) {
+        layout(tagged.sortWithinPartitions(o1SortCols: _*)
+          .write.mode(SaveMode.Append).partitionBy(PartitionCols: _*))
+          .parquet(path)
+      }
       return
     }
     // incoming batches can carry intra-batch duplicates (re-downloads) —
@@ -88,14 +124,16 @@ object Lake {
           .select(tagged.columns.map(col): _*)
         keepLast(overlap.unionByName(tagged), dedupKeys, col(precedenceCol))
       }
-    layout(merged
-      .sortWithinPartitions("datetime_utc") // O1: sorted runs → better RLE + stats
-      .write.mode(SaveMode.Overwrite)
-      // per-write option, not a session-global conf mutation: only the
-      // partitions present in `merged` are replaced
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartitionCols: _*))
-      .parquet(path)
+    withO1Write(spark) {
+      layout(merged
+        .sortWithinPartitions(o1SortCols: _*) // O1: sorted runs → better RLE + stats
+        .write.mode(SaveMode.Overwrite)
+        // per-write option, not a session-global conf mutation: only the
+        // partitions present in `merged` are replaced
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartitionCols: _*))
+        .parquet(path)
+    }
   }
 
   /** Partition-pruned read (S11): mercado/id/date-range predicates land on

@@ -769,6 +769,110 @@ object Pipelines {
               SELECT datetime_utc, id_mercado, uof, volumenes,
                      CAST(year(datetime_utc) AS INTEGER) AS year,
                      CAST(month(datetime_utc) AS INTEGER) AS month
-              FROM src, m WHERE o_orderkey % m.m = 0"""))
+              FROM src, m WHERE o_orderkey % m.m = 0""")),
+
+    // O1 — sort-before-write proved END TO END under the driver's hash
+    // gate (was ScalaTest-only): an UNSORTED fixture goes through the
+    // append sink (whose sortWithinPartitions("datetime_utc") is the O1
+    // rule), and the read-back asserts the physical row order of every
+    // written file — input_file_name + monotonically_increasing_id
+    // reconstruct scan order per file (mid is monotonic within a read
+    // partition; the files are far below maxPartitionBytes, so no file
+    // ever splits across partitions), and any row whose predecessor in
+    // the same file has a LATER datetime_utc counts as a violation. The
+    // result row carries sort_violations (must be 0) next to the content
+    // totals, so a sink that stops sorting — or a read that scrambles
+    // row order — hash-fails the gate, not just a spec.
+    // ref: utilidades/processed_file_utils.py (sort-before-write rule).
+    ("o1_sorted_write_e2e",
+      (s, d) => {
+        val src = orders(s, d).filter(col("o_orderkey") % 223 === 0)
+          .select(
+            date_add(lit("2024-03-01").cast(DateType),
+              // deliberately scrambled: consecutive keys land on
+              // non-consecutive days, so the input is NOT pre-sorted
+              ((col("o_orderkey") * 37) % 90).cast(IntegerType))
+              .cast(TimestampType).as("datetime_utc"),
+            (col("o_orderkey") % 2 + 41).cast(IntegerType).as("id_mercado"),
+            concat(lit("UOF"), (col("o_orderkey") % 30).cast(StringType))
+              .as("uof"),
+            ((col("o_orderkey") % 120).cast(DoubleType) / 4).as("volumenes"))
+        val path = s"$tmpDir/graft_e2e_o1_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          Lake.upsert(s, src, path, "diario",
+            dedupKeys = Seq.empty, precedenceCol = "volumenes")
+          val r = Lake.read(s, path, Some("diario"))
+            .withColumn("f", input_file_name())
+            .withColumn("mid", monotonically_increasing_id())
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("f").orderBy("mid")
+          r.withColumn("prev_dt", lag(col("datetime_utc"), 1).over(w))
+            .agg(
+              sum(when(col("prev_dt") > col("datetime_utc"), 1L)
+                .otherwise(0L)).as("sort_violations"),
+              count(lit(1)).as("n"),
+              dsum2(col("volumenes")).as("vol_total"),
+              min(col("datetime_utc")).as("dt_min"),
+              max(col("datetime_utc")).as("dt_max"))
+            .localCheckpoint() // eager: materialize before the lake goes away
+        } finally fs.delete(hp, true)
+      },
+      Some("""WITH src AS (
+                SELECT CAST(DATE '2024-03-01'
+                         + to_days(CAST((o_orderkey * 37) % 90 AS INTEGER))
+                         AS TIMESTAMP) AS datetime_utc,
+                       CAST(o_orderkey % 120 AS DOUBLE) / 4 AS volumenes
+                FROM orders WHERE o_orderkey % 223 = 0)
+              SELECT CAST(0 AS BIGINT) AS sort_violations,
+                     count(*) AS n,
+                     CAST(SUM(CAST(volumenes AS DECIMAL(18,2))) AS DOUBLE)
+                       AS vol_total,
+                     min(datetime_utc) AS dt_min,
+                     max(datetime_utc) AS dt_max
+              FROM src""")),
+
+    // S10 — the MySQL-shaped dimension round trip proved END TO END under
+    // the driver's hash gate (was ScalaTest-only): write the dim to a REAL
+    // JDBC database (embedded Derby — same call shape as MySQL, per-dialect
+    // SQL generation in Dims.Sql), run the reference's literal batch
+    // UPDATE-by-key from executors (PreparedStatement batches via
+    // foreachPartition), read it back over JDBC, and hash-compare against
+    // DuckDB computing the same update relationally. Proves the writer's
+    // column-name quoting, the update's SET/WHERE parameter binding, and
+    // the BIGINT/CLOB/DOUBLE type round-trip — not just that the calls run.
+    // The doubled saldo stays exact: *2 only shifts the exponent, so the
+    // JDBC DOUBLE round-trip is representation-stable in both engines.
+    // ref: utilidades/db_utils.py:52-166.
+    ("s10_jdbc_roundtrip_e2e",
+      (s, d) => {
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        // Derby writes its log relative to the CWD unless told otherwise —
+        // keep the repo clean
+        System.setProperty("derby.stream.error.file",
+          s"$tmpDir/graft_derby_$id.log")
+        val url = s"jdbc:derby:memory:graft$id;create=true"
+        val dim = supplier(s, d).select(col("s_suppkey").as("up_id"),
+          col("s_name").as("up"), col("s_acctbal").as("saldo"))
+        try {
+          graft.sources.Dims.write(dim, "dim_up", Some(url), "")
+          graft.sources.Dims.updateByKeyJdbc(
+            dim.filter(col("up_id") % 2 === 0)
+              .withColumn("saldo", col("saldo") * 2),
+            "dim_up", keys = Seq("up_id"), url = url)
+          graft.sources.Dims.read(s, "dim_up", Some(url), "")
+            .localCheckpoint() // eager: materialize before the db drops
+        } finally {
+          try java.sql.DriverManager
+            .getConnection(s"jdbc:derby:memory:graft$id;drop=true")
+          catch { case _: java.sql.SQLException => () } // success path throws
+        }
+      },
+      Some("""SELECT s_suppkey AS up_id, s_name AS up,
+                     CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2
+                          ELSE s_acctbal END AS saldo
+              FROM supplier"""))
   )
 }
