@@ -23,6 +23,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch space on tmpfs when the host has one: e2e fixtures, streaming
+// checkpoints and Spark's shuffle/spill files (spark.local.dir defaults
+// under java.io.tmpdir) are all throwaway, and /tmp on this image is
+// ext4 — every state-store commit and fixture write pays a real-disk
+// fsync there. Purely a local-harness knob: a production cluster sets
+// spark.local.dir itself.
+val scratchDir: Option[String] = {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft-tmp")
+    d.mkdirs()
+    Some(d.getAbsolutePath)
+  } else None
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -34,4 +48,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // this 128 GiB box a roomy heap keeps ParallelGC full collections rare
   // under the bench's allocation bursts
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ scratchDir.toSeq.flatMap(d =>
+  Seq(s"-Djava.io.tmpdir=$d", s"-Dspark.local.dir=$d"))

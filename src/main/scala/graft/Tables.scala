@@ -58,8 +58,17 @@ object Tables {
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus))
+    // AQE is a scale knob, not a universal win: each adaptive stage is a
+    // materialization barrier + replan round-trip, which at interactive
+    // (sub-second) stage sizes costs more than the coalescing saves —
+    // measured 2x on the multi-stage shingle-family queries at sf0.1.
+    // Default follows the deployment: ON for a real cluster run (the
+    // 100 TB path needs runtime coalescing + skew splits), overridable to
+    // OFF for latency-bound local work via SPARK_GRAFT_AQE=false.
+    .config("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // coalesce small shuffles all the way down to the size target instead
     // of stopping at defaultParallelism — with 32 local cores and small

@@ -25,17 +25,18 @@ object StreamingE2e {
 
   private def tmpDir = System.getProperty("java.io.tmpdir")
 
-  /** Run `body` with a small shuffle-partition count. Stateful streaming
-    * cost scales with partitions × micro-batches (every batch commits a
-    * state store per partition per stateful op); the fixtures here are
-    * a few thousand rows, so 32 partitions is pure overhead. The result
-    * SET is partition-count independent (and the driver sorts before
-    * hashing), so this is a pure latency knob.
+  /** Run `body` with a single shuffle partition. Stateful streaming cost
+    * scales with partitions × micro-batches (every batch commits a state
+    * store per partition per stateful op — a stream-stream join keeps FOUR
+    * stores per partition); the fixtures here are a few thousand rows, so
+    * anything beyond one partition is pure commit overhead. The result SET
+    * is partition-count independent (and the driver sorts before hashing),
+    * so this is a pure latency knob.
     */
   private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "4")
+    s.conf.set(key, "1")
     try body finally s.conf.set(key, prev)
   }
 
