@@ -44,11 +44,19 @@ object Tables {
   /** Exact 4-decimal view (products of two 2-decimal quantities). */
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** Order-independent exact sum of a 2-decimal double, published as double. */
-  def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Order-independent exact sum of a 2-decimal double, published as double.
+    * Long-cents formulation (the w11 precedent): each value is snapped to
+    * exact cents in the Decimal domain, but the AGGREGATION runs on a
+    * primitive long buffer instead of Decimal — same correctly-rounded
+    * double as CAST(SUM(DECIMAL(18,2)) AS DOUBLE) while the hot sum loop
+    * stays unboxed (cents < 2^53, no overflow at any realistic scale).
+    */
+  def dsum2(c: Column): Column =
+    sum((dec2(c) * 100).cast(LongType)) / 100.0
 
   /** Order-independent exact sum of a 4-decimal double, published as double. */
-  def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  def dsum4(c: Column): Column =
+    sum((dec4(c) * 10000).cast(LongType)) / 10000.0
 
   /** Session defaults shared by Verify and Bench mains: UTC semantics, a
     * shuffle-partition count sized to the local core budget (not Spark's
