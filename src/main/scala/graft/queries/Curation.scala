@@ -236,7 +236,13 @@ object Curation {
       (s, d) => {
         val isNew1 = col("d1") % 10 === 0
         val isNew2 = col("d2") % 10 === 0
-        LlmOps.minhashPairs(s, d)
+        // the orientation predicate rides INTO the band join (pairPred):
+        // existing-vs-existing and new-vs-new candidates are dropped
+        // before the distinct and the two shingle-set verify joins ever
+        // see them — at daily-ingest scale the corpus×corpus pairs are
+        // the overwhelming majority of band collisions.
+        LlmOps.minhashPairs(s, d,
+          pairPred = Some((a, b) => (a % 10 === 0) =!= (b % 10 === 0)))
           .filter(isNew1 =!= isNew2)
           .select(
             when(isNew1, col("d1")).otherwise(col("d2")).as("doc_id"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -193,7 +193,8 @@ object LlmOps {
     * and the clustering query).
     */
   private[queries] def minhashPairs(s: SparkSession, d: String,
-      toks: Option[DataFrame] = None): DataFrame = {
+      toks: Option[DataFrame] = None,
+      pairPred: Option[(Column, Column) => Column] = None): DataFrame = {
     val ds = shingleProfile(s, d, toks = toks)
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
@@ -205,9 +206,16 @@ object LlmOps {
                        element_at(mhs, b*2 + 1) * ${MinhashP}L
                          + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    // callers with an id-only pair predicate (incremental dedup's
+    // new-vs-existing orientation) push it INTO the band join: pairs it
+    // would discard never reach the distinct or the verify joins. The
+    // predicate only reads the two ids, so filtering candidates commutes
+    // with the Jaccard verification — results are identical.
+    val pred = pairPred.map(p => p(col("a.doc_id"), col("b.doc_id")))
+      .getOrElse(lit(true))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && pred)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     // exact Jaccard: two hash joins back to the checkpointed sets, then a
     // narrow array_intersect — no explode/groupBy over candidate shingles.
