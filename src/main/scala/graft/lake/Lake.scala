@@ -248,6 +248,57 @@ object Lake {
     compacted
   }
 
+  /** Z-ORDER layout write (maintenance op next to `compact`): clusters rows
+    * along a Morton space-filling curve over 1-3 dimensions so parquet
+    * row-group min/max stats stay tight on EVERY z-dimension at once — a
+    * box predicate on any subset of them skips most row groups, where a
+    * linear sort only serves its leading column. The 100 TB story: at a
+    * thousand files per partition, a one-dimension sort makes secondary-key
+    * queries full scans; z-order bounds them at ~N^(1-1/k) of the files.
+    *
+    * Mechanics (all narrow after one 1-row aggregate): per-dimension
+    * min/max arrive as a broadcast 1-row frame; each dimension is linearly
+    * quantized to `nb`-bit ranks (rank-free on purpose — no global sort or
+    * sampled range partitioner on the quantization path; uniform-ish dims
+    * are the z-order use case, and a skewed dim only degrades pruning,
+    * never correctness); ranks interleave bit-by-bit into the z-value
+    * (bit j of dim i lands at j*k+i — unrolled shift/mask expressions,
+    * whole-stage codegen); rows range-partition and sort by z. Content is
+    * layout-independent: readers see the same rows whatever the curve did
+    * (o6_zorder_scan_e2e proves the round trip under the driver hash gate;
+    * ZorderSpec proves the pruning win against a linear layout).
+    */
+  def zorder(spark: SparkSession, df: DataFrame, path: String,
+      zCols: Seq[String], nFiles: Int): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 3, "zorder: 1-3 dimensions")
+    val k = zCols.size
+    val nb = math.min(16, 62 / k) // k*nb bits < 63: z stays a positive long
+    val maxQ = (1L << nb) - 1
+    val aggExprs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val mm = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val ranks = zCols.map { c =>
+      val span = col(s"__mx_$c") - col(s"__mn_$c")
+      least(lit(maxQ), greatest(lit(0L),
+        floor((col(c).cast("double") - col(s"__mn_$c"))
+          / when(span === 0, 1.0).otherwise(span) * maxQ).cast("long")))
+    }
+    val z = (0 until nb).flatMap { j =>
+      ranks.zipWithIndex.map { case (r, i) =>
+        shiftleft(shiftright(r, j).bitwiseAND(lit(1L)), j * k + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    val helperCols = zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))
+    layout(df.crossJoin(broadcast(mm))
+      .withColumn("__z", z)
+      .drop(helperCols: _*)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)).parquet(path)
+  }
+
   /** S9/O3 — latest loaded partition (descending year/month walk becomes a
     * partition-only aggregate; no data files are read).
     * ref: raw_file_utils.py:316-419

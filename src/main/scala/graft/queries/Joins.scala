@@ -394,6 +394,50 @@ object Joins {
           .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"), count(lit(1)).as("n"))
       },
-      j9OracleSql)
+      j9OracleSql),
+
+    // J12 — SKEW-SALTED join: the deterministic 100 TB tool for a join key
+    // whose hottest value would otherwise pin one task (AQE's skew split
+    // only rescues sort-merge joins after materialization; salting fixes
+    // the shuffle itself and works under any join strategy). The fact side
+    // is built deliberately skewed — HALF of lineitem lands on key 1 — and
+    // the salted formulation spreads that key over S=8 (key, salt) shuffle
+    // partitions: the fact row's salt is a hash of a non-key column, the
+    // dim side replicates each row S times via explode(sequence). The
+    // oracle computes the UNSALTED join — identical results prove salting
+    // is pure redistribution. shuffle_hash hint: a broadcast dim would
+    // dissolve the skew by never shuffling, which is the right plan at
+    // THIS dim size but the wrong demonstration; salting exists for the
+    // regime where the dim outgrows the broadcast threshold.
+    ("j12_salted_skew_join",
+      (s, d) => {
+        val S = 8
+        val fact = lineitem(s, d).select(
+          when(col("l_orderkey") % 2 === 0, 1L)
+            .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+          col("l_quantity"), col("l_orderkey"))
+        val dim = s.range(0, 1000).select(col("id").as("k"),
+          concat(lit("G"), pmod(col("id"), lit(7))).as("label"))
+        val salted = fact.withColumn("salt",
+          pmod(hash(col("l_orderkey")), lit(S)))
+        val dimS = dim.withColumn("salt",
+          explode(sequence(lit(0), lit(S - 1))))
+        salted.join(dimS.hint("shuffle_hash"), Seq("k", "salt"))
+          .groupBy("label")
+          .agg(dsum2(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      },
+      Some("""WITH fact AS (
+                SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                            ELSE l_orderkey % 1000 END AS k,
+                       l_quantity
+                FROM lineitem),
+              dim AS (SELECT g AS k, concat('G', g % 7) AS label
+                      FROM generate_series(0, 999) t(g))
+              SELECT label,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS qty,
+                     count(*) AS n
+              FROM fact JOIN dim USING (k)
+              GROUP BY label"""))
   )
 }

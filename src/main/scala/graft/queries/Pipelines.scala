@@ -834,6 +834,41 @@ object Pipelines {
                      max(datetime_utc) AS dt_max
               FROM src""")),
 
+    // O6 — Z-ORDER layout round trip proved END TO END under the driver's
+    // hash gate: a two-dimensional fixture goes through Lake.zorder (linear
+    // quantization → Morton interleave → range-partition + sort on the
+    // z-value), and the read-back applies a box predicate on BOTH
+    // z-dimensions. Content is layout-independent, so the oracle recomputes
+    // the same filtered set relationally — a curve bug that misplaces or
+    // drops rows (or row-group pruning that skips a matching page) hash-
+    // fails the gate. The pruning WIN of the layout (fewer row groups read
+    // than a linearly-sorted copy under the same predicate) is asserted in
+    // ZorderSpec, where scan metrics are observable.
+    ("o6_zorder_scan_e2e",
+      (s, d) => {
+        val src = orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") % 251).cast(IntegerType).as("x"),
+          ((col("o_orderkey") * 7919) % 241).cast(IntegerType).as("y"),
+          col("o_totalprice"))
+        val path = s"$tmpDir/graft_e2e_o6_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          Lake.zorder(s, src, path, Seq("x", "y"), nFiles = 8)
+          s.read.parquet(path)
+            .filter(col("x").between(40, 80) && col("y").between(100, 140))
+            .localCheckpoint() // eager: materialize before the lake goes away
+        } finally fs.delete(hp, true)
+      },
+      Some("""SELECT o_orderkey,
+                     CAST(o_orderkey % 251 AS INTEGER) AS x,
+                     CAST((o_orderkey * 7919) % 241 AS INTEGER) AS y,
+                     o_totalprice
+              FROM orders
+              WHERE o_orderkey % 251 BETWEEN 40 AND 80
+                AND (o_orderkey * 7919) % 241 BETWEEN 100 AND 140""")),
+
     // S10 — the MySQL-shaped dimension round trip proved END TO END under
     // the driver's hash gate (was ScalaTest-only): write the dim to a REAL
     // JDBC database (embedded Derby — same call shape as MySQL, per-dialect

@@ -33,6 +33,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("salted skew join keeps the shuffled strategy (broadcast would " +
+      "dissolve the demonstration)") {
+    val p = plan("j12_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin"), "salted join lost shuffle_hash")
+    assert(!p.contains("BroadcastHashJoin"), "salted join dim got broadcast")
+  }
+
   test("decontamination broadcasts the benchmark vocabulary") {
     // the corpus side must never shuffle into the vocabulary join — the
     // eval-suite side stays ~MBs while the corpus grows
