@@ -643,6 +643,90 @@ object Curation {
                            / ln(2.0), 6) AS entropy_bits
               FROM c GROUP BY doc_id""")),
 
+    // GOPHER/C4 RULE GATE: the published heuristic filter battery as one
+    // narrow map — word-count bounds, mean-word-length bounds, symbol
+    // ratio, alphabetic-word ratio, stop-word floor, terminal punctuation
+    // (Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2), each surfaced as
+    // its own 0/1 column next to a pass count and a keep flag so
+    // downstream mixing can weight individual rules. keep is n_pass >= 5
+    // rather than the strict conjunction: the synthetic corpus carries no
+    // terminal punctuation, so C4's full-stop rule correctly scores 0
+    // everywhere and a 6-of-6 gate would degenerate to constant reject —
+    // the threshold keeps the flag discriminating while every published
+    // rule stays visible. No shuffle, no state: the gate runs at ingest
+    // rate however large the corpus. Ratios are integer-derived IEEE
+    // doubles on identical operands in both engines (the
+    // llm_quality_score precedent), so no rounding is needed.
+    ("llm_gopher_gate",
+      (s, d) => {
+        def n(p: String) =
+          size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        documents(s, d)
+          .withColumn("n_words", n("[^ ]+"))
+          .withColumn("n_alpha", n("[^ ]*[a-zA-Z][^ ]*"))
+          .withColumn("n_sym", n("[#{}<>|]"))
+          .withColumn("n_stop", n(" the | and | that | with "))
+          .withColumn("mwl",
+            length(regexp_replace(col("text"), " ", ""))
+              .cast(DoubleType) / col("n_words"))
+          .withColumn("r_count",
+            col("n_words").between(50, 100000).cast(IntegerType))
+          .withColumn("r_mwl",
+            (col("mwl") >= 3 && col("mwl") <= 10).cast(IntegerType))
+          .withColumn("r_sym", (col("n_sym").cast(DoubleType) / col("n_words")
+            <= 0.1).cast(IntegerType))
+          .withColumn("r_alpha",
+            (col("n_alpha").cast(DoubleType) / col("n_words") >= 0.7)
+              .cast(IntegerType))
+          .withColumn("r_stop", (col("n_stop") >= 2).cast(IntegerType))
+          .withColumn("r_term",
+            col("text").rlike("[.!?] *$").cast(IntegerType))
+          .withColumn("n_pass",
+            col("r_count") + col("r_mwl") + col("r_sym") + col("r_alpha")
+              + col("r_stop") + col("r_term"))
+          .withColumn("keep", (col("n_pass") >= 5).cast(IntegerType))
+          .select("doc_id", "n_words", "mwl", "r_count", "r_mwl", "r_sym",
+            "r_alpha", "r_stop", "r_term", "n_pass", "keep")
+      },
+      Some("""SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                     CAST(n_nosp AS DOUBLE) / n_words AS mwl,
+                     CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                               THEN 1 ELSE 0 END AS INTEGER) AS r_count,
+                     CAST(CASE WHEN CAST(n_nosp AS DOUBLE) / n_words >= 3
+                                AND CAST(n_nosp AS DOUBLE) / n_words <= 10
+                               THEN 1 ELSE 0 END AS INTEGER) AS r_mwl,
+                     CAST(CASE WHEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                               THEN 1 ELSE 0 END AS INTEGER) AS r_sym,
+                     CAST(CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.7
+                               THEN 1 ELSE 0 END AS INTEGER) AS r_alpha,
+                     CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+                          AS INTEGER) AS r_stop,
+                     CAST(CASE WHEN regexp_matches(text, '[.!?] *$')
+                               THEN 1 ELSE 0 END AS INTEGER) AS r_term,
+                     CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(n_nosp AS DOUBLE) / n_words >= 3
+                                     AND CAST(n_nosp AS DOUBLE) / n_words <= 10 THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(n_sym AS DOUBLE) / n_words <= 0.1 THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.7 THEN 1 ELSE 0 END)
+                            + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+                            + (CASE WHEN regexp_matches(text, '[.!?] *$') THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_pass,
+                     CAST(CASE WHEN (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN CAST(n_nosp AS DOUBLE) / n_words >= 3
+                                           AND CAST(n_nosp AS DOUBLE) / n_words <= 10 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN CAST(n_sym AS DOUBLE) / n_words <= 0.1 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.7 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN regexp_matches(text, '[.!?] *$') THEN 1 ELSE 0 END)
+                                  >= 5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+              FROM (SELECT doc_id, text,
+                           len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+                           len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS n_alpha,
+                           len(regexp_extract_all(text, '[#{}<>|]')) AS n_sym,
+                           len(regexp_extract_all(text, ' the | and | that | with ')) AS n_stop,
+                           length(regexp_replace(text, ' ', '', 'g')) AS n_nosp
+                    FROM documents) t""")),
+
     // Char-bigram LANGUAGE-MODEL quality score (the CCNet/KenLM-filter
     // shape, model-free edition): train p(c2|c1) on the corpus itself —
     // bigram counts over prefix-char totals — then score every document by
