@@ -58,6 +58,24 @@ object Tables {
   def dsum4(c: Column): Column =
     sum((dec4(c) * 10000).cast(LongType)) / 10000.0
 
+  /** Numbered repartition pinned to `spark.sql.shuffle.partitions`.
+    *
+    * `repartition(col)` without a count leaves the exchange eligible for
+    * AQE's BYTE-based coalescing — correct for IO-bound stages, but the
+    * stages behind these repartitions (regexp tokenization fan-outs,
+    * sliding-window frames, per-group sort+md5) are CPU-bound per ROW: a
+    * few-MB shuffle under the 64 MB advisory folds into ONE task and
+    * serializes the whole stage (measured on w11_rolling_fact: 2.00 s
+    * coalesced vs 0.81 s pinned, local[32]; j3 profile hashes: 2.77 s vs
+    * 1.07 s). Pinning to the deployment-tuned shuffle-partition count keeps
+    * the operator's parallelism a deliberate knob instead of a byte-count
+    * side effect — the same hazard exists on a cluster for any
+    * many-rows-small-bytes CPU-heavy stage.
+    */
+  def pinnedRepartition(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, cols: _*)
+
   /** Session defaults shared by Verify and Bench mains: UTC semantics, a
     * shuffle-partition count sized to the local core budget (not Spark's
     * default 200 — at 100 TB this is instead set to ~2-3× the executor core

@@ -68,7 +68,7 @@ object Curation {
     ("llm_repetition",
       (s, d) => {
         val grams = documents(s, d)
-          .repartition(col("doc_id"))
+          .transform(pinnedRepartition(_, col("doc_id")))
           .select(col("doc_id"), split(col("text"), " ").as("l"))
           .filter(size(col("l")) >= 2)
           .select(col("doc_id"), size(col("l")).as("n_tok"),
@@ -267,7 +267,7 @@ object Curation {
         // checkpointed — materialization measured slower than recomputing
         // the codegen'd fan-out (see simhashVotes)
         val toks = documents(s, d)
-          .repartition(col("doc_id"))
+          .transform(pinnedRepartition(_, col("doc_id")))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -439,7 +439,7 @@ object Curation {
     // input is |windows| ids — never the text.
     ("llm_span_dedup",
       (s, d) => documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(pinnedRepartition(_, col("doc_id")))
         .select(col("doc_id"), split(col("text"), " ").as("l"))
         .filter(size(col("l")) >= 50)
         .select(col("doc_id"),
@@ -619,7 +619,7 @@ object Curation {
     // char fan-out, then both aggregations reuse the partitioning.
     ("llm_char_entropy",
       (s, d) => documents(s, d)
-        .repartition(col("doc_id"))
+        .transform(pinnedRepartition(_, col("doc_id")))
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         // Java's zero-width split can emit a trailing "" that DuckDB's
         // string_split never produces — drop it
@@ -748,7 +748,7 @@ object Curation {
         // 1.83 s warm) — the simhashVotes rule, which this fan-out now
         // falls under.
         val grams = documents(s, d)
-          .repartition(col("doc_id"))
+          .transform(pinnedRepartition(_, col("doc_id")))
           .filter(length(col("text")) >= 2)
           .withColumn("cs", split(col("text"), "(?!^)"))
           .select(col("doc_id"),

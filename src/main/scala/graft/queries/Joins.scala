@@ -25,7 +25,7 @@ object Joins {
     */
   private def profileHashes(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .repartition(col("l_suppkey"))
+      .transform(pinnedRepartition(_, col("l_suppkey")))
       .groupBy(col("l_suppkey"), col("l_shipdate").cast(DateType).as("dia"))
       .agg(sum(dec2(col("l_quantity"))).as("v"))
       .select(col("l_suppkey"),

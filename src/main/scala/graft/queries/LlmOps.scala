@@ -74,7 +74,7 @@ object LlmOps {
     // materialize for wide fan-out streams at this scale (contrast the
     // checkpointed shingle PROFILE, which several JOINS consume)
     val toks = documents(s, d)
-      .repartition(col("doc_id")) // parallelize the token fan-out
+      .transform(pinnedRepartition(_, col("doc_id"))) // parallelize the token fan-out
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
     val vocab = toks.select("tok").distinct()
@@ -147,7 +147,7 @@ object LlmOps {
     */
   private[queries] def tokenized(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .repartition(col("doc_id"))
+      .transform(pinnedRepartition(_, col("doc_id")))
       .select(col("doc_id"), split(col("text"), " ").as("l"))
 
   private[queries] def shinglePairs(s: SparkSession, d: String,

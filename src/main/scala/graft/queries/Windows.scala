@@ -175,19 +175,14 @@ object Windows {
         // the 24 long-adds it saves — 1.0 s vs 0.85 s warm at sf0.1, with
         // the shuffle+sort floor at 0.75 s of that in both forms.)
         //
-        // The EXPLICIT numbered repartition pins the window's parallelism to
-        // the deployment-tuned spark.sql.shuffle.partitions instead of
-        // leaving it to AQE's byte-based coalescing: a sliding-frame window
-        // is CPU-bound per ROW, not per byte, and this shuffle is ~24 MB of
-        // 600k rows at sf0.1 — under the 64 MB advisory target AQE folds it
-        // into ONE task and serializes the whole sort+window (measured
-        // 2.00 s vs 0.81 s with the pin, local[32]). The same hazard exists
-        // on a cluster for any many-rows-small-bytes window stage. The
-        // numbered repartition already hash-distributes by l_suppkey, so
-        // the Window adds no second exchange on top of it.
-        val nShuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // pinnedRepartition: a sliding-frame window is CPU-bound per ROW,
+        // and this shuffle is ~24 MB of 600k rows at sf0.1 — under AQE's
+        // 64 MB byte advisory it folds into ONE task and the whole
+        // sort+window serializes (2.00 s vs 0.81 s pinned, local[32]). The
+        // pin hash-distributes by l_suppkey, so the Window adds no second
+        // exchange on top of it.
         lineitem(s, d)
-          .repartition(nShuffle, col("l_suppkey"))
+          .transform(pinnedRepartition(_, col("l_suppkey")))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             (sum((dec2(col("l_quantity")) * 100).cast(LongType)).over(w)
               / lit(100.0) / count(lit(1)).over(w)).as("media24"))
