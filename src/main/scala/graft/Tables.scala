@@ -28,14 +28,23 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read it as raw nanos (`nanosAsLong`) and truncate to micros —
-    * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does on TIMESTAMP_NS, so
-    * both engines see identical microsecond timestamps.
+  /** `events.parquet` has shipped with two physical types for `ts` across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * only exposes as raw longs under `nanosAsLong`) and plain
+    * timestamp[us]. Dispatch on the LOADED dtype so both generations read
+    * identically: the nanos-long generation is truncated to micros —
+    * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does on TIMESTAMP_NS —
+    * and the micros generation is cast straight to session-TZ TIMESTAMP
+    * (UTC here), matching the same DuckDB cast.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _        => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** Exact 2-decimal view of a double column (prices, quantities, values). */

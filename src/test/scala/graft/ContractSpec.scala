@@ -21,6 +21,19 @@ class ContractSpec extends SparkSpec {
     SparkEntry.oracleSql.keys.foreach(k => assert(node.has(k), k))
   }
 
+  test("Tables.events yields TIMESTAMP ts on the current fixture generation") {
+    // Fixture-regeneration canary: /root/testdata has shipped events.ts as
+    // both TIMESTAMP(NANOS) and timestamp[us]; Tables.events must dispatch
+    // on the loaded dtype and always publish a proper TimestampType column.
+    // If a future regeneration changes the physical type again, THIS test
+    // fails with a readable message instead of 19 queries failing analysis.
+    val ev = Tables.events(spark, sfDir)
+    val dt = ev.schema("ts").dataType
+    assert(dt == org.apache.spark.sql.types.TimestampType,
+      s"events.ts loaded as $dt — update the dtype dispatch in Tables.events")
+    assert(ev.limit(1).count() == 1)
+  }
+
   test("Bench.run emits valid JSON with a time per query, no errors") {
     val line = Bench.run(spark, sfDir)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
