@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  def run(spark: SparkSession, sfDir: String): String = {
+  def run(spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): String = {
     // warm-up: exercise the scan/join/agg/window/regexp codegen paths once
     // so JVM + whole-stage-codegen compilation isn't billed to whichever
     // measured query happens to run first
@@ -42,7 +43,9 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       def once(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // intra-query materializations (LSH/minhash self-join sides) are
@@ -89,7 +92,12 @@ object Bench {
     val spark = Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val json = run(spark, sfDir)
+    // builder-side iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset;
+    // the driver never sets it, so the contract surface is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val json = run(spark, sfDir, only)
     spark.stop()
     // Also persist the JSON to a well-known file: when run through sbt,
     // stdout unavoidably gains sbt's own [info]/[success] framing lines, so

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Md5Prefix60, VecDot}
+import graft.functions.{BigramLmStats, Md5Prefix60, VecDot}
 
 /** Engine extensions, activated with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_lm_stats"),
+      new ExpressionInfo(classOf[BigramLmStats].getName, "bigram_lm_stats"),
+      (children: Seq[Expression]) =>
+        BigramLmStats(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),

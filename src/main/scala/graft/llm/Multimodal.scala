@@ -460,16 +460,18 @@ object Multimodal {
     }
   }
 
-  def sampleFramesStub(media: Dataset[MediaRow], frames: Int): Dataset[FrameRow] = {
+  /** STUB frame sampling for no-JDK-codec containers: the same STRIDE
+    * semantics as sampleFramesAvi/sampleFramesGif — keep every `every`-th
+    * pseudo-frame, frame_idx = original pseudo-frame index — over fixed
+    * 4 KiB payload slices (exactly the shared undecodable-payload
+    * fallback). r8's count-mode (`frames: Int` equal slices, indices
+    * always 0..frames-1) made the stub's output shape diverge from the
+    * real decode paths it stands in for (ADVICE r7/r8); a caller swapping
+    * in a real codec must see identical (doc_id, frame_idx) semantics.
+    */
+  def sampleFramesStub(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val n = math.max(1, r.payload.length / frames)
-      (0 until frames).iterator.map { i =>
-        val from = math.min(i * n, r.payload.length)
-        val to = math.min(from + n, r.payload.length)
-        FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, to))
-      }
-    }
+    media.flatMap(strideFallback(_, every))
   }
 
   /** Wrap a text/bytes table into the media shape (fixture path: the test

@@ -236,13 +236,20 @@ object Curation {
       (s, d) => {
         val isNew1 = col("d1") % 10 === 0
         val isNew2 = col("d2") % 10 === 0
-        // the orientation predicate rides INTO the band join (pairPred):
-        // existing-vs-existing and new-vs-new candidates are dropped
-        // before the distinct and the two shingle-set verify joins ever
-        // see them — at daily-ingest scale the corpus×corpus pairs are
-        // the overwhelming majority of band collisions.
+        // asymmetric band join (smallSide): the new batch's band keys
+        // BROADCAST and the corpus-sized band stream is probed in place —
+        // corpus×corpus candidates never exist and the corpus side is
+        // never shuffled, the daily-ingest shape at 100 TB (the batch is
+        // bounded by a day's crawl while the corpus grows without bound).
+        // Local[32]/sf0.1 cost, measured honestly (min of 2 each): 2.06 s
+        // vs 1.37 s for the r8 symmetric shuffle join with the pushed
+        // pairPred — the broadcast build is an extra job barrier and the
+        // band stream is scanned twice, a fixed overhead that does not
+        // scale with corpus size, while the shuffle it removes DOES (the
+        // j9 merge-hint precedent: pay a constant locally to delete a
+        // data-proportional exchange at scale).
         LlmOps.minhashPairs(s, d,
-          pairPred = Some((a, b) => (a % 10 === 0) =!= (b % 10 === 0)))
+          smallSide = Some(c => c % 10 === 0))
           .filter(isNew1 =!= isNew2)
           .select(
             when(isNew1, col("d1")).otherwise(col("d2")).as("doc_id"),
@@ -536,7 +543,11 @@ object Curation {
         // KEEP their own raw-text scan: it is an independent subtree that
         // runs concurrently with the pair/span stages on free cores,
         // whereas deriving it from the checkpoint serializes it behind the
-        // tokenization job (measured +0.3 s at sf0.1).
+        // tokenization job. RE-MEASURED r9 (min of 3, sf0.1, local[32]):
+        // raw-scan base 1.41 s vs derive-from-toks 2.55 s — deriving also
+        // pays an interpreted filter() lambda + concat_ws+md5 per doc
+        // where the raw scan is one codegen'd regexp pass; the r8 choice
+        // stands, by more than the +0.3 s originally measured.
         val toks = LlmOps.tokenized(s, d).localCheckpoint()
         val base = documents(s, d).agg(
           count(lit(1)).as("n_docs"),
@@ -738,33 +749,47 @@ object Curation {
     // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
     ("llm_lm_score",
       (s, d) => {
-        // Bigrams index into a pre-split char ARRAY (element_at is O(1))
-        // instead of substr(text, i, 2): UTF8String substring walks from
-        // the string start, so the substr form is O(len²) per doc —
-        // measured 1.66 s vs 0.62 s for this fan-out alone at sf0.1.
-        // split keeps a trailing "" (limit -1), hence size(cs)-2.
-        // NOT checkpointed: with the quadratic fixed, the stream joined
-        // twice re-evaluates cheaper than it materializes (1.34 s vs
-        // 1.83 s warm) — the simhashVotes rule, which this fan-out now
-        // falls under.
+        // TRAINING: one corpus-sized bigram fan-out, aggregated straight to
+        // the vocabulary (hash partial-agg collapses each input partition
+        // to ≤|charset|² rows before the shuffle — no repartition needed;
+        // the r8 pinnedRepartition existed only for the since-removed
+        // per-doc scoring groupBy). Bigrams index into a pre-split char
+        // ARRAY (element_at is O(1)) instead of substr(text, i, 2):
+        // UTF8String substring walks from the string start, so the substr
+        // form is O(len²) per doc — measured 1.66 s vs 0.62 s for this
+        // fan-out alone at sf0.1. split keeps a trailing "" (limit -1),
+        // hence size(cs)-2.
         val grams = documents(s, d)
-          .transform(pinnedRepartition(_, col("doc_id")))
           .filter(length(col("text")) >= 2)
           .withColumn("cs", split(col("text"), "(?!^)"))
           .select(col("doc_id"),
             explode(expr("sequence(1, size(cs) - 2)")).as("i"), col("cs"))
           .select(col("doc_id"),
             expr("concat(element_at(cs, i), element_at(cs, i+1))").as("g"))
-        val bc = grams.groupBy("g").agg(count(lit(1)).as("n"))
-        val model = bc
+        val model = grams.groupBy("g").agg(count(lit(1)).as("n"))
           .withColumn("np", sum(col("n")).over(
             Window.partitionBy(substring(col("g"), 1, 1))))
           .select(col("g"),
             log(col("n").cast(DoubleType) / col("np")).as("lp"))
-        grams.join(broadcast(model), "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(col("lp")), 6).as("lm_score_r"))
+        // SCORING: the model is vocabulary-sized — bounded by |charset|²,
+        // independent of corpus size — so collect it (the bounded-driver-
+        // sample rule IVF already follows) and score each document in ONE
+        // narrow pass via the native bigram_lm_stats expression: the r8
+        // [second corpus explode → broadcast join → groupBy(doc_id)]
+        // becomes a map over the scan with zero shuffles (1.34 s → the
+        // training job alone at sf0.1). Every doc bigram appears in a
+        // model trained on the same corpus, so the expression's
+        // matched-count equals the r8 inner-join count exactly.
+        val rows = model.collect()
+        val ks = rows.map(r => graft.functions.BigramLm.packKey(r.getString(0)))
+        val vs = rows.map(_.getDouble(1))
+        documents(s, d)
+          .select(col("doc_id"),
+            call_function("bigram_lm_stats", col("text"),
+              typedlit(ks), typedlit(vs)).as("st"))
+          .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
+            round(col("st.lp_sum") / col("st.n_bigrams"), 6).as("lm_score_r"))
+          .filter(col("n_bigrams") > 0)
       },
       Some("""WITH g AS (
                 SELECT doc_id, substr(text, i, 2) AS g

@@ -194,7 +194,8 @@ object LlmOps {
     */
   private[queries] def minhashPairs(s: SparkSession, d: String,
       toks: Option[DataFrame] = None,
-      pairPred: Option[(Column, Column) => Column] = None): DataFrame = {
+      pairPred: Option[(Column, Column) => Column] = None,
+      smallSide: Option[Column => Column] = None): DataFrame = {
     val ds = shingleProfile(s, d, toks = toks)
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
@@ -206,17 +207,34 @@ object LlmOps {
                        element_at(mhs, b*2 + 1) * ${MinhashP}L
                          + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    // callers with an id-only pair predicate (incremental dedup's
-    // new-vs-existing orientation) push it INTO the band join: pairs it
-    // would discard never reach the distinct or the verify joins. The
-    // predicate only reads the two ids, so filtering candidates commutes
-    // with the Jaccard verification — results are identical.
-    val pred = pairPred.map(p => p(col("a.doc_id"), col("b.doc_id")))
-      .getOrElse(lit(true))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id") && pred)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val cand = smallSide match {
+      // ASYMMETRIC mode (incremental dedup): the caller names a BOUNDED
+      // doc subset (the daily batch) whose band keys broadcast; the
+      // corpus-sized side is probed in place — no shuffle of the big
+      // side's band stream at all, the shape that holds when the corpus
+      // is 100 TB and the batch is one day's crawl. Cross-group pairs
+      // only, by construction — exactly pairPred's new≠old semantics —
+      // and least/greatest restores the d1 < d2 orientation the verify
+      // joins and the oracle share.
+      case Some(isSmall) =>
+        broadcast(bands.filter(isSmall(col("doc_id")))).as("a")
+          .join(bands.filter(!isSmall(col("doc_id"))).as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("d2")).distinct()
+      case None =>
+        // callers with an id-only pair predicate push it INTO the band
+        // join: pairs it would discard never reach the distinct or the
+        // verify joins. The predicate only reads the two ids, so filtering
+        // candidates commutes with the Jaccard verification — results are
+        // identical.
+        val pred = pairPred.map(p => p(col("a.doc_id"), col("b.doc_id")))
+          .getOrElse(lit(true))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id") && pred)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    }
     // exact Jaccard: two hash joins back to the checkpointed sets, then a
     // narrow array_intersect — no explode/groupBy over candidate shingles.
     // The CANDIDATE side is the broadcast build side (id pairs, bounded by

@@ -103,10 +103,19 @@ class LlmSpec extends SparkSpec {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sfDir).limit(20))
     val resized = Multimodal.resizeStub(media, targetBytes = 64).collect()
     assert(resized.length == 20 && resized.forall(_.payload.length == 64))
-    val frames = Multimodal.sampleFramesStub(media, frames = 4)
-    assert(frames.count() == 80) // 20 docs × 4 frames
-    val byDoc = frames.collect().groupBy(_.doc_id)
-    assert(byDoc.values.forall(_.map(_.frame_idx).sorted.sameElements(0 until 4)))
+    // stride semantics, shared with the real demux paths: every 2nd 4 KiB
+    // pseudo-frame, frame_idx = original pseudo-frame index. The text
+    // payloads are < 4 KiB → exactly one pseudo-frame each, index 0.
+    val frames = Multimodal.sampleFramesStub(media, every = 2)
+    assert(frames.count() == 20)
+    assert(frames.collect().forall(_.frame_idx == 0))
+    // a 10 KiB payload has pseudo-frames 0,1,2 → stride 2 keeps 0 and 2,
+    // PRESERVING original indices (the count-mode stub renumbered them)
+    import spark.implicits._
+    val big = Seq(Multimodal.MediaRow(99L, Array.fill[Byte](10240)(7), "video/x-raw")).toDS()
+    val bigIdx = Multimodal.sampleFramesStub(big, every = 2)
+      .collect().map(_.frame_idx).sorted
+    assert(bigIdx.sameElements(Array(0, 2)))
   }
 
   test("real PNG decode: ImageIO path extracts true dimensions and band luma") {
