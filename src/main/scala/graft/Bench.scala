@@ -59,6 +59,13 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // ContextCleaner frees dead shuffle files/broadcasts only when the
+        // driver GC collects their references; across 100+ queries in one
+        // JVM they otherwise pile up in spark.local.dir (tmpfs here — RAM)
+        // and late queries inflate 2-4x vs isolated runs. One explicit GC
+        // per query (~10 ms under ParallelGC at this heap) keeps every
+        // measurement starting from the same clean slate.
+        System.gc()
       }
       try {
         // per-query WARM pass, then measure the second run: per-query
