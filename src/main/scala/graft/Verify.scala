@@ -20,10 +20,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // per-query independence: caches AND localCheckpoint blocks (the
-        // latter are persisted RDDs clearCache doesn't touch)
+        // latter are persisted RDDs clearCache doesn't touch); the GC
+        // lets ContextCleaner drop dead shuffle files/broadcasts between
+        // queries instead of letting them pile up in tmpfs (see Bench)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

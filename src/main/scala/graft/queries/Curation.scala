@@ -787,8 +787,14 @@ object Curation {
           .select(col("doc_id"),
             call_function("bigram_lm_stats", col("text"),
               typedlit(ks), typedlit(vs)).as("st"))
+          // guard the divide INSIDE the row (when), not just with the
+          // filter below: under ANSI mode an unguarded lp_sum/0 on a
+          // bigram-less doc (1-char text) raises DIVIDE_BY_ZERO before
+          // the filter ever runs (BigramLmSpec covers this)
           .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
-            round(col("st.lp_sum") / col("st.n_bigrams"), 6).as("lm_score_r"))
+            when(col("st.n_bigrams") > 0,
+              round(col("st.lp_sum") / col("st.n_bigrams"), 6))
+              .as("lm_score_r"))
           .filter(col("n_bigrams") > 0)
       },
       Some("""WITH g AS (

@@ -40,6 +40,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), "salted join dim got broadcast")
   }
 
+  test("incremental dedup broadcasts the batch bands; corpus side never " +
+      "sort-merges") {
+    // asymmetric smallSide mode: the daily batch's band keys are the
+    // broadcast build side and the corpus-sized band stream is probed in
+    // place — a SortMergeJoin anywhere means the corpus bands got shuffled,
+    // exactly the exchange this mode exists to delete at 100 TB
+    val p = plan("llm_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), "batch bands not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus band stream got shuffled:\n" + p)
+  }
+
   test("decontamination broadcasts the benchmark vocabulary") {
     // the corpus side must never shuffle into the vocabulary join — the
     // eval-suite side stays ~MBs while the corpus grows
