@@ -21,6 +21,33 @@ class ContractSpec extends SparkSpec {
     SparkEntry.oracleSql.keys.foreach(k => assert(node.has(k), k))
   }
 
+  test("fixture contract: every table loads with the dtypes the queries assume") {
+    // broad regeneration canary (the events.ts lesson generalized): if the
+    // driver regenerates /root/testdata with a different physical type on
+    // any column the registered queries rely on, THIS fails readably
+    // instead of a swath of queries failing analysis mid-board.
+    import org.apache.spark.sql.types._
+    val want: Seq[(String, String, DataType)] = Seq(
+      ("lineitem", "l_orderkey", LongType), ("lineitem", "l_quantity", DoubleType),
+      ("lineitem", "l_shipdate", TimestampNTZType), ("orders", "o_orderkey", LongType),
+      ("orders", "o_orderdate", TimestampNTZType), ("customer", "c_custkey", LongType),
+      ("supplier", "s_suppkey", LongType), ("part", "p_partkey", LongType),
+      ("nation", "n_nationkey", IntegerType), ("region", "r_regionkey", IntegerType),
+      ("documents", "doc_id", LongType), ("documents", "text", StringType),
+      ("documents", "lang", StringType), ("documents", "source", StringType),
+      ("embeddings", "vec_id", LongType),
+      ("embeddings", "embedding", ArrayType(FloatType, containsNull = true)))
+    val bad = want.flatMap { case (t, c, dt) =>
+      val schema = Tables.load(spark, sfDir, t).schema
+      schema.find(_.name == c) match {
+        case None => Some(s"$t.$c MISSING (have: ${schema.fieldNames.mkString(",")})")
+        case Some(f) if f.dataType != dt => Some(s"$t.$c is ${f.dataType}, queries assume $dt")
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("Tables.events yields TIMESTAMP ts on the current fixture generation") {
     // Fixture-regeneration canary: /root/testdata has shipped events.ts as
     // both TIMESTAMP(NANOS) and timestamp[us]; Tables.events must dispatch
