@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramLmStats, Md5Prefix60, VecDot}
+import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, Md5Prefix60, VecDot}
 
 /** Engine extensions, activated with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramLmStats].getName, "bigram_lm_stats"),
       (children: Seq[Expression]) =>
         BigramLmStats(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_rep_stats"),
+      new ExpressionInfo(classOf[BigramRepStats].getName, "bigram_rep_stats"),
+      (children: Seq[Expression]) => BigramRepStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy_stats"),
+      new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy_stats"),
+      (children: Seq[Expression]) => CharEntropyStats(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),

@@ -61,33 +61,27 @@ object Curation {
 
     // REPETITION metrics (the Gopher/MassiveText quality-filter family):
     // per-document bigram duplication — total vs distinct bigrams, the
-    // heaviest bigram's share, and the distinct-token ratio. The doc is
-    // repartitioned by doc_id BEFORE the bigram fan-out, so both
-    // aggregations (per-(doc,bigram), then per-doc) reuse that
-    // partitioning — ONE exchange total regardless of corpus size.
+    // heaviest bigram's share, and the distinct-token ratio.
+    // ONE narrow pass via the native bigram_rep_stats expression (r9):
+    // the per-doc bigram histogram is document-bounded, so exploding the
+    // corpus to one row per bigram (~10^13 rows at 100 TB) plus two
+    // aggregation exchanges just to reassemble per-doc tallies was the
+    // wrong shape — this is a map over the scan, zero shuffles (2.3 s →
+    // 0.2 s at sf0.1). The ratios are exact IEEE divisions on identical
+    // integer operands in both engines, so no rounding is needed
+    // (unchanged from the explode form). n2 ≥ 1 after the n_tok ≥ 2
+    // filter, so the ANSI divisions are safe.
     ("llm_repetition",
-      (s, d) => {
-        val grams = documents(s, d)
-          .transform(pinnedRepartition(_, col("doc_id")))
-          .select(col("doc_id"), split(col("text"), " ").as("l"))
-          .filter(size(col("l")) >= 2)
-          .select(col("doc_id"), size(col("l")).as("n_tok"),
-            size(array_distinct(col("l"))).as("d_tok"),
-            explode(expr("sequence(1, size(l) - 1)")).as("i"),
-            col("l"))
-          .select(col("doc_id"), col("n_tok"), col("d_tok"),
-            expr("concat_ws(' ', element_at(l, i), element_at(l, i + 1))")
-              .as("g"))
-        grams.groupBy("doc_id", "n_tok", "d_tok", "g")
-          .agg(count(lit(1)).as("cg"))
-          .groupBy("doc_id", "n_tok", "d_tok")
-          .agg(sum(col("cg")).as("n2"), count(lit(1)).as("d2"),
-            max(col("cg")).as("m2"))
-          .select(col("doc_id"), col("n2"), col("d2"),
-            (lit(1.0) - col("d2").cast(DoubleType) / col("n2")).as("dup_bigram_frac"),
-            (col("m2").cast(DoubleType) / col("n2")).as("top_bigram_frac"),
-            (col("d_tok").cast(DoubleType) / col("n_tok")).as("distinct_tok_ratio"))
-      },
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          call_function("bigram_rep_stats", split(col("text"), " ")).as("st"))
+        .filter(col("st.n_tok") >= 2)
+        .select(col("doc_id"), col("st.n2").as("n2"), col("st.d2").as("d2"),
+          (lit(1.0) - col("st.d2").cast(DoubleType) / col("st.n2"))
+            .as("dup_bigram_frac"),
+          (col("st.m2").cast(DoubleType) / col("st.n2")).as("top_bigram_frac"),
+          (col("st.d_tok").cast(DoubleType) / col("st.n_tok"))
+            .as("distinct_tok_ratio")),
       Some("""WITH l AS (
                 SELECT doc_id, string_split(text, ' ') AS l FROM documents),
               bg AS (
@@ -625,24 +619,26 @@ object Curation {
 
     // Character-ENTROPY perplexity proxy: Shannon entropy of the per-doc
     // character distribution — the model-free "is this text or noise"
-    // quality signal (gibberish and repeated filler score low). Same
-    // one-exchange shape as llm_repetition: repartition(doc_id) before the
-    // char fan-out, then both aggregations reuse the partitioning.
+    // quality signal (gibberish and repeated filler score low).
+    // ONE narrow pass via the native char_entropy_stats expression (r9):
+    // the per-char histogram is charset-bounded, never corpus-bounded, so
+    // exploding a 100 TB corpus to one row per CODE POINT (~10^14 rows)
+    // plus two aggregations just to reassemble per-doc counts was the
+    // wrong shape at any scale — this is a map over the scan, zero
+    // shuffles (2.8 s → sub-second at sf0.1). Docs with no characters
+    // produce no bigram rows in the explode form, so filter n > 0 and
+    // guard the division for ANSI parity.
     ("llm_char_entropy",
       (s, d) => documents(s, d)
-        .transform(pinnedRepartition(_, col("doc_id")))
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        // Java's zero-width split can emit a trailing "" that DuckDB's
-        // string_split never produces — drop it
-        .filter(col("ch") =!= "")
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_ch"),
-          sum(col("c") * log(col("c").cast(DoubleType))).as("clogc"))
-        .select(col("doc_id"), col("n"),
-          col("n_distinct_ch").cast(IntegerType).as("n_distinct_ch"),
-          round((log(col("n").cast(DoubleType))
-            - col("clogc") / col("n")) / log(lit(2.0)), 6).as("entropy_bits")),
+        .select(col("doc_id"),
+          call_function("char_entropy_stats", col("text")).as("st"))
+        .select(col("doc_id"), col("st.n").as("n"),
+          col("st.n_distinct_ch").as("n_distinct_ch"),
+          when(col("st.n") > 0,
+            round((log(col("st.n").cast(DoubleType))
+              - col("st.clogc") / col("st.n")) / log(lit(2.0)), 6))
+            .as("entropy_bits"))
+        .filter(col("n") > 0),
       Some("""WITH ch AS (
                 SELECT doc_id, unnest(string_split(text, '')) AS ch
                 FROM documents),
