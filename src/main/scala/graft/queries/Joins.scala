@@ -59,6 +59,53 @@ object Joins {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2""")
 
+  /** The shared exchange-free j9 join over session-bucketed fact copies:
+    * both facts are bucketed on the join key at ingest (Lake.writeBucketed),
+    * so the join runs with NO Exchange on the join key — the shuffle was
+    * paid once at write time, never per query. Returns the joined rows
+    * (with the build-side month bucket derived pre-join); callers put
+    * their aggregation shape on top (plain groupBy for j9, rollup for a10).
+    */
+  private def bucketedJ9Join(s: SparkSession, d: String): DataFrame = {
+    // keyed by source dir AND application id: concurrent driver
+    // processes (bench + correctness, the r5 race) must never share —
+    // or delete under — each other's bucketed copies
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${s.sparkContext.applicationId}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val liT = s"b9_lineitem_$sfx"
+    val orT = s"b9_orders_$sfx"
+    def build(tbl: String, keys: Seq[String])(df: => DataFrame): Unit =
+      if (!s.catalog.tableExists(tbl)) {
+        // EXTERNAL table under the system temp dir: a fresh session's
+        // in-memory catalog has no tables, and pointing the data at a
+        // per-app temp location (cleared first — a crashed run's
+        // leftovers would fail the CTAS) keeps the repo warehouse
+        // clean and concurrent processes fully isolated. A shutdown
+        // hook reclaims the copies so repeated runs don't accumulate
+        // scratch parquet in the temp dir.
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        graft.lake.Lake.writeBucketed(df, tbl, keys, 8, Some(loc))
+        sys.addShutdownHook {
+          try fs.delete(p, true) catch { case _: Exception => () }
+        }
+      }
+    build(liT, Seq("l_orderkey"))(lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")))
+    build(orT, Seq("o_orderkey"))(orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate")))
+    s.table(liT)
+      .join(s.table(orT).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // J1/W10 — session-cumulative differencing as an ordered lag window:
@@ -352,49 +399,39 @@ object Joins {
     // j9_fact_join — identical values, different physical plan
     // (PlanAuditSpec asserts the join keys never reshuffle).
     ("j9_fact_join_bucketed",
-      (s, d) => {
-        // keyed by source dir AND application id: concurrent driver
-        // processes (bench + correctness, the r5 race) must never share —
-        // or delete under — each other's bucketed copies
-        val sfx = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d:${s.sparkContext.applicationId}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val liT = s"b9_lineitem_$sfx"
-        val orT = s"b9_orders_$sfx"
-        def build(tbl: String, keys: Seq[String])(df: => DataFrame): Unit =
-          if (!s.catalog.tableExists(tbl)) {
-            // EXTERNAL table under the system temp dir: a fresh session's
-            // in-memory catalog has no tables, and pointing the data at a
-            // per-app temp location (cleared first — a crashed run's
-            // leftovers would fail the CTAS) keeps the repo warehouse
-            // clean and concurrent processes fully isolated. A shutdown
-            // hook reclaims the copies so repeated runs don't accumulate
-            // scratch parquet in the temp dir.
-            val loc = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
-            val p = new org.apache.hadoop.fs.Path(loc)
-            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.delete(p, true)
-            graft.lake.Lake.writeBucketed(df, tbl, keys, 8, Some(loc))
-            sys.addShutdownHook {
-              try fs.delete(p, true) catch { case _: Exception => () }
-            }
-          }
-        build(liT, Seq("l_orderkey"))(lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"),
-            col("l_discount")))
-        build(orT, Seq("o_orderkey"))(orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"),
-            col("o_orderdate")))
-        s.table(liT)
-          .join(s.table(orT).select(col("o_orderkey"),
-            col("o_orderpriority"),
-            date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderpriority"), col("mes"))
-          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue"), count(lit(1)).as("n"))
-      },
+      (s, d) => bucketedJ9Join(s, d)
+        .groupBy(col("o_orderpriority"), col("mes"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n")),
       j9OracleSql),
+
+    // A10 over the BUCKETED fact layout — grouping sets reuse the
+    // exchange-free join (natlanguage_duckdb_queries.py:242 prescribes
+    // ROLLUP in the same SQL surface as the j9 join). The rollup's Expand
+    // sits ABOVE the zero-exchange bucketed join; the only shuffle in the
+    // plan is the final aggregation of the already-partially-aggregated
+    // (priority, month, grouping_id) rows — group-count-sized, not
+    // fact-sized, at any scale. PlanAuditSpec asserts the join keys never
+    // reshuffle here exactly as for j9_fact_join_bucketed.
+    ("a10_rollup_bucketed",
+      (s, d) => bucketedJ9Join(s, d)
+        // the month key rolls up as an ISO STRING: subtotal rows carry a
+        // NULL month, and a null DATE is representation-ambiguous across
+        // engines' dataframe bridges (None vs NaT) — string nulls compare
+        // cleanly, exactly like a10_rollup's string grouping keys
+        .rollup(col("o_orderpriority"), col("mes").cast(StringType).as("mes"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority, mes,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                     count(*) AS n
+              FROM (SELECT o_orderpriority,
+                           CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                                AS VARCHAR) AS mes,
+                           l_extendedprice, l_discount
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+              GROUP BY ROLLUP(o_orderpriority, mes)""")),
 
     // J12 — SKEW-SALTED join: the deterministic 100 TB tool for a join key
     // whose hottest value would otherwise pin one task (AQE's skew split

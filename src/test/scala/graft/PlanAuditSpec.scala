@@ -104,14 +104,20 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       // first call (re)builds the bucketed copies; the plan under audit is
-      // the steady-state read
-      SparkEntry.queries("j9_fact_join_bucketed")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val p = plan("j9_fact_join_bucketed")
-      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
-        !p.contains("Exchange hashpartitioning(o_orderkey"),
-        s"bucketed j9 reshuffles a join key:\n$p")
-      assert(p.contains("partial_"), "bucketed j9 lost partial aggregation")
+      // the steady-state read. a10_rollup_bucketed shares the bucketed
+      // join — same zero-exchange contract, plus the rollup's Expand must
+      // sit above the join, not force a fact-side reshuffle.
+      for (q <- Seq("j9_fact_join_bucketed", "a10_rollup_bucketed")) {
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val p = plan(q)
+        assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+          !p.contains("Exchange hashpartitioning(o_orderkey"),
+          s"bucketed $q reshuffles a join key:\n$p")
+        assert(p.contains("partial_"), s"bucketed $q lost partial aggregation")
+      }
+      assert(plan("a10_rollup_bucketed").contains("Expand"),
+        "a10_rollup_bucketed lost its grouping-sets Expand")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
