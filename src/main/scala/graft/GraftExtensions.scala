@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, Md5Prefix60, VecDot}
+import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, CollectBoundedLongs, Md5Prefix60, MinhashSig, ShingleCodes, SimhashVotes, VecDot}
 
 /** Engine extensions, activated with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
@@ -33,5 +33,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_codes"),
+      new ExpressionInfo(classOf[ShingleCodes].getName, "shingle_codes"),
+      (children: Seq[Expression]) => ShingleCodes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("collect_bounded"),
+      new ExpressionInfo(classOf[CollectBoundedLongs].getName, "collect_bounded"),
+      (children: Seq[Expression]) =>
+        CollectBoundedLongs(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_votes"),
+      new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),
+      (children: Seq[Expression]) => SimhashVotes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinhashSig(children(0), children(1), children(2), children(3))))
   }
 }

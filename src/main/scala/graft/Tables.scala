@@ -110,5 +110,14 @@ object Tables {
     // stages, per-task overhead otherwise dominates wall time
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TypedImperativeAggregates (collect_bounded) run under
+    // ObjectHashAggregateExec, whose sort-based fallback triggers at a
+    // DEFAULT of 128 distinct keys per task — sized for sketches holding
+    // ~MBs of state each, absurd for an aggregate whose state is ≤5 longs.
+    // 1M keys ≈ tens of MBs of bounded state per task; past that the
+    // sort-based fallback is the correct spill path and still yields
+    // exact results.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
     .config("spark.ui.enabled", "false")
 }

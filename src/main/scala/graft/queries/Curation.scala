@@ -27,19 +27,21 @@ object Curation {
     // (the eval suites stay ~MBs while the corpus grows).
     ("llm_decontaminate",
       (s, d) => {
-        // distinct (doc_id, code) pairs straight off the shared shingle
-        // stream — this path never needs per-doc arrays, so it skips the
-        // profile's collect_set object aggregation entirely. The distinct,
-        // the per-doc count and the post-join hit count all reuse the
-        // stream's doc_id hash partitioning: ONE corpus exchange total.
-        val base = LlmOps.shinglePairs(s, d).distinct().localCheckpoint()
-        val benchVocab = base.filter(col("doc_id") % 50 === 0)
-          .select("x").distinct()
-        val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        base.filter(col("doc_id") % 50 =!= 0)
+        // per-doc distinct code ARRAYS straight off the scan (narrow
+        // shingle_codes map, zero shuffle — see LlmOps.shingleProfile):
+        // the r8 shape still paid one full exchange to DISTINCT the
+        // exploded (doc_id, code) stream; nothing here needs that. The
+        // benchmark vocabulary explodes only the eval-suite docs (2% of
+        // the fixture; ~MBs of real eval suites), and the hit count
+        // shuffles only rows that SURVIVE the broadcast vocabulary join —
+        // bounded by the contamination rate, not the corpus.
+        val codes = LlmOps.shingleProfile(s, d, withSignature = false)
+        val benchVocab = codes.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("hs")).as("x")).distinct()
+        codes.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("c"), explode(col("hs")).as("x"))
           .join(broadcast(benchVocab), "x")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-          .join(cnt, "doc_id")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("n_hits"))
           .select(col("doc_id"), col("n_hits"),
             col("c").cast(LongType).as("n_shingles"),
             (col("n_hits").cast(DoubleType) / col("c")).as("overlap_frac"))

@@ -58,45 +58,24 @@ object LlmOps {
          GROUP BY doc_id)"""
   }
 
-  /** SimHash vote vector per doc: 32 signed vote counters from
-    * vocabulary-level md5 bit derivation (shared by the signature query and
-    * the near-dup join). The bit vectors are computed once per DISTINCT
-    * token — a fully-narrow per-instance fold was tried and measured 5×
-    * slower: higher-order-function lambdas are interpreted, not codegen'd,
-    * so per-token-instance lambda invocations dominate long before the
-    * vocabulary join's shuffles do.
+  /** SimHash vote vector per doc: 32 signed vote counters, computed in ONE
+    * narrow codegen'd pass by the native `simhash_votes` expression
+    * (graft.functions.SimhashVotes) — the signature is a pure function of
+    * the document's own tokens, so the r1-r8 shape (per-(doc,tok) tf agg →
+    * distinct-vocabulary exchange → broadcast vocabulary join → 32-column
+    * vote aggregation) rebuilt doc-local state through two corpus
+    * exchanges and a join. (An earlier narrow attempt lost 5× to
+    * INTERPRETED higher-order lambdas per token instance; the native
+    * expression is the fix, not giving up the narrow shape.) The
+    * null-text filter mirrors the old explode semantics: a null text
+    * produced no (doc, tok) rows, so the doc was absent from the votes.
     */
-  private def simhashVotes(s: SparkSession, d: String): DataFrame = {
-    // toks feeds both the vocabulary derivation and the vote join and is
-    // deliberately NOT checkpointed: materializing ~|doc·distinct-token|
-    // string rows measured SLOWER than re-running the codegen'd
-    // scan+explode+agg (0.60 s → 1.4 s at sf0.1) — recompute beats
-    // materialize for wide fan-out streams at this scale (contrast the
-    // checkpointed shingle PROFILE, which several JOINS consume)
-    val toks = documents(s, d)
-      .transform(pinnedRepartition(_, col("doc_id"))) // parallelize the token fan-out
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-    val vocab = toks.select("tok").distinct()
-      .withColumn("bits", expr(
-        """transform(sequence(0, 31), j ->
-             CAST((shiftright(instr('0123456789abcdef',
-                                    substr(md5(tok), 1 + j div 4, 1)) - 1,
-                              j % 4) & 1) * 2 - 1 AS BIGINT))"""))
-    // per-doc vote sums as 32 PLAIN long sum() aggregates, assembled into
-    // the array afterwards: a HashAggregate of longs runs in whole-stage
-    // codegen, where the previous collect_list + aggregate/zip_with fold
-    // was an interpreted object aggregation (r7; measured ~0.4 s faster at
-    // sf0.1). No exchange here either — toks is already partitioned by
-    // doc_id from the repartition, and the vocab join broadcasts.
-    val sums = (0 until 32).map(j =>
-      sum(expr(s"w * element_at(bits, ${j + 1})")).as(s"v$j"))
-    toks.join(vocab, "tok")
-      .groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
+  private def simhashVotes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .transform(pinnedRepartition(_, col("doc_id"))) // parallelize the CPU-bound hashing
       .select(col("doc_id"),
-        array((0 until 32).map(j => col(s"v$j")): _*).as("v"))
-  }
+        expr("simhash_votes(split(text, ' '))").as("v"))
+      .filter(col("v").isNotNull)
 
   /** The (doc, token, bit-vote) SQL shared by both simhash oracles. */
   private val simhashVotesSql =
@@ -114,78 +93,57 @@ object LlmOps {
                FROM t) x
          GROUP BY doc_id, j)"""
 
-  /** Shared per-doc shingle profile: the distinct 60-bit shingle codes
-    * `hs` (md5-prefix — the engine-mirrorable mapping), their count `c`,
-    * and the 12-seed affine minhash signature `mhs`, materialized ONCE
-    * (localCheckpoint) and consumed by the minhash, n-gram-Jaccard and
-    * clustering pipelines. Formulated as explode → md5/conv → groupBy:
-    * every per-shingle hash runs inside whole-stage CODEGEN, and the
-    * upstream repartition already hash-partitions by doc_id so the
-    * aggregation adds no exchange. The previous narrow-array formulation
-    * evaluated conv() inside 13 INTERPRETED lambda traversals per doc
-    * (one per affine seed plus the verify key) — measured 1.35 s of the
-    * minhash pipeline's 2.5 s at sf0.1. Shingle-instance duplicates need
-    * no array_distinct here: collect_set dedups `hs`, and a duplicate
-    * instance cannot change a per-seed min — exactly the oracle's
-    * DISTINCT-rows semantics.
-    * localCheckpoint, not cache(): several downstream joins read this, and
-    * a lazy cache leaves join sides racing to materialize the same blocks
-    * (measured multi-second stalls).
-    */
-  /** One row per shingle INSTANCE (doc_id, 60-bit code x) — the shared
-    * pre-aggregation stream: hash-partitioned by doc_id BEFORE the fan-out,
-    * every hash inside whole-stage codegen (see shingleProfile scaladoc).
-    * Consumers aggregate it per doc (profile) or distinct it
-    * (decontamination) without a further exchange.
-    */
   /** The shared (doc_id, token-array) stream every fan-out starts from:
     * the corpus lands as few large files, so docs are spread across the
-    * core budget BEFORE any explode parallelizes over them. Callers that
-    * need the SAME tokenization several times (llm_corpus_report) pass a
-    * checkpointed instance into shinglePairs/shingleProfile/minhashPairs
-    * instead of re-scanning and re-splitting the corpus per sub-aggregate.
+    * core budget BEFORE any per-doc CPU work parallelizes over them.
+    * Callers that need the SAME tokenization several times
+    * (llm_corpus_report) pass a checkpointed instance into
+    * shingleProfile/minhashPairs instead of re-scanning and re-splitting
+    * the corpus per sub-aggregate.
     */
   private[queries] def tokenized(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .transform(pinnedRepartition(_, col("doc_id")))
       .select(col("doc_id"), split(col("text"), " ").as("l"))
 
-  private[queries] def shinglePairs(s: SparkSession, d: String,
-      toks: Option[DataFrame] = None): DataFrame =
-    toks.getOrElse(tokenized(s, d))
-      // the shingle string is built INSIDE the exploded projection (no
-      // transform lambda anywhere): explode(sequence) + concat_ws/md5/conv
-      // all stay in whole-stage codegen — measured 0.4 s faster than
-      // exploding an interpreted transform()'s output at sf0.1.
-      .filter(size(col("l")) >= 3)
-      .select(col("doc_id"), col("l"),
-        explode(expr("sequence(1, size(l) - 2)")).as("i"))
-      // md5_prefix60: the native one-expression form of
-      // conv(substr(md5(..), 1, 15), 16, 10) — same value, no hex-string
-      // materialization per shingle (graft.functions.Md5Prefix60)
-      .select(col("doc_id"),
-        expr("""md5_prefix60(concat_ws(' ', element_at(l, i),
-                element_at(l, i + 1), element_at(l, i + 2)))""").as("x"))
-
+  /** Shared per-doc shingle profile: the distinct 60-bit shingle codes
+    * `hs` (md5-prefix — the engine-mirrorable mapping), their count `c`,
+    * and the 12-seed affine minhash signature `mhs`, materialized ONCE
+    * (localCheckpoint) and consumed by the minhash, n-gram-Jaccard,
+    * decontamination and clustering pipelines.
+    *
+    * ZERO-SHUFFLE since r9: the per-doc distinct set is document-bounded,
+    * so the native `shingle_codes` expression (graft.functions
+    * .ShingleCodes) computes it in per-task scratch straight off the token
+    * array, and `minhash_sig` folds all 12 per-seed minima in one further
+    * pass — the profile is a narrow codegen'd map over the scan. The r1-r8
+    * explode → md5 → groupBy(collect_set, 12×min) formulation paid a
+    * corpus-sized aggregation exchange (one row per shingle INSTANCE,
+    * ~10^13 rows at 100 TB) plus object-hash collect_set state to
+    * reassemble sets the token array already held. (An earlier narrow
+    * attempt lost to 13 INTERPRETED higher-order lambdas per doc — the
+    * fix is native expressions, not giving up the narrow shape.)
+    * Shingle-instance duplicates dedup inside shingle_codes; a duplicate
+    * instance cannot change a per-seed min — exactly the oracle's
+    * DISTINCT-rows semantics (minhashSigSql's min over instances).
+    * localCheckpoint, not cache(): several downstream joins read this, and
+    * a lazy cache leaves join sides racing to materialize the same blocks
+    * (measured multi-second stalls).
+    */
   private[queries] def shingleProfile(s: SparkSession, d: String,
       withSignature: Boolean = true,
       toks: Option[DataFrame] = None): DataFrame = {
-    val mins = MinhashA.zip(MinhashC).zipWithIndex.map { case ((a, c), j) =>
-      // shiftright(x, 32) = the md5-prefix's top 28 bits
-      // = conv(substr(md5, 1, 7), 16, 10), the oracle's per-seed input;
-      // a·x28 < 2^59, no overflow
-      min(expr(s"(${a}L * shiftright(x, 32) + ${c}L) % ${MinhashP}L"))
-        .as(s"mh$j")
-    }
-    val base = shinglePairs(s, d, toks)
+    val base = toks.getOrElse(tokenized(s, d))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), expr("shingle_codes(l)").as("hs"))
     val prof =
-      if (withSignature) base.groupBy("doc_id")
-        .agg(collect_set(col("x")).as("hs"), mins: _*)
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"),
-          array(MinhashA.indices.map(j => col(s"mh$j")): _*).as("mhs"))
-      else base.groupBy("doc_id")
-        .agg(collect_set(col("x")).as("hs"))
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
+      if (withSignature) {
+        val aLits = MinhashA.map(a => s"${a}L").mkString(", ")
+        val cLits = MinhashC.map(c => s"${c}L").mkString(", ")
+        base.select(col("doc_id"), col("hs"), size(col("hs")).as("c"),
+          expr(s"minhash_sig(hs, array($aLits), array($cLits), ${MinhashP}L)")
+            .as("mhs"))
+      } else base.select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
     prof.localCheckpoint()
   }
 
@@ -521,22 +479,22 @@ object LlmOps {
       (s, d) => {
         // signature-free profile: the Jaccard path needs hs/c only
         val ds = shingleProfile(s, d, withSignature = false)
-        // rare-shingle inverted index with BOUNDED aggregation state
-        // (ADVICE r6): a plain long-state COUNT per shingle (whole-stage
-        // codegen, no sort, never a doc list in an agg buffer) gates the
-        // 2..4-doc band, and only instances of surviving shingles reach
-        // collect_set — a stop shingle never materializes its doc-id set.
-        // The r7 window-count formulation saved an exchange but paid a
-        // full SORT of the exploded index inside WindowExec — measured
-        // slower than the second (much smaller, rare-only) exchange here.
-        // AQE broadcasts the rare set at this scale and degrades to a
-        // shuffle join when it outgrows the threshold. Each kept bucket
-        // expands to at most C(4,2)=6 pairs inside the row.
+        // rare-shingle inverted index in ONE pass with BOUNDED aggregation
+        // state: collect_bounded(doc_id, 4) (graft.functions
+        // .CollectBoundedLongs) gathers each shingle's doc set but
+        // saturates at 5 distinct docs — a stop shingle costs 5 longs of
+        // buffer and returns NULL, never its full posting list (the
+        // unbounded-state hazard ADVICE r6 flagged). This fuses the r8
+        // two-pass form (count per shingle → join survivors back →
+        // collect_set) into a single exchange and a single scan of the
+        // posting stream; map-side partial aggregation saturates early,
+        // so shuffle payload per distinct shingle is ≤5 longs at any
+        // corpus size. Each kept bucket expands to at most C(4,2)=6
+        // pairs inside the row.
         val inv = ds.select(col("doc_id"), explode(col("hs")).as("x"))
-        val rare = inv.groupBy("x").agg(count(lit(1)).as("f"))
-          .filter(col("f").between(2, 4)).select("x")
-        val cand = inv.join(rare, "x")
-          .groupBy("x").agg(collect_set(col("doc_id")).as("dset"))
+        val cand = inv.groupBy("x")
+          .agg(expr("collect_bounded(doc_id, 4)").as("dset"))
+          .filter(size(col("dset")).between(2, 4))
           .select(explode(expr(
             """flatten(transform(dset,
                  a -> filter(transform(dset, b -> struct(a AS d1, b AS d2)),

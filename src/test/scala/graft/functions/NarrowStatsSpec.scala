@@ -66,11 +66,103 @@ class NarrowStatsSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
-  test("both expressions participate in whole-stage codegen") {
+  test("shingle_codes: hand cases, dedup order, nulls, growth") {
+    def codes(toks: Seq[String]) =
+      Seq(Tuple1(toks)).toDF("l")
+        .select(call_function("shingle_codes", $"l").as("cs"))
+        .as[Seq[Long]].head()
+    def one(s: String) =
+      Seq(s).toDF("t")
+        .select(call_function("md5_prefix60", $"t").as("x"))
+        .as[Long].head()
+    // 4 tokens → shingles "a b c", "b c d"
+    assert(codes(Seq("a", "b", "c", "d")) ==
+      Seq(one("a b c"), one("b c d")))
+    // repeated shingle dedups, keeping first appearance:
+    // windows are "a b c","b c a","c a b","a b c"(dup)
+    assert(codes(Seq("a", "b", "c", "a", "b", "c")) ==
+      Seq(one("a b c"), one("b c a"), one("c a b")))
+    // fewer than 3 tokens → no shingles
+    assert(codes(Seq("a", "b")) == Seq.empty)
+    // empty-string tokens participate exactly like concat_ws's output
+    assert(codes(Seq("a", "", "b")) == Seq(one("a  b")))
+    // growth: 3000 distinct shingles > initial 2048 scratch capacity
+    val big = (0 until 3002).map(i => s"t$i")
+    assert(codes(big).length == 3000)
+    // null array → null out
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("shingle_codes", split($"t", " ")).as("cs"))
+      .select($"cs".isNull).as[Boolean].head()
+    assert(r)
+  }
+
+  test("shingle_codes + minhash_sig are bit-identical to the composed " +
+      "explode/groupBy form over the corpus") {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("l"))
+      .filter(size($"l") >= 3)
+    // composed reference: explode every 3-shingle, md5_prefix60, group
+    val ref = toks
+      .select($"doc_id", $"l",
+        explode(expr("sequence(1, size(l) - 2)")).as("i"))
+      .select($"doc_id",
+        expr("""md5_prefix60(concat_ws(' ', element_at(l, i),
+                element_at(l, i + 1), element_at(l, i + 2)))""").as("x"))
+      .groupBy("doc_id")
+      .agg(collect_set($"x").as("hs"),
+        min(expr(s"(1103515245L * shiftright(x, 32) + 12345L) % 2147483647L"))
+          .as("mh0"))
+    val narrow = toks.select($"doc_id",
+        call_function("shingle_codes", $"l").as("cs"))
+      .select($"doc_id", $"cs",
+        expr("minhash_sig(cs, array(1103515245L), array(12345L), 2147483647L)")
+          .as("sig"))
+    val joined = ref.join(narrow, "doc_id")
+      .select($"doc_id",
+        (size(array_except($"hs", $"cs")) === 0 &&
+         size(array_except($"cs", $"hs")) === 0).as("sameSet"),
+        ($"mh0" === element_at($"sig", 1)).as("sameMin"))
+    val bad = joined.filter(!$"sameSet" || !$"sameMin").count()
+    assert(bad == 0, s"$bad docs diverge from the composed form")
+    assert(joined.count() > 0)
+  }
+
+  test("simhash_votes matches the composed vocabulary-join form " +
+      "over the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // composed reference: per-(doc,tok) tf → md5 bit vectors → vote sums
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+    val vocab = toks.select("tok").distinct()
+      .withColumn("bits", expr(
+        """transform(sequence(0, 31), j ->
+             CAST((shiftright(instr('0123456789abcdef',
+                                    substr(md5(tok), 1 + j div 4, 1)) - 1,
+                              j % 4) & 1) * 2 - 1 AS BIGINT))"""))
+    val sums = (0 until 32).map(j =>
+      sum(expr(s"w * element_at(bits, ${j + 1})")).as(s"v$j"))
+    val ref = toks.join(vocab, "tok").groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id", array((0 until 32).map(j => col(s"v$j")): _*).as("rv"))
+    val narrow = docs.select($"doc_id",
+      call_function("simhash_votes", split($"text", " ")).as("nv"))
+    val bad = ref.join(narrow, "doc_id")
+      .filter($"rv" =!= $"nv").count()
+    assert(bad == 0, s"$bad docs diverge from the composed vote sums")
+    // null text yields null votes (the old explode produced no rows)
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("simhash_votes", split($"t", " ")).isNull)
+      .as[Boolean].head()
+    assert(r)
+  }
+
+  test("all narrow expressions participate in whole-stage codegen") {
     val docs = graft.Tables.documents(spark, sfDir)
     for ((fn, arg) <- Seq(
         ("char_entropy_stats", col("text")),
-        ("bigram_rep_stats", split(col("text"), " ")))) {
+        ("bigram_rep_stats", split(col("text"), " ")),
+        ("shingle_codes", split(col("text"), " ")))) {
       val plan = docs.select(call_function(fn, arg))
         .queryExecution.executedPlan.toString
       assert(plan.linesIterator.exists(l =>
