@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, CollectBoundedLongs, Md5Prefix60, MinhashSig, ShingleCodes, SimhashVotes, VecDot}
+import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, CollectBoundedLongs, Md5Prefix60, MinhashSig, ShingleCodes, SimhashVotes, TopKStructs, VecDot}
 
 /** Engine extensions, activated with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CollectBoundedLongs].getName, "collect_bounded"),
       (children: Seq[Expression]) =>
         CollectBoundedLongs(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_structs"),
+      new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
+      (children: Seq[Expression]) =>
+        TopKStructs(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_votes"),
       new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),

@@ -276,6 +276,34 @@ object Relational {
                     FROM orders JOIN customer ON o_custkey = c_custkey) t
               WHERE rn <= 3""")),
 
+    // O4 as a BOUNDED-STATE aggregation — the 100 TB twin of the window
+    // form above: row_number() OVER (PARTITION BY segment) shuffles EVERY
+    // joined row to its segment's partition and sorts there, and with 5
+    // segments that is 5 tasks sorting the whole fact table at scale.
+    // topk_structs (graft.functions.TopKStructs) keeps a k-row buffer per
+    // (partition, segment) instead: the exchange moves ≤ k rows per
+    // partition per segment and nothing is globally sorted. Same oracle,
+    // same rows — the ordering struct carries the unique o_orderkey
+    // tiebreak, so the top-3 cut is identical to the window's.
+    ("o4_topk_per_group_agg",
+      (s, d) => orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(expr(
+          """topk_structs(struct(o_totalprice, o_orderkey), 3,
+               array(true, false))""").as("top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("c_mktsegment"), col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_totalprice").as("o_totalprice"),
+          (col("pos") + 1).cast(IntegerType).as("rn")),
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+              FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders JOIN customer ON o_custkey = c_custkey) t
+              WHERE rn <= 3""")),
+
     // F13 — known-bad publication days masked before transform (the
     // reference's per-market error-date table; previously spec-only).
     // The NOT-IN lands as a pushed parquet filter, so masked days prune

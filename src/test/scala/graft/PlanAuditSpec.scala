@@ -33,6 +33,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("o4 top-k aggregate never window-sorts the fact rows") {
+    // the whole point of the topk_structs sibling: no WindowExec (which
+    // would sort every joined row inside its segment's single partition)
+    val p = plan("o4_topk_per_group_agg")
+    assert(!p.contains("Window"), s"topk sibling regressed to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"topk_structs not aggregating:\n$p")
+  }
+
   test("salted skew join keeps the shuffled strategy (broadcast would " +
       "dissolve the demonstration)") {
     val p = plan("j12_salted_skew_join")
