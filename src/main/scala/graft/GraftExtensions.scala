@@ -47,6 +47,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
       (children: Seq[Expression]) =>
         TopKStructs(children(0), children(1), children(2))))
+    // Spark ships these two for its own runtime-filter rewrites but does
+    // not register them in the public FunctionRegistry; exposing them via
+    // the extension gives queries the classic bloom semi-join reduction
+    // (build a fixed-size sketch of the small side, prefilter the big side
+    // in codegen, exact-join only the survivors) without reimplementing
+    // the sketch.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_votes"),
       new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),

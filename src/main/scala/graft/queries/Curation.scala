@@ -61,6 +61,54 @@ object Curation {
                    CAST(h.n_hits AS DOUBLE) / c.c AS overlap_frac
             FROM hits h JOIN cnt c ON c.doc_id = h.doc_id""")),
 
+    // DECONTAMINATION with a BLOOM semi-join reduction — the variant for
+    // when even the benchmark vocabulary outgrows a comfortable broadcast
+    // (a full eval-suite battery is GBs of shingles; the bloom is a fixed
+    // ~1.2 MB regardless). Build the sketch over the vocabulary (one
+    // aggregation to a single binary value — bounded driver state, the
+    // IVF sample rule), prefilter the corpus's shingle stream with
+    // bloom_might_contain INSIDE codegen, and exact-join only the
+    // survivors: a bloom has no false negatives, so after the exact join
+    // the result is hash-identical to llm_decontaminate — false
+    // positives cost a candidate row, never a wrong answer. Same oracle.
+    ("llm_decontaminate_bloom",
+      (s, d) => {
+        val codes = LlmOps.shingleProfile(s, d, withSignature = false)
+        val benchVocab = codes.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("hs")).as("x")).distinct()
+          .localCheckpoint() // the bloom build and the exact join both read it
+        // fixed-size sketch to the driver: ~1 MB at 1M items / 8M bits,
+        // independent of corpus AND vocabulary size (saturates, never
+        // grows). Both sides hash through xxhash64, exactly like Spark's
+        // own InjectRuntimeFilter pairing of these two expressions.
+        val bloom = benchVocab
+          .agg(expr("bloom_agg(xxhash64(x), 1000000L, 8388608L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        codes.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("c"), explode(col("hs")).as("x"))
+          .filter(call_function("bloom_might_contain",
+            lit(bloom), xxhash64(col("x"))))
+          .join(broadcast(benchVocab), "x")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("n_hits"))
+          .select(col("doc_id"), col("n_hits"),
+            col("c").cast(LongType).as("n_shingles"),
+            (col("n_hits").cast(DoubleType) / col("c")).as("overlap_frac"))
+      },
+      Some("WITH " + LlmOps.shingleSql + """,
+            shx AS (SELECT DISTINCT doc_id,
+                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                             AS x
+                    FROM sh),
+            bench AS (SELECT DISTINCT x FROM shx WHERE doc_id % 50 = 0),
+            cnt AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+            hits AS (SELECT s.doc_id, count(*) AS n_hits
+                     FROM shx s JOIN bench b ON s.x = b.x
+                     WHERE s.doc_id % 50 <> 0
+                     GROUP BY 1)
+            SELECT h.doc_id, h.n_hits, CAST(c.c AS BIGINT) AS n_shingles,
+                   CAST(h.n_hits AS DOUBLE) / c.c AS overlap_frac
+            FROM hits h JOIN cnt c ON c.doc_id = h.doc_id""")),
+
     // REPETITION metrics (the Gopher/MassiveText quality-filter family):
     // per-document bigram duplication — total vs distinct bigrams, the
     // heaviest bigram's share, and the distinct-token ratio.

@@ -65,6 +65,12 @@ class PlanAuditSpec extends SparkSpec {
     // eval-suite side stays ~MBs while the corpus grows
     assert(plan("llm_decontaminate").contains("BroadcastHashJoin"),
       "benchmark vocabulary join is not broadcast")
+    // the bloom variant must keep its codegen prefilter BELOW the exact
+    // join — the semi-join reduction is the whole point
+    val pb = plan("llm_decontaminate_bloom")
+    assert(pb.contains("might_contain"), "bloom prefilter missing:\n" + pb)
+    assert(pb.contains("BroadcastHashJoin"),
+      "bloom variant's exact join is not broadcast")
   }
 
   test("filter queries push predicates into the parquet scan") {
