@@ -308,6 +308,49 @@ object LlmOps {
             WHERE NOT EXISTS (SELECT 1 FROM clusters c
                               WHERE c.v = d.doc_id
                                 AND c.cluster < c.v)""")),
+    // Dedup APPLY, quality-weighted — the survivor policy real curation
+    // pipelines use: within each near-dup cluster keep the HIGHEST-
+    // QUALITY member (token count here; tiebreak doc_id), not the
+    // smallest id. max_by over a struct key is a plain one-pass
+    // aggregation — no per-cluster sort, no window — and the struct's
+    // second field makes the ordering total, so the keeper is
+    // deterministic under any partitioning. Everything downstream of the
+    // clustering is id-sized: quality join, keeper agg, anti join.
+    ("llm_dedup_apply_best",
+      (s, d) => {
+        val clusters = dedupClusters(s, d)
+        val qual = documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+            .as("ntok"))
+        val keepers = clusters.join(qual, "doc_id")
+          .groupBy("cluster")
+          .agg(max_by(col("doc_id"),
+            struct(col("ntok"), (-col("doc_id")).as("nid"))).as("keeper"))
+        val dropped = clusters.join(keepers, "cluster")
+          .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+        documents(s, d).select("doc_id")
+          .join(dropped, Seq("doc_id"), "left_anti")
+      },
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+            clusters AS (SELECT v, min(u) AS cluster FROM reach GROUP BY v),
+            ranked AS (
+              SELECT c.v, c.cluster,
+                     row_number() OVER (
+                       PARTITION BY c.cluster
+                       ORDER BY len(regexp_extract_all(d.text, '[^ ]+')) DESC,
+                                c.v) AS rk
+              FROM clusters c JOIN documents d ON d.doc_id = c.v)
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                              WHERE r.v = d.doc_id AND r.rk > 1)""")),
   ) ++ moreOps
 
   /** Min-label propagation over the near-dup pair graph (the scalable
