@@ -148,6 +148,14 @@ object Relational {
     // ref: _procesador_omie.py:699-724
     ("a1_rollup",
       (s, d) => lineitem(s, d)
+        // (suppkey, shipdate) is nearly a key of lineitem (~0.9 groups per
+        // row), so the default two-phase aggregation shuffles ~|rows| of
+        // ENCODED PARTIAL BUFFERS — combining nothing. The explicit
+        // repartition on the entity key alone satisfies the grouping's
+        // clustering (the j3 profile-hash precedent): one raw-row
+        // exchange, and the partial+final pair pipelines in a single
+        // stage with no shuffle between (1.47 s → 0.73 s at sf0.1).
+        .transform(pinnedRepartition(_, col("l_suppkey")))
         .groupBy(col("l_suppkey"), col("l_shipdate"))
         .agg(dsum2(col("l_quantity")).as("volumenes"), count(lit(1)).as("n")),
       Some("""SELECT l_suppkey, l_shipdate,

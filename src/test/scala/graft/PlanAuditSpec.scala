@@ -13,8 +13,22 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   test("aggregations keep map-side partial aggregation") {
-    for (q <- Seq("a1_rollup", "j9_fact_join", "a2_downsample"))
+    for (q <- Seq("j9_fact_join", "a2_downsample"))
       assert(plan(q).contains("partial_"), s"$q lost partial aggregation")
+  }
+
+  test("a1_rollup pays exactly one exchange, before the aggregation") {
+    // (suppkey, shipdate) is nearly a key of the fact rows, so the
+    // two-phase default shuffles ~|rows| of encoded partial buffers; the
+    // deliberate shape is ONE raw-row exchange on the entity key whose
+    // partitioning satisfies the grouping (the j3 profile-hash
+    // precedent) — Spark still plans an adjacent partial+final pair, but
+    // they pipeline in the same stage with nothing between them. A
+    // second Exchange appearing means the aggregation re-shuffled.
+    val p = plan("a1_rollup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"a1_rollup pays $exchanges exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"a1_rollup lost hash agg:\n$p")
   }
 
   test("semi/dim joins broadcast the small side") {
