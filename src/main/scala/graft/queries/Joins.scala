@@ -475,6 +475,54 @@ object Joins {
                        AS qty,
                      count(*) AS n
               FROM fact JOIN dim USING (k)
-              GROUP BY label"""))
+              GROUP BY label""")),
+
+    // J13 — SCD2 validity intervals from an attribute-change stream: the
+    // dimension-HISTORY view the reference's UP tracking implies (j7's
+    // change-log answers "what changed"; this answers "what was true
+    // WHEN"). Consecutive repeats dedupe via lag, each surviving change
+    // opens an interval closed by the next change's lead; a far-future
+    // sentinel (standard SCD2 practice) keeps valid_to non-null, which
+    // also sidesteps cross-engine null-timestamp representation (the
+    // a10_rollup_bucketed lesson). 2250-01-01, not the customary
+    // 9999-12-31: nanosecond datetime bridges (pandas datetime64[ns])
+    // overflow past 2262 and silently WRAP (9999-12-31 reads back as
+    // 1816-03-29). Both windows
+    // share one (user_id) partitioning — one shuffle, and Catalyst
+    // reuses the sort for the second window.
+    // ref: tracking/up_tracking.py change-dict persistence
+    ("j13_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val sentinel = lit("2250-01-01 00:00:00").cast(TimestampType)
+        val changes = events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        changes
+          .withColumn("valid_to",
+            coalesce(lead(col("ts"), 1).over(w), sentinel))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            (col("valid_to") === sentinel).as("is_current"))
+      },
+      Some("""WITH ordered AS (
+                SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY CAST(ts AS TIMESTAMP),
+                                                      event_id) AS prev
+                FROM events),
+              changes AS (
+                SELECT * FROM ordered
+                WHERE prev IS NULL OR prev <> event_type),
+              iv AS (
+                SELECT user_id, event_type, ts AS valid_from,
+                       coalesce(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                TIMESTAMP '2250-01-01') AS valid_to
+                FROM changes)
+              SELECT user_id, event_type, valid_from, valid_to,
+                     valid_to = TIMESTAMP '2250-01-01' AS is_current
+              FROM iv"""))
   )
 }
