@@ -62,6 +62,67 @@ class PropertySpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length) // one row per key
   }
 
+  test("property: shingle_codes equals the composed distinct-md5 set on " +
+      "random token arrays") {
+    val genTok = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.oneOf("a", "b", "ñ", "日本", "x y")) // incl. unicode + space-in-token
+    val genDoc = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, genTok))
+    val docs = samples(genDoc, 200).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }
+    val got = docs.toDF("id", "l")
+      .select($"id", call_function("shingle_codes", $"l").as("cs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def code(s: String): Long = {
+      md5.reset()
+      val d = md5.digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 7).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      (v << 4) | ((d(7) >> 4) & 0xfL)
+    }
+    docs.foreach { case (i, l) =>
+      val want = l.sliding(3).filter(_.length == 3)
+        .map(w => code(w.mkString(" "))).toSeq.distinct
+      assert(got(i) == want, s"doc $i: $l")
+    }
+  }
+
+  test("property: collect_bounded equals exact distinct sets under the " +
+      "limit, NULL over it") {
+    val genRow = for {
+      k <- Gen.choose(0, 15)
+      v <- Gen.choose(0L, 12L)
+    } yield (k, v)
+    val rows = samples(genRow, 600)
+    val got = rows.toDF("k", "v").repartition(16)
+      .groupBy("k").agg(expr("collect_bounded(v, 6)").as("s"))
+      .as[(Int, Option[Seq[Long]])].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val distinct = rs.map(_._2).distinct.sorted
+      if (distinct.length > 6) assert(got(k).isEmpty, s"key $k")
+      else assert(got(k).contains(distinct), s"key $k")
+    }
+  }
+
+  test("property: topk_structs equals sortBy.take on random groups") {
+    val genRow = for {
+      k <- Gen.choose(0, 10)
+      p <- Gen.choose(-50, 50)
+      id <- Gen.choose(0L, 10000L)
+    } yield (k, p, id)
+    val rows = samples(genRow, 500).distinct
+    val got = rows.toDF("k", "p", "id").repartition(16)
+      .groupBy("k")
+      .agg(expr("topk_structs(struct(p, id), 5, array(true, false))").as("t"))
+      .select($"k", expr("transform(t, r -> struct(r.p, r.id))"))
+      .as[(Int, Seq[(Int, Long)])].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val want = rs.map(r => (r._2, r._3))
+        .sortBy { case (p, id) => (-p, id) }.take(5)
+      assert(got(k) == want, s"group $k")
+    }
+  }
+
   test("property: European decimal parse round-trips formatted values") {
     val gen = Gen.choose(-999999999L, 999999999L).map(c => BigDecimal(c, 2))
     val vals = samples(gen, 300)
