@@ -90,7 +90,22 @@ object Tables {
     * default 200 — at 100 TB this is instead set to ~2-3× the executor core
     * count by the cluster conf), AQE for runtime coalescing/skew handling.
     */
-  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    // Scratch on tmpfs when the host has one (mirrors build.sbt's
+    // javaOptions so a bare `java -cp … graft.Bench/Verify` invocation —
+    // the driver's — gets the same treatment as sbt-forked JVMs): shuffle
+    // and spill files are throwaway, and /tmp on this image is ext4 where
+    // every block write pays a real-disk fsync. Purely a local-harness
+    // knob — a production cluster sets spark.local.dir itself — and an
+    // explicit -Dspark.local.dir always wins.
+    val shm = new java.io.File("/dev/shm")
+    if (System.getProperty("spark.local.dir") == null &&
+        shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-tmp")
+      d.mkdirs()
+      b.config("spark.local.dir", d.getAbsolutePath)
+    }
+    b
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions",
@@ -120,4 +135,5 @@ object Tables {
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 20).toString)
     .config("spark.ui.enabled", "false")
+  }
 }
