@@ -326,11 +326,15 @@ object Similarity {
     * and vec_dot perform. Assignment ties break to the lowest centroid id
     * in both (strict-< fold vs row_number ORDER BY d, c_id).
     */
-  def ivfOracleSql(dims: Int, nLists: Int, nProbe: Int, k: Int,
-      roundScale: Int, queryIdBound: Int = 10, iters: Int = 8,
-      samplePerList: Int = 64): String = {
-    val cap = nLists * samplePerList
-    def emb(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+  /** Index helper shared by the quantizer-SQL generators. */
+  private def emb(tbl: String, i: Int) = s"CAST($tbl.embedding[$i] AS DOUBLE)"
+
+  /** The sample → init → unrolled-Lloyd's CTE chain (pts, c0, a1..cN)
+    * shared by ivfOracleSql and kmeansProfileSql; the final centroid CTE
+    * is named c&lt;iters&gt;. Emitted WITHOUT the leading WITH.
+    */
+  private def lloydChainSql(dims: Int, nLists: Int, iters: Int,
+      cap: Int): String = {
     val d2Chain = (1 to dims)
       .map(i => s"(${emb("p", i)} - c.cv[$i]) * (${emb("p", i)} - c.cv[$i])")
       .mkString(" + ")
@@ -360,6 +364,27 @@ object Similarity {
                         ELSE list_value($meanList) END AS cv
             FROM $prev pc LEFT JOIN m$t m ON m.c_id = pc.c_id)"""
     }.mkString(",\n        ")
+    s"""pts AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rk,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT $cap) s),
+        c0 AS MATERIALIZED (
+          -- wrap-around init mirrors the Scala pts(i % pts.length): with a
+          -- sample smaller than nLists, centroids recycle sample points
+          -- instead of silently dropping clusters
+          SELECT g.c_id, list_value($initList) AS cv
+          FROM generate_series(0, ${nLists - 1}) g(c_id)
+          JOIN pts ON pts.rk = (g.c_id % (SELECT COUNT(*) FROM pts)) + 1),
+        $iterCtes"""
+  }
+
+  def ivfOracleSql(dims: Int, nLists: Int, nProbe: Int, k: Int,
+      roundScale: Int, queryIdBound: Int = 10, iters: Int = 8,
+      samplePerList: Int = 64): String = {
+    val cap = nLists * samplePerList
     val cF = s"c$iters"
     // full-table assignment: the same ||c||² − 2·v·c ordering (||v||² is
     // row-constant) the Spark fold evaluates, inlined as chains over the
@@ -375,21 +400,7 @@ object Similarity {
       .map(i => s"${emb("e", i)} * ${emb("e", i)}").mkString(" + ")
     val dotChain = (1 to dims)
       .map(i => s"${emb("a", i)} * ${emb("b", i)}").mkString(" + ")
-    s"""WITH pts AS MATERIALIZED (
-          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                    vec_id) AS rk,
-                 embedding
-          FROM (SELECT vec_id, embedding FROM embeddings
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                LIMIT $cap) s),
-        c0 AS MATERIALIZED (
-          -- wrap-around init mirrors the Scala pts(i % pts.length): with a
-          -- sample smaller than nLists, centroids recycle sample points
-          -- instead of silently dropping clusters
-          SELECT g.c_id, list_value($initList) AS cv
-          FROM generate_series(0, ${nLists - 1}) g(c_id)
-          JOIN pts ON pts.rk = (g.c_id % (SELECT COUNT(*) FROM pts)) + 1),
-        $iterCtes,
+    s"""WITH ${lloydChainSql(dims, nLists, iters, cap)},
         asg AS (
           SELECT vec_id, c_id AS list_id FROM (
             SELECT e.vec_id, c.c_id,
@@ -425,6 +436,79 @@ object Similarity {
                                         ORDER BY cos_r DESC, cid) AS rn
               FROM scored) t
         WHERE rn <= $k"""
+  }
+
+  /** K-MEANS cluster profile — the corpus/domain-discovery surface of the
+    * IVF quantizer: train the SAME bounded-sample Lloyd's quantizer
+    * (md5-ordered ≤nLists×64 sample, 8 fixed iterations, 1e-6 centroid
+    * snapping — the cross-engine protocol ivfOracleSql documents), assign
+    * every vector in one narrow map against broadcast literal centroids,
+    * and publish per-cluster size and mean squared distance (inertia per
+    * member). At 100 TB: training is driver-bounded and data-size-
+    * independent, assignment is a map over the scan, and the only
+    * aggregation lands on ≤nLists rows — per-group sums run on exact
+    * micro-snapped longs (the dsum2 long-cents precedent) so the mean is
+    * accumulation-order-independent in both engines.
+    */
+  def kmeansProfile(embeddings: DataFrame, nLists: Int = 8,
+      iters: Int = 8, samplePerList: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm2", expr("vec_dot(v, v)"))
+    val sample = e
+      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
+        col("vec_id"))
+      .orderBy("hx", "vec_id").limit(nLists * samplePerList)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(sample, nLists, iters = iters)
+    val cl = typedLit(centroids.map(_.toSeq).toSeq)
+    val cn2 = typedLit(centroids.map(c => c.map(x => x * x).sum).toSeq)
+    // the same strict-< argmin fold as ivfTopK, but KEEPING the struct:
+    // .i is the assigned list, .d the winning ||c||² − 2·v·c
+    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
+        named_struct('i', -1, 'd', cast('Infinity' as double)),
+        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
+          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
+          ELSE acc END)""")
+    e.withColumn("cl", cl).withColumn("cn2", cn2)
+      .withColumn("st", assign)
+      // d2 = (||c||² − 2·v·c) + ||v||², micro-snapped to an exact long
+      .select(col("st.i").as("list_id"),
+        expr("CAST(floor((st.d + nrm2) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("d2u"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2u")) / count(lit(1)) / lit(1000000.0), 6)
+          .as("mean_d2_r"))
+  }
+
+  /** DuckDB oracle for kmeansProfile: the shared unrolled-Lloyd's chain,
+    * then the assignment subquery keeps the winning distance and the
+    * per-cluster mean runs on the same micro-snapped longs.
+    */
+  def kmeansProfileSql(dims: Int, nLists: Int, iters: Int = 8,
+      samplePerList: Int = 64): String = {
+    val cap = nLists * samplePerList
+    val cn2Chain = (1 to dims).map(i => s"c.cv[$i] * c.cv[$i]")
+      .mkString(" + ")
+    val assignDot = (1 to dims).map(i => s"${emb("e", i)} * c.cv[$i]")
+      .mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${emb("e", i)} * ${emb("e", i)}").mkString(" + ")
+    s"""WITH ${lloydChainSql(dims, nLists, iters, cap)},
+        asg AS (
+          SELECT vec_id, c_id, d2 FROM (
+            SELECT e.vec_id, c.c_id,
+                   (($cn2Chain) - 2 * ($assignDot) + ($normChain)) AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY (($cn2Chain) - 2 * ($assignDot)) ASC,
+                               c.c_id) AS rnk
+            FROM embeddings e, c$iters c) t
+          WHERE rnk = 1)
+        SELECT CAST(c_id AS INTEGER) AS list_id, count(*) AS n_vecs,
+               round(SUM(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT))
+                     / count(*) / 1000000.0, 6) AS mean_d2_r
+        FROM asg GROUP BY 1"""
   }
 
   /** IVF with FIXED deterministic centroids (the embeddings of

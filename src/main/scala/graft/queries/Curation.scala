@@ -794,56 +794,125 @@ object Curation {
     // aggregations reuse the partitioning — the same one-exchange shape as
     // llm_char_entropy. Score rounded at 1e-6 (ln ulp noise ~1e-13).
     ("llm_lm_score",
+      (s, d) => lmScored(s, d)
+        .select("doc_id", "n_bigrams", "lm_score_r"),
+      Some("WITH " + lmModelSql(matScored = false) + """
+              SELECT doc_id, n_bigrams, lm_score_r FROM scored""")),
+
+    // PERPLEXITY BUCKETS (the CCNet head/middle/tail recipe): tercile
+    // cutoffs of the LM score trained on a BOUNDED deterministic sample —
+    // 512 scored docs in md5(doc_id) order, the exact protocol the IVF
+    // quantizer sample established — then every document bucketed by two
+    // literal comparisons and aggregated to |langs|×3 cells. CCNet itself
+    // fixes cutoffs from a sample for the same reason this does: a global
+    // per-lang quantile over the full corpus is a 100 TB sort, while a
+    // sample-trained cutoff is driver-bounded and turns bucketing into a
+    // narrow map. Deterministic cross-engine: scores are 1e-6-rounded,
+    // the sample order is md5-of-id-string, and the cutoff is the VALUE
+    // at a fixed rank of the sorted sample (stable under duplicate
+    // scores, whatever order row_number gives equal values).
+    ("llm_ppl_buckets",
       (s, d) => {
-        // TRAINING: one corpus-sized bigram fan-out, aggregated straight to
-        // the vocabulary (hash partial-agg collapses each input partition
-        // to ≤|charset|² rows before the shuffle — no repartition needed;
-        // the r8 pinnedRepartition existed only for the since-removed
-        // per-doc scoring groupBy). Bigrams index into a pre-split char
-        // ARRAY (element_at is O(1)) instead of substr(text, i, 2):
-        // UTF8String substring walks from the string start, so the substr
-        // form is O(len²) per doc — measured 1.66 s vs 0.62 s for this
-        // fan-out alone at sf0.1. split keeps a trailing "" (limit -1),
-        // hence size(cs)-2.
-        val grams = documents(s, d)
-          .filter(length(col("text")) >= 2)
-          .withColumn("cs", split(col("text"), "(?!^)"))
-          .select(col("doc_id"),
-            explode(expr("sequence(1, size(cs) - 2)")).as("i"), col("cs"))
-          .select(col("doc_id"),
-            expr("concat(element_at(cs, i), element_at(cs, i+1))").as("g"))
-        val model = grams.groupBy("g").agg(count(lit(1)).as("n"))
-          .withColumn("np", sum(col("n")).over(
-            Window.partitionBy(substring(col("g"), 1, 1))))
-          .select(col("g"),
-            log(col("n").cast(DoubleType) / col("np")).as("lp"))
-        // SCORING: the model is vocabulary-sized — bounded by |charset|²,
-        // independent of corpus size — so collect it (the bounded-driver-
-        // sample rule IVF already follows) and score each document in ONE
-        // narrow pass via the native bigram_lm_stats expression: the r8
-        // [second corpus explode → broadcast join → groupBy(doc_id)]
-        // becomes a map over the scan with zero shuffles (1.34 s → the
-        // training job alone at sf0.1). Every doc bigram appears in a
-        // model trained on the same corpus, so the expression's
-        // matched-count equals the r8 inner-join count exactly.
-        val rows = model.collect()
-        val ks = rows.map(r => graft.functions.BigramLm.packKey(r.getString(0)))
-        val vs = rows.map(_.getDouble(1))
-        documents(s, d)
-          .select(col("doc_id"),
-            call_function("bigram_lm_stats", col("text"),
-              typedlit(ks), typedlit(vs)).as("st"))
-          // guard the divide INSIDE the row (when), not just with the
-          // filter below: under ANSI mode an unguarded lp_sum/0 on a
-          // bigram-less doc (1-char text) raises DIVIDE_BY_ZERO before
-          // the filter ever runs (BigramLmSpec covers this)
-          .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
-            when(col("st.n_bigrams") > 0,
-              round(col("st.lp_sum") / col("st.n_bigrams"), 6))
-              .as("lm_score_r"))
-          .filter(col("n_bigrams") > 0)
+        val sc = lmScored(s, d).localCheckpoint() // sample + bucketing read it
+        val sample = sc
+          .select(col("lm_score_r"),
+            md5(col("doc_id").cast(StringType)).as("hx"), col("doc_id"))
+          .orderBy("hx", "doc_id").limit(512) // TakeOrdered top-k, no full sort
+          .select("lm_score_r").collect().map(_.getDouble(0)).sorted
+        val c1 = sample(sample.length / 3)
+        val c2 = sample(2 * sample.length / 3)
+        sc.withColumn("bucket",
+            when(col("lm_score_r") >= c2, "head")
+              .when(col("lm_score_r") >= c1, "middle")
+              .otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
       },
-      Some("""WITH g AS (
+      Some("WITH " + lmModelSql(matScored = true) + """,
+              smp AS (SELECT lm_score_r AS sc FROM scored
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      LIMIT 512),
+              ord AS (SELECT sc, row_number() OVER (ORDER BY sc) AS rk,
+                             count(*) OVER () AS n
+                      FROM smp),
+              cut AS (SELECT max(CASE WHEN rk = n // 3 + 1 THEN sc END) AS c1,
+                             max(CASE WHEN rk = (2 * n) // 3 + 1 THEN sc END)
+                               AS c2
+                      FROM ord)
+              SELECT lang, bucket, count(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tok
+              FROM (SELECT s.lang,
+                           CASE WHEN s.lm_score_r >= c.c2 THEN 'head'
+                                WHEN s.lm_score_r >= c.c1 THEN 'middle'
+                                ELSE 'tail' END AS bucket,
+                           s.n_tok
+                    FROM scored s, cut c) t
+              GROUP BY 1, 2"""))
+  )
+
+  /** Shared char-bigram LM scorer (llm_lm_score / llm_ppl_buckets):
+    * one doc-level frame (doc_id, lang, n_tok, n_bigrams, lm_score_r),
+    * bigram-less docs excluded.
+    *
+    * TRAINING: one corpus-sized bigram fan-out, aggregated straight to
+    * the vocabulary (hash partial-agg collapses each input partition
+    * to ≤|charset|² rows before the shuffle — no repartition needed).
+    * Bigrams index into a pre-split char ARRAY (element_at is O(1))
+    * instead of substr(text, i, 2): UTF8String substring walks from the
+    * string start, so the substr form is O(len²) per doc — measured
+    * 1.66 s vs 0.62 s for this fan-out alone at sf0.1. split keeps a
+    * trailing "" (limit -1), hence size(cs)-2.
+    *
+    * SCORING: the model is vocabulary-sized — bounded by |charset|²,
+    * independent of corpus size — so collect it (the bounded-driver-
+    * sample rule IVF already follows) and score each document in ONE
+    * narrow pass via the native bigram_lm_stats expression: a map over
+    * the scan with zero shuffles. Every doc bigram appears in a model
+    * trained on the same corpus, so the expression's matched-count
+    * equals an inner-join count exactly. The divide is guarded INSIDE
+    * the row (when), not just by the final filter: under ANSI mode an
+    * unguarded lp_sum/0 on a bigram-less doc (1-char text) raises
+    * DIVIDE_BY_ZERO before the filter ever runs (BigramLmSpec covers
+    * this).
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .withColumn("cs", split(col("text"), "(?!^)"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(cs) - 2)")).as("i"), col("cs"))
+      .select(col("doc_id"),
+        expr("concat(element_at(cs, i), element_at(cs, i+1))").as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .withColumn("np", sum(col("n")).over(
+        Window.partitionBy(substring(col("g"), 1, 1))))
+      .select(col("g"),
+        log(col("n").cast(DoubleType) / col("np")).as("lp"))
+    val rows = model.collect()
+    val ks = rows.map(r => graft.functions.BigramLm.packKey(r.getString(0)))
+    val vs = rows.map(_.getDouble(1))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+          .cast(LongType).as("n_tok"),
+        call_function("bigram_lm_stats", col("text"),
+          typedlit(ks), typedlit(vs)).as("st"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("st.n_bigrams").as("n_bigrams"),
+        when(col("st.n_bigrams") > 0,
+          round(col("st.lp_sum") / col("st.n_bigrams"), 6))
+          .as("lm_score_r"))
+      .filter(col("n_bigrams") > 0)
+  }
+
+  /** The LM-model + per-doc-score CTE chain shared by both LM oracles.
+    * `matScored` marks the scored CTE MATERIALIZED for callers that read
+    * it twice (the sample and the bucketing) — DuckDB's default inlining
+    * would otherwise run the whole model join per reference.
+    */
+  private def lmModelSql(matScored: Boolean): String = {
+    val mat = if (matScored) "AS MATERIALIZED" else "AS"
+    s"""g AS (
                 SELECT doc_id, substr(text, i, 2) AS g
                 FROM (SELECT doc_id, text,
                              unnest(generate_series(1, length(text) - 1)) AS i
@@ -853,10 +922,14 @@ object Curation {
                 SELECT g, ln(CAST(n AS DOUBLE)
                              / SUM(n) OVER (PARTITION BY substr(g, 1, 1)))
                          AS lp
-                FROM bc)
-              SELECT doc_id, count(*) AS n_bigrams,
-                     round(avg(lp), 6) AS lm_score_r
-              FROM g JOIN model USING (g)
-              GROUP BY doc_id"""))
-  )
+                FROM bc),
+              scored $mat (
+                SELECT g.doc_id, d.lang,
+                       len(regexp_extract_all(d.text, '[^ ]+')) AS n_tok,
+                       count(*) AS n_bigrams,
+                       round(avg(lp), 6) AS lm_score_r
+                FROM g JOIN model USING (g)
+                JOIN documents d ON d.doc_id = g.doc_id
+                GROUP BY 1, 2, 3)"""
+  }
 }

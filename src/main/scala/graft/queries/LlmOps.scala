@@ -600,6 +600,16 @@ object LlmOps {
         dims = 64, nLists = 8, nProbe = 3, k = 5, roundScale = 4,
         queryIdBound = AnnQueryBound))),
 
+    // K-MEANS cluster profile — the IVF quantizer surfaced as the
+    // corpus/domain-discovery operator (SemDeDup-style clustering, mixture
+    // balancing by embedding cluster): same bounded-sample Lloyd's
+    // training and narrow-map assignment, aggregated to per-cluster size
+    // and mean squared distance on exact micro-snapped longs.
+    ("llm_kmeans_profile",
+      (s, d) => graft.llm.Similarity.kmeansProfile(embeddings(s, d),
+        nLists = 8),
+      Some(graft.llm.Similarity.kmeansProfileSql(dims = 64, nLists = 8))),
+
     // IVF with fixed deterministic centroids — the same assign → probe →
     // rank pipeline as llm_ann_ivf but with the trivial quantizer
     // (embeddings of vec_id < nCentroids), kept as the simpler-to-audit

@@ -364,6 +364,99 @@ object Windows {
                          FROM y)
               SELECT user_id, session_id, count(*) AS n_events,
                      min(event_id) AS first_event
-              FROM z GROUP BY 1, 2"""))
+              FROM z GROUP BY 1, 2""")),
+
+    // W16 — ordered-step FUNNEL (signup → click → purchase): the staged
+    // conditional-min formulation — step k's first-hit time is the min
+    // event time strictly after step k−1's — rather than a per-user
+    // event-sequence sort. Each stage reads its OWN pushed-down
+    // event_type scan (the predicate reaches the parquet reader, so a
+    // stage touches only its step's events), map-side partial min
+    // compresses the shuffle to ≤|users| rows per stage, and every join/
+    // groupBy downstream of a stage's exchange is keyed on user_id so the
+    // partitioning is reused, never re-shuffled. At 100 TB the state per
+    // stage is one timestamp per converted user — no per-user event
+    // buffering, no window sort over the raw event stream; the summary
+    // row is a cross join of bounded 1-row aggregates.
+    ("w16_funnel",
+      (s, d) => {
+        def step(t: String) = events(s, d)
+          .filter(col("event_type") === t)
+          .select(col("user_id"), col("ts"))
+        val s1 = step("signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = step("click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = step("purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+          // integer-derived IEEE division on identical operands in both
+          // engines (the llm_quality_score precedent) — no rounding needed
+          .withColumn("conversion",
+            col("n_purchase").cast(DoubleType) / col("n_signup"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+                         FROM events),
+                   s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                          WHERE event_type = 'signup' GROUP BY 1),
+                   s2 AS (SELECT e.user_id, min(t) AS t2
+                          FROM e JOIN s1 USING (user_id)
+                          WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+                   s3 AS (SELECT e.user_id, min(t) AS t3
+                          FROM e JOIN s2 USING (user_id)
+                          WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+              SELECT n_signup, n_click, n_purchase,
+                     CAST(n_purchase AS DOUBLE) / n_signup AS conversion
+              FROM (SELECT (SELECT count(*) FROM s1) AS n_signup,
+                           (SELECT count(*) FROM s2) AS n_click,
+                           (SELECT count(*) FROM s3) AS n_purchase) t""")),
+
+    // W17 — RETENTION COHORTS: users grouped by first-seen day, activity
+    // counted per (cohort, day-offset), retention as the share of the
+    // cohort's own day-0 size. The cohort branch shuffles only map-side
+    // partial-min buffers (≤|users| rows per task); the activity branch
+    // shuffles (user_id, day) pairs once, and the per-user join plus the
+    // activity-dedup distinct both reuse that user_id partitioning
+    // (distinct keys ⊇ partition key). Only the bounded |days|² grid is
+    // re-shuffled for the final rollup; the day-0 denominator is a window
+    // over that bounded grid, never over raw events. Counts are exact
+    // integers; pct is integer-derived IEEE division.
+    ("w17_retention",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val grid = ev.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_active"))
+        val w = Window.partitionBy("cohort_day")
+        grid.withColumn("pct",
+            col("n_active").cast(DoubleType)
+              / max(when(col("day_offset") === 0, col("n_active"))).over(w))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                         FROM events),
+                   c AS (SELECT user_id, min(day) AS cohort_day
+                         FROM e GROUP BY 1),
+                   g AS (SELECT cohort_day, date_diff('day', cohort_day, day)
+                                  AS day_offset,
+                                count(*) AS n_active
+                         FROM e JOIN c USING (user_id)
+                         GROUP BY 1, 2)
+              SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+                     n_active,
+                     CAST(n_active AS DOUBLE)
+                       / max(CASE WHEN day_offset = 0 THEN n_active END)
+                           OVER (PARTITION BY cohort_day) AS pct
+              FROM g"""))
   )
 }

@@ -150,6 +150,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("w16 funnel pushes the step predicate to the scan and keeps " +
+      "map-side partial mins") {
+    val p = plan("w16_funnel")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      s"w16 step filter not pushed to parquet:\n$p")
+    assert(p.contains("partial_min"), s"w16 lost map-side combine:\n$p")
+  }
+
+  test("w17 retention reuses the user_id partitioning for join + dedup") {
+    // exactly one exchange may carry raw (user_id, day) pairs; the
+    // distinct and per-user join must reuse it, and only the bounded
+    // |days|^2 grid re-shuffles afterwards
+    val p = plan("w17_retention")
+    val dayEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && l.contains("day"))
+    assert(dayEx <= 1, s"w17 shuffles the activity pairs ${dayEx}x:\n$p")
+    assert(p.contains("partial_min"), s"w17 cohort lost map-side combine:\n$p")
+  }
+
+  test("ppl buckets and kmeans profile aggregate in a single exchange") {
+    // both are narrow maps (bigram_lm_stats / centroid-argmin fold) over
+    // the scan feeding one bounded aggregation — a second exchange means
+    // the scoring or assignment started shuffling corpus-sized rows
+    for (q <- Seq("llm_ppl_buckets", "llm_kmeans_profile")) {
+      val p = plan(q)
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1, s"$q pays $ex hash exchanges:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+    }
+  }
+
   test("bucketed fact tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -41,4 +41,41 @@ class QueriesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("w16 funnel steps are monotone and ordered") {
+    val r = SparkEntry.queries("w16_funnel")(spark, sfDir).collect().head
+    val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 >= n2 && n2 >= n3,
+      s"funnel not monotone: $n1 -> $n2 -> $n3")
+    assert(n1 > 0, "no signups in fixture")
+    val conv = r.getDouble(3)
+    assert(conv >= 0.0 && conv <= 1.0, s"conversion out of range: $conv")
+  }
+
+  test("w17 retention is 100% at day 0 and bounded by the cohort size") {
+    val rows = SparkEntry.queries("w17_retention")(spark, sfDir).collect()
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+    assert(day0.nonEmpty && day0.forall(_.getAs[Double]("pct") == 1.0),
+      "day-0 retention must be exactly 1.0 per cohort")
+    assert(rows.forall(r => r.getAs[Double]("pct") <= 1.0 + 1e-12),
+      "retention cannot exceed the cohort's day-0 size")
+  }
+
+  test("ppl buckets partition the scored docs exactly") {
+    val b = SparkEntry.queries("llm_ppl_buckets")(spark, sfDir).collect()
+    val scored = SparkEntry.queries("llm_lm_score")(spark, sfDir).count()
+    assert(b.map(_.getAs[Long]("n_docs")).sum == scored,
+      "bucket doc counts must partition the scored docs")
+    assert(b.map(_.getAs[String]("bucket")).toSet == Set("head", "middle", "tail"),
+      s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
+  }
+
+  test("kmeans profile partitions every vector with non-negative inertia") {
+    val p = SparkEntry.queries("llm_kmeans_profile")(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(p.map(_.getAs[Long]("n_vecs")).sum == total,
+      "cluster sizes must partition the vectors")
+    assert(p.forall(_.getAs[Double]("mean_d2_r") >= 0.0),
+      "mean squared distance cannot be negative")
+  }
 }
