@@ -511,6 +511,90 @@ object Similarity {
         FROM asg GROUP BY 1"""
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup PAIRS bounded by the
+    * k-means cluster assignment — candidates are generated only WITHIN a
+    * cluster, never across, so the quadratic term is bounded by the
+    * largest cluster, not the corpus. Same trained quantizer and
+    * narrow-map assignment as kmeansProfile; the self-join shuffles id+
+    * vector rows once on list_id. At 100 TB the knob is nLists: real
+    * SemDeDup runs ~10⁵ clusters so each cluster holds ~10³ vectors —
+    * pair generation stays ∝ Σ|cluster|², and a skewed cluster is split
+    * by the salting pattern transform/Skew.scala establishes. The fixture
+    * keeps nLists=8 to share the proven cross-engine Lloyd's protocol.
+    */
+  def semDedupPairs(embeddings: DataFrame, nLists: Int = 8, tau: Double,
+      roundScale: Int, iters: Int = 8, samplePerList: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val sample = e
+      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
+        col("vec_id"))
+      .orderBy("hx", "vec_id").limit(nLists * samplePerList)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(sample, nLists, iters = iters)
+    val cl = typedLit(centroids.map(_.toSeq).toSeq)
+    val cn2 = typedLit(centroids.map(c => c.map(x => x * x).sum).toSeq)
+    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
+        named_struct('i', -1, 'd', cast('Infinity' as double)),
+        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
+          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
+          ELSE acc END).i""")
+    val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
+      .withColumn("list_id", assign).drop("cl", "cn2")
+    val cosR = round(expr("vec_dot(a.v, b.v)")
+      / (col("a.nrm") * col("b.nrm")), roundScale)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_r", cosR)
+      .filter(col("cos_r") >= tau)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        col("cos_r"),
+        col("a.list_id").cast(org.apache.spark.sql.types.IntegerType)
+          .as("list_id"))
+  }
+
+  /** DuckDB oracle for semDedupPairs: shared Lloyd's chain, assignment,
+    * within-cluster self-join, the same rounded cosine.
+    */
+  def semDedupPairsSql(dims: Int, nLists: Int, tau: Double,
+      roundScale: Int, iters: Int = 8, samplePerList: Int = 64): String = {
+    val cap = nLists * samplePerList
+    val cn2Chain = (1 to dims).map(i => s"c.cv[$i] * c.cv[$i]")
+      .mkString(" + ")
+    val assignDot = (1 to dims).map(i => s"${emb("e", i)} * c.cv[$i]")
+      .mkString(" + ")
+    val normChain = (1 to dims)
+      .map(i => s"${emb("e", i)} * ${emb("e", i)}").mkString(" + ")
+    val dotChain = (1 to dims)
+      .map(i => s"${emb("a", i)} * ${emb("b", i)}").mkString(" + ")
+    s"""WITH ${lloydChainSql(dims, nLists, iters, cap)},
+        asg AS (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY (($cn2Chain) - 2 * ($assignDot)) ASC,
+                               c.c_id) AS rnk
+            FROM embeddings e, c$iters c) t
+          WHERE rnk = 1),
+        n AS (SELECT e.vec_id, sqrt($normChain) AS nrm FROM embeddings e),
+        cand AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2, a.c_id
+          FROM asg a JOIN asg b
+            ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+        SELECT d1, d2, cos_r, CAST(c_id AS INTEGER) AS list_id
+        FROM (SELECT cand.d1, cand.d2, cand.c_id,
+                     round(($dotChain) / (na.nrm * nb.nrm), $roundScale)
+                       AS cos_r
+              FROM cand
+              JOIN embeddings a ON a.vec_id = cand.d1
+              JOIN embeddings b ON b.vec_id = cand.d2
+              JOIN n na ON na.vec_id = cand.d1
+              JOIN n nb ON nb.vec_id = cand.d2) t
+        WHERE cos_r >= $tau"""
+  }
+
   /** IVF with FIXED deterministic centroids (the embeddings of
     * vec_id < nCentroids): the same assign → probe → rank pipeline as
     * ivfTopK, but with a quantizer both engines can compute — giving the

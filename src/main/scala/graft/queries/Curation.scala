@@ -797,7 +797,7 @@ object Curation {
       (s, d) => lmScored(s, d)
         .select("doc_id", "n_bigrams", "lm_score_r"),
       Some("WITH " + lmModelSql(matScored = false) + """
-              SELECT doc_id, n_bigrams, lm_score_r FROM scored""")),
+              SELECT doc_id, n_bigrams, lm_score_r FROM perdoc""")),
 
     // PERPLEXITY BUCKETS (the CCNet head/middle/tail recipe): tercile
     // cutoffs of the LM score trained on a BOUNDED deterministic sample —
@@ -908,7 +908,11 @@ object Curation {
   /** The LM-model + per-doc-score CTE chain shared by both LM oracles.
     * `matScored` marks the scored CTE MATERIALIZED for callers that read
     * it twice (the sample and the bucketing) — DuckDB's default inlining
-    * would otherwise run the whole model join per reference.
+    * would otherwise run the whole model join per reference. The doc-level
+    * lang/token metadata joins AFTER the per-doc aggregation: putting the
+    * n_tok regexp in the scored GROUP BY keys made DuckDB evaluate it per
+    * BIGRAM row (~|chars| regexp passes — measured 21.8 s vs 0.9 s at
+    * sf0.1), not per document.
     */
   private def lmModelSql(matScored: Boolean): String = {
     val mat = if (matScored) "AS MATERIALIZED" else "AS"
@@ -923,13 +927,15 @@ object Curation {
                              / SUM(n) OVER (PARTITION BY substr(g, 1, 1)))
                          AS lp
                 FROM bc),
-              scored $mat (
-                SELECT g.doc_id, d.lang,
-                       len(regexp_extract_all(d.text, '[^ ]+')) AS n_tok,
-                       count(*) AS n_bigrams,
+              perdoc AS (
+                SELECT doc_id, count(*) AS n_bigrams,
                        round(avg(lp), 6) AS lm_score_r
                 FROM g JOIN model USING (g)
-                JOIN documents d ON d.doc_id = g.doc_id
-                GROUP BY 1, 2, 3)"""
+                GROUP BY doc_id),
+              scored $mat (
+                SELECT p.doc_id, d.lang,
+                       len(regexp_extract_all(d.text, '[^ ]+')) AS n_tok,
+                       p.n_bigrams, p.lm_score_r
+                FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id)"""
   }
 }

@@ -610,6 +610,16 @@ object LlmOps {
         nLists = 8),
       Some(graft.llm.Similarity.kmeansProfileSql(dims = 64, nLists = 8))),
 
+    // SemDeDup — semantic near-dup pairs bounded by the k-means cluster
+    // assignment (within-cluster cosine only): the third dedup candidate
+    // generator next to MinHash-LSH (token shingles) and hyperplane-LSH
+    // buckets, and the one that scales by CHOOSING the cluster count.
+    ("llm_semdedup",
+      (s, d) => graft.llm.Similarity.semDedupPairs(embeddings(s, d),
+        nLists = 8, tau = 0.2, roundScale = 4),
+      Some(graft.llm.Similarity.semDedupPairsSql(
+        dims = 64, nLists = 8, tau = 0.2, roundScale = 4))),
+
     // IVF with fixed deterministic centroids — the same assign → probe →
     // rank pipeline as llm_ann_ivf but with the trivial quantizer
     // (embeddings of vec_id < nCentroids), kept as the simpler-to-audit

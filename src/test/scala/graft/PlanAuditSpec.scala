@@ -181,6 +181,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("semdedup joins only within clusters — never cartesian, never " +
+      "a vector broadcast") {
+    val p = plan("llm_semdedup")
+    assert(!p.contains("CartesianProduct"), s"semdedup went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup has a nested-loop join:\n$p")
+  }
+
   test("bucketed fact tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

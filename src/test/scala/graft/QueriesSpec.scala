@@ -70,6 +70,15 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("semdedup pairs are within-cluster, oriented, and above threshold") {
+    val rows = SparkEntry.queries("llm_semdedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture yields no semantic near-dup pairs")
+    assert(rows.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")),
+      "pair orientation must be d1 < d2")
+    assert(rows.forall(_.getAs[Double]("cos_r") >= 0.2),
+      "pair below the tau threshold")
+  }
+
   test("kmeans profile partitions every vector with non-negative inertia") {
     val p = SparkEntry.queries("llm_kmeans_profile")(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()
