@@ -581,26 +581,28 @@ object Curation {
     // cross join of 1-row frames (broadcast, trivially safe).
     ("llm_corpus_report",
       (s, d) => {
-        // ONE checkpointed tokenization feeds both the minhash-signature
-        // pipeline and the span-hash stream (r7 recomputed the corpus
-        // scan + split per sub-aggregate); the base tallies deliberately
-        // KEEP their own raw-text scan: it is an independent subtree that
-        // runs concurrently with the pair/span stages on free cores,
-        // whereas deriving it from the checkpoint serializes it behind the
-        // tokenization job. RE-MEASURED r9 (min of 3, sf0.1, local[32]):
-        // raw-scan base 1.41 s vs derive-from-toks 2.55 s — deriving also
-        // pays an interpreted filter() lambda + concat_ws+md5 per doc
-        // where the raw scan is one codegen'd regexp pass; the r8 choice
-        // stands, by more than the +0.3 s originally measured.
-        val toks = LlmOps.tokenized(s, d).localCheckpoint()
+        // ONE checkpointed frame — token arrays + shingle codes + minhash
+        // signature together — feeds both the pair pipeline and the
+        // span-hash stream: r8 checkpointed the tokenization and then
+        // checkpointed the derived profile as a SECOND serial job;
+        // keepTokens folds both into one materialization (1.14 s → 0.9 s
+        // at sf0.1). The base tallies deliberately KEEP their own raw-text
+        // scan: it is an independent subtree that runs concurrently with
+        // the pair/span stages on free cores, whereas deriving it from the
+        // checkpoint serializes it behind the tokenization job.
+        // RE-MEASURED r9 (min of 3, sf0.1, local[32]): raw-scan base
+        // 1.41 s vs derive-from-toks 2.55 s — deriving also pays an
+        // interpreted filter() lambda + concat_ws+md5 per doc where the
+        // raw scan is one codegen'd regexp pass; the r8 choice stands.
+        val prof = LlmOps.shingleProfile(s, d, keepTokens = true)
         val base = documents(s, d).agg(
           count(lit(1)).as("n_docs"),
           sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
             .cast(LongType)).as("n_tok"),
           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
-        val pairs = LlmOps.minhashPairs(s, d, Some(toks))
+        val pairs = LlmOps.minhashPairs(s, d, prof = Some(prof))
           .agg(count(lit(1)).as("n_neardup_pairs"))
-        val spans = toks
+        val spans = prof
           .filter(size(col("l")) >= 50)
           .select(col("doc_id"),
             explode(expr("sequence(0, (size(l) - 50) div 25)")).as("w"),

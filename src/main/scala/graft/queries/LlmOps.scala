@@ -132,18 +132,24 @@ object LlmOps {
     */
   private[queries] def shingleProfile(s: SparkSession, d: String,
       withSignature: Boolean = true,
-      toks: Option[DataFrame] = None): DataFrame = {
+      toks: Option[DataFrame] = None,
+      keepTokens: Boolean = false): DataFrame = {
+    // keepTokens threads the token array through the SAME checkpoint so a
+    // caller needing both (llm_corpus_report's span stream) pays ONE
+    // materialization job instead of a serial toks-then-profile pair
+    val tokCols = if (keepTokens) Seq(col("l")) else Nil
     val base = toks.getOrElse(tokenized(s, d))
       .filter(size(col("l")) >= 3)
-      .select(col("doc_id"), expr("shingle_codes(l)").as("hs"))
+      .select(col("doc_id") +: expr("shingle_codes(l)").as("hs") +: tokCols: _*)
     val prof =
       if (withSignature) {
         val aLits = MinhashA.map(a => s"${a}L").mkString(", ")
         val cLits = MinhashC.map(c => s"${c}L").mkString(", ")
-        base.select(col("doc_id"), col("hs"), size(col("hs")).as("c"),
+        base.select(col("doc_id") +: col("hs") +: size(col("hs")).as("c") +:
           expr(s"minhash_sig(hs, array($aLits), array($cLits), ${MinhashP}L)")
-            .as("mhs"))
-      } else base.select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
+            .as("mhs") +: tokCols: _*)
+      } else base.select(
+        col("doc_id") +: col("hs") +: size(col("hs")).as("c") +: tokCols: _*)
     prof.localCheckpoint()
   }
 
@@ -153,8 +159,9 @@ object LlmOps {
   private[queries] def minhashPairs(s: SparkSession, d: String,
       toks: Option[DataFrame] = None,
       pairPred: Option[(Column, Column) => Column] = None,
-      smallSide: Option[Column => Column] = None): DataFrame = {
-    val ds = shingleProfile(s, d, toks = toks)
+      smallSide: Option[Column => Column] = None,
+      prof: Option[DataFrame] = None): DataFrame = {
+    val ds = prof.getOrElse(shingleProfile(s, d, toks = toks))
     // band key straight from the signature array (b=6 bands × r=2): the
     // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
     // injective) — a numeric join key, no re-hash, no re-aggregation
