@@ -238,6 +238,71 @@ object StreamingE2e {
                      precio * volumenes AS importe
               FROM p JOIN v
                 ON p.datetime_utc = v.datetime_utc
-               AND p.id_mercado = v.id_mercado"""))
+               AND p.id_mercado = v.id_mercado""")),
+
+    // W18 — STREAMING ordered-step FUNNEL e2e (the W16 twin as a real
+    // stream). Ordered-step semantics (step k counts only strictly after
+    // step k−1) are NOT commutative under out-of-order arrival, so the
+    // stream keeps the COMMUTATIVE part as its state — a per-user
+    // collect_list of (ts, step) in Complete mode, order-independent by
+    // construction — and the exact staged logic runs as one batch fold
+    // over the SORTED array after the stream completes: first signup,
+    // then first click strictly after it, then first purchase strictly
+    // after that. Result is micro-batch-order independent (duplicates
+    // from the overlapping batches cannot change a first-eligible pick).
+    // At scale the state is each user's events inside the conversion
+    // window — the production refinement is watermark eviction of
+    // converted/expired users (streaming/Sessionize shows the timeout
+    // machinery); the fixture keeps Complete mode so the driver gate
+    // checks the stream's own output.
+    ("w18_stream_funnel_e2e",
+      (s, d) => {
+        val sink = runStream(s, d, "funnel", "complete")(
+          _.withColumn("tp", expr(
+            """CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'signup'
+               WHEN 1 THEN 'click' ELSE 'purchase' END"""))
+            .groupBy(col("user_id"))
+            .agg(collect_list(struct(col("ts"), col("tp"))).as("evs")))
+        sink.withColumn("st", expr(
+            """aggregate(array_sort(evs),
+                 named_struct('t1', CAST(NULL AS TIMESTAMP),
+                              't2', CAST(NULL AS TIMESTAMP),
+                              't3', CAST(NULL AS TIMESTAMP)),
+                 (a, e) -> CASE
+                   WHEN e.tp = 'signup' AND a.t1 IS NULL
+                     THEN named_struct('t1', e.ts, 't2', a.t2, 't3', a.t3)
+                   WHEN e.tp = 'click' AND a.t1 IS NOT NULL
+                        AND e.ts > a.t1 AND a.t2 IS NULL
+                     THEN named_struct('t1', a.t1, 't2', e.ts, 't3', a.t3)
+                   WHEN e.tp = 'purchase' AND a.t2 IS NOT NULL
+                        AND e.ts > a.t2 AND a.t3 IS NULL
+                     THEN named_struct('t1', a.t1, 't2', a.t2, 't3', e.ts)
+                   ELSE a END)"""))
+          .select(col("user_id"), col("st.t1").as("t1"),
+            col("st.t2").as("t2"), col("st.t3").as("t3"))
+      },
+      Some(s"""WITH src AS ($fixtureSql),
+               arrived AS (SELECT * FROM src WHERE event_id % 2 = 0
+                           UNION ALL
+                           SELECT * FROM src WHERE event_id % 3 = 0),
+               e AS (SELECT user_id, ts AS t,
+                            CASE CAST(event_id % 3 AS INT)
+                              WHEN 0 THEN 'signup'
+                              WHEN 1 THEN 'click'
+                              ELSE 'purchase' END AS tp
+                     FROM arrived),
+               s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                      WHERE tp = 'signup' GROUP BY 1),
+               s2 AS (SELECT e.user_id, min(t) AS t2
+                      FROM e JOIN s1 USING (user_id)
+                      WHERE tp = 'click' AND t > t1 GROUP BY 1),
+               s3 AS (SELECT e.user_id, min(t) AS t3
+                      FROM e JOIN s2 USING (user_id)
+                      WHERE tp = 'purchase' AND t > t2 GROUP BY 1)
+               SELECT u.user_id, s1.t1, s2.t2, s3.t3
+               FROM (SELECT DISTINCT user_id FROM e) u
+               LEFT JOIN s1 USING (user_id)
+               LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id)"""))
   )
 }

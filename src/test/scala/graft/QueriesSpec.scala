@@ -70,6 +70,19 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("stream funnel emits strictly ordered step times per user") {
+    val rows = SparkEntry.queries("w18_stream_funnel_e2e")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "funnel stream emitted no users")
+    for (r <- rows) {
+      val (t1, t2, t3) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+      if (t2 != null) assert(t1 != null && t2.after(t1),
+        s"click not strictly after signup: $r")
+      if (t3 != null) assert(t2 != null && t3.after(t2),
+        s"purchase not strictly after click: $r")
+    }
+  }
+
   test("semdedup pairs are within-cluster, oriented, and above threshold") {
     val rows = SparkEntry.queries("llm_semdedup")(spark, sfDir).collect()
     assert(rows.nonEmpty, "fixture yields no semantic near-dup pairs")
