@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -813,6 +813,60 @@ object Curation {
     // the sample order is md5-of-id-string, and the cutoff is the VALUE
     // at a fixed rank of the sorted sample (stable under duplicate
     // scores, whatever order row_number gives equal values).
+    // DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — the hashed-ngram
+    // variant): log importance weight per document = target-domain LM
+    // score minus corpus LM score, here with the engine's char-bigram LMs
+    // and English as the target distribution. Both models are
+    // vocabulary-bounded (≤|charset|²) and ride into ONE narrow scoring
+    // pass as broadcast literals — two bigram_lm_stats expressions over
+    // the same scan, zero shuffles after the two model trainings. Docs
+    // with no bigram in a model score null there and are excluded (the
+    // same matched-set semantics as the inner-join oracle). The 1e-6
+    // rounding absorbs the ~1e-13 summation-order noise of the two avgs
+    // (the llm_lm_score precedent).
+    ("llm_dsir_weights",
+      (s, d) => {
+        val (kc, vc) = lmModelArrays(s, d, lit(true))
+        val (kt, vt) = lmModelArrays(s, d, col("lang") === "en")
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            call_function("bigram_lm_stats", col("text"),
+              typedlit(kc), typedlit(vc)).as("sc"),
+            call_function("bigram_lm_stats", col("text"),
+              typedlit(kt), typedlit(vt)).as("st"))
+          .filter(col("sc.n_bigrams") > 0 && col("st.n_bigrams") > 0)
+          .select(col("doc_id"), col("lang"),
+            round(col("st.lp_sum") / col("st.n_bigrams")
+              - col("sc.lp_sum") / col("sc.n_bigrams"), 6).as("log_w"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id, substr(text, i, 2) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text) - 1)) AS i
+                      FROM documents WHERE length(text) >= 2) t),
+              bc AS (SELECT g, count(*) AS n FROM g GROUP BY 1),
+              model AS (
+                SELECT g, ln(CAST(n AS DOUBLE)
+                             / SUM(n) OVER (PARTITION BY substr(g, 1, 1)))
+                         AS lp
+                FROM bc),
+              en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+              bct AS (SELECT g, count(*) AS n
+                      FROM g JOIN en USING (doc_id) GROUP BY 1),
+              modelt AS (
+                SELECT g, ln(CAST(n AS DOUBLE)
+                             / SUM(n) OVER (PARTITION BY substr(g, 1, 1)))
+                         AS lp
+                FROM bct),
+              sc AS (SELECT doc_id, avg(lp) AS ac
+                     FROM g JOIN model USING (g) GROUP BY 1),
+              st AS (SELECT doc_id, avg(lp) AS at
+                     FROM g JOIN modelt USING (g) GROUP BY 1)
+              SELECT d.doc_id, d.lang, round(st.at - sc.ac, 6) AS log_w
+              FROM st JOIN sc USING (doc_id)
+              JOIN documents d USING (doc_id)""")),
+
     ("llm_ppl_buckets",
       (s, d) => {
         val sc = lmScored(s, d).localCheckpoint() // sample + bucketing read it
@@ -877,8 +931,15 @@ object Curation {
     * DIVIDE_BY_ZERO before the filter ever runs (BigramLmSpec covers
     * this).
     */
-  private def lmScored(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+  /** Train a char-bigram LM on the docs matching `trainPred` and collect
+    * it as (packed-key, log-prob) literal arrays — vocabulary-bounded
+    * (≤|charset|²) driver state regardless of corpus size, the IVF sample
+    * rule. Shared by the corpus model (pred = true) and DSIR's
+    * target-domain model.
+    */
+  private def lmModelArrays(s: SparkSession, d: String,
+      trainPred: Column): (Array[Long], Array[Double]) = {
+    val grams = documents(s, d).filter(trainPred)
       .filter(length(col("text")) >= 2)
       .withColumn("cs", split(col("text"), "(?!^)"))
       .select(col("doc_id"),
@@ -891,8 +952,12 @@ object Curation {
       .select(col("g"),
         log(col("n").cast(DoubleType) / col("np")).as("lp"))
     val rows = model.collect()
-    val ks = rows.map(r => graft.functions.BigramLm.packKey(r.getString(0)))
-    val vs = rows.map(_.getDouble(1))
+    (rows.map(r => graft.functions.BigramLm.packKey(r.getString(0))),
+      rows.map(_.getDouble(1)))
+  }
+
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    val (ks, vs) = lmModelArrays(s, d, lit(true))
     documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))

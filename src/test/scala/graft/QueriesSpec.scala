@@ -70,6 +70,20 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("dsir weights upweight the target-domain language") {
+    // the discriminative property of importance resampling: documents
+    // drawn from the target distribution (lang=en trained the target
+    // model) must average a higher log weight than the rest
+    val rows = SparkEntry.queries("llm_dsir_weights")(spark, sfDir).collect()
+    def mean(p: org.apache.spark.sql.Row => Boolean) = {
+      val xs = rows.filter(p).map(_.getAs[Double]("log_w"))
+      xs.sum / xs.length
+    }
+    assert(mean(_.getAs[String]("lang") == "en")
+      > mean(_.getAs[String]("lang") != "en"),
+      "target-domain docs not upweighted")
+  }
+
   test("stream funnel emits strictly ordered step times per user") {
     val rows = SparkEntry.queries("w18_stream_funnel_e2e")(spark, sfDir)
       .collect()
