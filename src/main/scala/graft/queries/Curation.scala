@@ -813,6 +813,85 @@ object Curation {
     // the sample order is md5-of-id-string, and the cutoff is the VALUE
     // at a fixed rank of the sorted sample (stable under duplicate
     // scores, whatever order row_number gives equal values).
+    // BPE MERGE LEARNING (Sennrich et al. 2016) — the first K merge
+    // operations of byte-pair tokenizer training, in-engine. ONE
+    // corpus-sized aggregation builds the (word, freq) vocabulary; the K
+    // iterations then run over the VOCABULARY frame only (Zipf keeps it
+    // ~10⁷ rows at 100 TB — against that the per-iteration argmax is a
+    // bounded 1-row collect, the IVF sample rule). Merge application is a
+    // plain string replace over the double-separator encoding
+    // ••s1••s2••…: the pair pattern •a••b• consumes ONE separator from
+    // each double edge, so adjacent occurrences keep their boundary and
+    // replace()'s left-to-right non-overlapping scan IS the BPE greedy
+    // merge — identical in Spark and DuckDB, making the whole iteration
+    // engine-deterministic (ties: freq desc, then lexicographic pair).
+    ("llm_bpe_merges",
+      (s, d) => {
+        val K = 5
+        val vocab = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(concat(lit("••"),
+            regexp_replace(col("word"), "(.)", "$1••")).as("sy"), col("freq"))
+          .localCheckpoint()
+        var cur = vocab
+        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+        for (k <- 1 to K) {
+          val top = cur
+            .select(col("freq"), split(col("sy"), "••").as("l"))
+            .filter(size(col("l")) >= 4)
+            .select(col("freq"),
+              explode(expr("""transform(sequence(2, size(l) - 2),
+                i -> struct(element_at(l, i) AS a, element_at(l, i+1) AS b))"""))
+                .as("p"))
+            .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+            .groupBy("a", "b").agg(sum(col("freq")).as("f"))
+            .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
+          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((k, a, b, f))
+          cur = cur.select(call_function("replace", col("sy"),
+            lit("•" + a + "••" + b + "•"), lit("•" + a + b + "•")).as("sy"),
+            col("freq"))
+        }
+        import s.implicits._
+        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+          .select(col("merge_rank").cast(IntegerType), col("lhs"),
+            col("rhs"), col("pair_freq"))
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          val prev = s"v${k - 1}"
+          s"""p$k AS (
+                SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f
+                FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 2))
+                             AS i
+                      FROM (SELECT freq, string_split(sy, '••') AS l
+                            FROM $prev) x
+                      WHERE len(l) >= 4) t
+                GROUP BY 1, 2),
+              m$k AS MATERIALIZED (
+                SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
+              v$k AS MATERIALIZED (
+                SELECT replace(sy, '•' || m.a || '••' || m.b || '•',
+                               '•' || m.a || m.b || '•') AS sy, freq
+                FROM $prev, m$k m)"""
+        }.mkString(",\n              ")
+        val out = (1 to 5).map(k =>
+          s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, f AS pair_freq FROM m$k")
+          .mkString("\n              UNION ALL ")
+        s"""WITH v0 AS MATERIALIZED (
+              SELECT '••' || regexp_replace(word, '(.)', '\\1••', 'g') AS sy,
+                     count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents) w
+              WHERE word <> '' GROUP BY 1),
+              $iters
+              SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,
+                     CAST(pair_freq AS BIGINT) AS pair_freq
+              FROM ($out) u"""
+      }),
+
     // DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — the hashed-ngram
     // variant): log importance weight per document = target-domain LM

@@ -70,6 +70,17 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("bpe merges are distinct with non-increasing pair frequency") {
+    val m = SparkEntry.queries("llm_bpe_merges")(spark, sfDir)
+      .orderBy("merge_rank").collect()
+    assert(m.length == 5, s"expected 5 merges, got ${m.length}")
+    val freqs = m.map(_.getAs[Long]("pair_freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"merge frequency must be non-increasing: ${freqs.mkString(",")}")
+    val pairs = m.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    assert(pairs.distinct.length == pairs.length, "duplicate merge pair")
+  }
+
   test("dsir weights upweight the target-domain language") {
     // the discriminative property of importance resampling: documents
     // drawn from the target distribution (lang=en trained the target
