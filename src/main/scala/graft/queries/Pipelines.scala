@@ -467,6 +467,47 @@ object Pipelines {
                                       'nombre':'VARCHAR','valor':'DOUBLE',
                                       'flag':'BOOLEAN'})""")),
 
+    // S14 — newline-delimited JSON source with an explicit schema, oracled
+    // DIRECTLY against DuckDB's read_json on the SAME file (JSON is UTF-8
+    // by definition, so one fixture serves both engines — no twin
+    // needed). Exercises the semantics that differ across naive readers:
+    // nested struct field access, a MISSING key (→ NULL in both), a null
+    // array (size/len → NULL in both), dyadic doubles for representation
+    // parity. Schema'd read, never inference: at 100 TB schema inference
+    // is an extra full scan and a correctness hazard (type flapping
+    // between files); the explicit StructType is the production path.
+    ("s14_jsonl_read",
+      (s, _) => {
+        val rows = (1 to 20).map { i =>
+          val tags =
+            if (i % 5 == 0) "null" else s"""["t${i % 3}", "t${i % 7}"]"""
+          val meta =
+            if (i % 4 == 0) """{"zona": "PT"}"""
+            else s"""{"zona": "ES", "pot": ${i / 4.0}}"""
+          val name = "up_" + "%02d".format(i)
+          s"""{"id": $i, "name": "$name", "tags": $tags, "meta": $meta}"""
+        }
+        writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s14_fixture.jsonl"),
+          (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType),
+          StructField("tags", ArrayType(StringType)),
+          StructField("meta", StructType(Seq(
+            StructField("zona", StringType),
+            StructField("pot", DoubleType))))))
+        s.read.schema(schema).json(s"$tmpDir/graft_s14_fixture.jsonl")
+          .select(col("id"), col("name"),
+            size(col("tags")).as("n_tags"),
+            col("meta.zona").as("zona"), col("meta.pot").as("pot"))
+      },
+      Some(s"""SELECT id, name, CAST(len(tags) AS INTEGER) AS n_tags,
+                      meta.zona AS zona, meta.pot AS pot
+               FROM read_json('$tmpDir/graft_s14_fixture.jsonl',
+                              format='newline_delimited',
+                              columns={'id':'BIGINT','name':'VARCHAR',
+                                       'tags':'VARCHAR[]',
+                                       'meta':'STRUCT(zona VARCHAR, pot DOUBLE)'})""")),
+
     // ESIOS e2e — raw fixture derived deterministically from `events`
     // (geo filter fodder, mixed granularity), through transform → lake
     // upsert → pruned read. Lambda/oracle defined above (esiosE2eQ) so the

@@ -366,6 +366,43 @@ object Windows {
                      min(event_id) AS first_event
               FROM z GROUP BY 1, 2""")),
 
+    // W12 (native arm) — the SAME 30-min gap sessionization through
+    // Spark's built-in session_window aggregation instead of the
+    // lag/running-sum window: merging is part of the AGGREGATION (partial
+    // sessions merge map-side, one exchange on user_id), no per-user sort
+    // window over raw events — the formulation that also runs unchanged
+    // under Structured Streaming with watermark-bounded state.
+    // session_window's boundary is end-EXCLUSIVE (a gap of exactly 30 min
+    // starts a new session, vs the lag arm's strict >), so the oracle
+    // re-derives sessions with the matching >= break; the fixture has no
+    // exact-30-min gaps, so both arms agree on it anyway.
+    ("w12_session_window_native",
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("first_event")),
+      Some("""WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+                         FROM events),
+                   y AS (SELECT user_id, event_id, t,
+                                lag(epoch_us(t)) OVER (PARTITION BY user_id
+                                                       ORDER BY t, event_id) AS pt
+                         FROM x),
+                   z AS (SELECT user_id, event_id, t,
+                                CAST(SUM(CASE WHEN pt IS NULL
+                                               OR epoch_us(t) - pt >= 1800000000
+                                              THEN 1 ELSE 0 END)
+                                  OVER (PARTITION BY user_id ORDER BY t, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS sid
+                         FROM y)
+              SELECT min(t) AS session_start,
+                     max(t) + INTERVAL 30 MINUTE AS session_end,
+                     user_id, count(*) AS n_events,
+                     min(event_id) AS first_event
+              FROM z GROUP BY user_id, sid""")),
+
     // W16 — ordered-step FUNNEL (signup → click → purchase): the staged
     // conditional-min formulation — step k's first-hit time is the min
     // event time strictly after step k−1's — rather than a per-user

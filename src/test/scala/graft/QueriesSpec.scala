@@ -70,6 +70,17 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("both sessionize arms agree on the fixture") {
+    // the lag/running-sum arm and the native session_window arm differ
+    // only at an exact-30-min gap (strict > vs end-exclusive >=); the
+    // fixture has none, so the session multisets must be identical
+    def sessions(q: String) =
+      SparkEntry.queries(q)(spark, sfDir)
+        .select("user_id", "n_events", "first_event")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sessions("w12_sessionize") == sessions("w12_session_window_native"))
+  }
+
   test("bpe merges are distinct with non-increasing pair frequency") {
     val m = SparkEntry.queries("llm_bpe_merges")(spark, sfDir)
       .orderBy("merge_rank").collect()
