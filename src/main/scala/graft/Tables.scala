@@ -105,6 +105,20 @@ object Tables {
       d.mkdirs()
       b.config("spark.local.dir", d.getAbsolutePath)
     }
+    // Same treatment for java.io.tmpdir: the streaming e2e fixtures and
+    // Structured Streaming's auto-created checkpoint dirs land under it,
+    // and a bare `java -cp … graft.Bench/Verify` (the driver's invocation)
+    // keeps the JVM default /tmp — ext4 here, where every streaming
+    // commit-log write pays a real fsync. The property is read per-call
+    // by File.createTempFile and friends, so a post-startup override
+    // works; only the untouched default is replaced, an explicit
+    // -Djava.io.tmpdir always wins.
+    if (System.getProperty("java.io.tmpdir") == "/tmp" &&
+        shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-tmp")
+      d.mkdirs()
+      System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+    }
     b
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
