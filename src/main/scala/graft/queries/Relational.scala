@@ -324,6 +324,79 @@ object Relational {
               WHERE CAST(o_orderdate AS DATE) NOT IN
                     (DATE '1995-01-01', DATE '1996-07-04', DATE '1997-12-25')""")),
 
+    // F14 — DATA-QUALITY ASSERTION BATTERY (the dbt-test / Deequ shape of
+    // the reference's schema gate F12): one row per rule with its
+    // violation count — null keys, duplicate line identity, value-range
+    // breaches, referential orphans — so a pipeline can gate a load on
+    // `max(violations) == 0` without a second scan per rule. ONE pass
+    // over the fact side (every per-row rule is a conditional sum in the
+    // same aggregation), plus one id-only anti-join for the FK rule whose
+    // shuffle carries orderkeys, never fact rows; the duplicate rule
+    // aggregates (orderkey, linenumber) pairs, also id-only. Counts are
+    // exact integers — engine-deterministic by construction.
+    ("f14_quality_asserts",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val perRow = li.agg(
+          sum(when(col("l_orderkey").isNull, 1).otherwise(0))
+            .as("null_orderkey"),
+          sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)
+            .otherwise(0)).as("quantity_range"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+            .otherwise(0)).as("discount_range"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+            .as("returnflag_domain"))
+        val dupLines = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0)).as("dup_line_identity"))
+        val orphans = li.select(col("l_orderkey"))
+          .join(orders(s, d).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_orderkey"))
+        perRow.crossJoin(dupLines).crossJoin(orphans)
+          .selectExpr("stack(6, " +
+            "'null_orderkey', null_orderkey, " +
+            "'quantity_range', quantity_range, " +
+            "'discount_range', discount_range, " +
+            "'returnflag_domain', returnflag_domain, " +
+            "'dup_line_identity', dup_line_identity, " +
+            "'orphan_orderkey', orphan_orderkey) AS (rule, violations)")
+          .select(col("rule"), col("violations").cast(LongType).as("violations"))
+      },
+      Some("""WITH perrow AS (
+                SELECT
+                  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS null_orderkey,
+                  SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS quantity_range,
+                  SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS discount_range,
+                  SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS returnflag_domain
+                FROM lineitem),
+              dup AS (
+                SELECT COALESCE(SUM(n - 1), 0) AS dup_line_identity
+                FROM (SELECT count(*) AS n FROM lineitem
+                      GROUP BY l_orderkey, l_linenumber) t
+                WHERE n > 1),
+              orph AS (
+                SELECT count(*) AS orphan_orderkey
+                FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+              SELECT rule, CAST(violations AS BIGINT) AS violations
+              FROM (
+                SELECT 'null_orderkey' AS rule, null_orderkey AS violations
+                FROM perrow
+                UNION ALL SELECT 'quantity_range', quantity_range FROM perrow
+                UNION ALL SELECT 'discount_range', discount_range FROM perrow
+                UNION ALL SELECT 'returnflag_domain', returnflag_domain
+                FROM perrow
+                UNION ALL SELECT 'dup_line_identity', dup_line_identity
+                FROM dup
+                UNION ALL SELECT 'orphan_orderkey', orphan_orderkey
+                FROM orph) u""")),
+
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values
     // are FIXED (the scale contract — value discovery would cost an extra

@@ -70,6 +70,19 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("quality battery covers all six rules; invariant rules hold") {
+    val m = SparkEntry.queries("f14_quality_asserts")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(m.keySet == Set("null_orderkey", "quantity_range",
+      "discount_range", "returnflag_domain", "dup_line_identity",
+      "orphan_orderkey"))
+    // generator invariants: keys non-null, values in TPC-H domains, no FK
+    // orphans (dup_line_identity is a REAL fixture artifact — left free)
+    for (rule <- Seq("null_orderkey", "quantity_range", "discount_range",
+        "returnflag_domain", "orphan_orderkey"))
+      assert(m(rule) == 0L, s"$rule: ${m(rule)} violations")
+  }
+
   test("both sessionize arms agree on the fixture") {
     // the lag/running-sum arm and the native session_window arm differ
     // only at an exact-30-min gap (strict > vs end-exclusive >=); the
