@@ -72,6 +72,50 @@ object Windows {
                      v / 4 AS volumenes
               FROM h, generate_series(0, 3) t(q)""")),
 
+    // W19 — LINEAR-INTERPOLATION upsample: hourly→15-min with values
+    // interpolated between consecutive hourly points per series (the gap-
+    // fill real energy pipelines use where W5's step-fill repeats the
+    // hourly value). lead() over a PER-KEY window (independent window
+    // state per event_type — the partitioned-window shape that fans out
+    // at scale), then a 4-way explode whose fractional weights are dyadic
+    // (q/4), so v + (nxt − v) · q/4 is the same IEEE arithmetic in both
+    // engines — no rounding needed. The last point of each series has no
+    // successor and emits only its q=0 sample (no extrapolation).
+    ("w19_interpolate",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hora"))
+          .agg(dsum2(col("value")).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("hora")
+        hourly.withColumn("nxt", lead(col("v"), 1).over(w))
+          .withColumn("q", explode(sequence(lit(0), lit(3))))
+          .filter(col("nxt").isNotNull || col("q") === 0)
+          .select(col("event_type"),
+            expr("timestampadd(MINUTE, q * 15, hora)").as("datetime_utc"),
+            when(col("nxt").isNotNull,
+              col("v") + (col("nxt") - col("v")) * (col("q") / lit(4.0)))
+              .otherwise(col("v")).as("v15"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                  AS hora,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                     AS DOUBLE) AS v
+                         FROM events GROUP BY 1, 2),
+                   l AS (SELECT event_type, hora, v,
+                                lead(v) OVER (PARTITION BY event_type
+                                              ORDER BY hora) AS nxt
+                         FROM h)
+              SELECT event_type,
+                     hora + to_minutes(CAST(q * 15 AS BIGINT))
+                       AS datetime_utc,
+                     CASE WHEN nxt IS NOT NULL
+                          THEN v + (nxt - v) * (q / 4.0)
+                          ELSE v END AS v15
+              FROM l, generate_series(0, 3) t(q)
+              WHERE nxt IS NOT NULL OR q = 0""")),
+
     // W11 — 24-row rolling mean over a daily series
     // ref: read/natlanguage_duckdb_queries.py:246-252
     ("w11_rolling_avg",

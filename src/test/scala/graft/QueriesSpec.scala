@@ -70,6 +70,28 @@ class QueriesSpec extends SparkSpec {
       s"missing buckets: ${b.map(_.getAs[String]("bucket")).toSet}")
   }
 
+  test("interpolated upsample re-derives exactly from its hourly anchors") {
+    val rows = SparkEntry.queries("w19_interpolate")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("datetime_utc").getTime,
+        r.getAs[Double]("v15")))
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      val anchors = rs.filter(_._2 % 3600000L == 0).sortBy(_._2)
+      // consecutive-hour anchor pairs: each q=1..3 sample must equal the
+      // exact linear blend (same IEEE ops, so equality is bitwise)
+      anchors.sliding(2).foreach {
+        case Array((_, t0, v0), (_, t1, v1)) if t1 - t0 == 3600000L =>
+          for (q <- 1 to 3) {
+            val exp = v0 + (v1 - v0) * (q / 4.0)
+            val got = rs.find(_._2 == t0 + q * 900000L).map(_._3)
+            assert(got.contains(exp), s"t0=$t0 q=$q: $got != $exp")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("quality battery covers all six rules; invariant rules hold") {
     val m = SparkEntry.queries("f14_quality_asserts")(spark, sfDir).collect()
       .map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
