@@ -397,6 +397,65 @@ object Relational {
                 UNION ALL SELECT 'orphan_orderkey', orphan_orderkey
                 FROM orph) u""")),
 
+    // A11 — WINSORIZE stats (outlier clipping at p01/p99, the robust-stats
+    // prep step): exact interpolated percentiles in one aggregation (the
+    // Spark percentile ≡ DuckDB quantile_cont parity the length-stats row
+    // established), cutoffs broadcast as a 1-row frame, clipping + tallies
+    // in a second single pass. No sort of the fact table — percentile is
+    // an aggregate, and the clip is a narrow map.
+    ("a11_winsorize",
+      (s, d) => {
+        val cuts = lineitem(s, d).agg(
+          round(expr("percentile(l_extendedprice, 0.01D)"), 6).as("p01"),
+          round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+        lineitem(s, d).crossJoin(broadcast(cuts))
+          .select(col("p01"), col("p99"),
+            when(col("l_extendedprice") < col("p01"), 1).otherwise(0)
+              .as("lo"),
+            when(col("l_extendedprice") > col("p99"), 1).otherwise(0)
+              .as("hi"),
+            greatest(least(col("l_extendedprice"), col("p99")), col("p01"))
+              .as("clipped"))
+          .groupBy("p01", "p99")
+          .agg(sum(col("lo")).cast(LongType).as("n_clipped_low"),
+            sum(col("hi")).cast(LongType).as("n_clipped_high"),
+            // 1e-6 snap, not the usual dec2: a clipped row can carry the
+            // 6-decimal cutoff itself, and prices' 2 decimals embed
+            // exactly in the finer grid — the sum stays order-exact
+            sum(col("clipped").cast(DecimalType(28, 6)))
+              .cast(DoubleType).as("sum_clipped"))
+      },
+      Some("""WITH cuts AS (
+                SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+                       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+                FROM lineitem)
+              SELECT p01, p99,
+                     CAST(SUM(CASE WHEN l_extendedprice < p01
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+                     CAST(SUM(CASE WHEN l_extendedprice > p99
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+                     CAST(SUM(CAST(greatest(least(l_extendedprice, p99), p01)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_clipped
+              FROM lineitem, cuts
+              GROUP BY p01, p99""")),
+
+    // A12 — fixed-width HISTOGRAM: value-distribution binning with
+    // arithmetic bin ids (floor((v − lo)/w) — both engines compute the
+    // identical IEEE quotient, no width_bucket dialect dependence), one
+    // aggregation to ≤|bins| rows. The bin RANGE is part of the contract
+    // (no data-driven min/max pass — at scale the extra full scan is the
+    // cost that matters, and production histograms fix their axis).
+    ("a12_histogram",
+      (s, d) => lineitem(s, d)
+        .select(least(floor((col("l_extendedprice") - 900) / 8000)
+          .cast(IntegerType), lit(12)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(least(floor((l_extendedprice - 900) / 8000), 12)
+                          AS INTEGER) AS bin,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1""")),
+
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values
     // are FIXED (the scale contract — value discovery would cost an extra

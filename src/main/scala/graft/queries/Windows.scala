@@ -72,6 +72,68 @@ object Windows {
                      v / 4 AS volumenes
               FROM h, generate_series(0, 3) t(q)""")),
 
+    // W20 — event TRANSITION MATRIX (the Markov-chain view of user
+    // journeys): per-user event-time ordering via ONE lag window keyed on
+    // user_id (independent window state per user — the partitioned shape
+    // that fans out), then an aggregation to the bounded |types|² grid
+    // with each row's share of its source row. Probabilities are
+    // integer-derived IEEE divisions over a window on the tiny grid.
+    ("w20_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val grid = events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        grid.withColumn("p",
+          col("n").cast(DoubleType)
+            / sum(col("n")).over(Window.partitionBy("from_type")))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, event_type,
+                                CAST(ts AS TIMESTAMP) AS t FROM events),
+                   y AS (SELECT event_type,
+                                lag(event_type) OVER (PARTITION BY user_id
+                                                      ORDER BY t, event_id)
+                                  AS prev
+                         FROM x),
+                   g AS (SELECT prev AS from_type, event_type AS to_type,
+                                count(*) AS n
+                         FROM y WHERE prev IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     CAST(n AS DOUBLE)
+                       / SUM(n) OVER (PARTITION BY from_type) AS p
+              FROM g""")),
+
+    // W21 — the RANKING-function family over a bounded aggregate: rank /
+    // dense_rank / percent_rank / cume_dist / ntile in one window pass,
+    // tie-broken to total order so every function is engine-
+    // deterministic. The window input is the |user|-sized aggregate, not
+    // raw events — rank analytics at scale runs on the rolled-up grain.
+    ("w21_rank_family",
+      (s, d) => {
+        val per = events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.orderBy(col("n_events").desc, col("user_id"))
+        per.select(col("user_id"), col("n_events"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS n_events
+                           FROM events GROUP BY 1)
+              SELECT user_id, n_events,
+                     rank() OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     round(percent_rank() OVER w, 6) AS prnk,
+                     round(cume_dist() OVER w, 6) AS cd,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile
+              FROM per
+              WINDOW w AS (ORDER BY n_events DESC, user_id)""")),
+
     // W19 — LINEAR-INTERPOLATION upsample: hourly→15-min with values
     // interpolated between consecutive hourly points per series (the gap-
     // fill real energy pipelines use where W5's step-fill repeats the

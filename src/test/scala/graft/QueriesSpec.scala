@@ -92,6 +92,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips ~1% per tail; histogram partitions the rows") {
+    val total = Tables.lineitem(spark, sfDir).count()
+    val w = SparkEntry.queries("a11_winsorize")(spark, sfDir).collect().head
+    assert(w.getAs[Double]("p01") < w.getAs[Double]("p99"))
+    for (c <- Seq("n_clipped_low", "n_clipped_high"))
+      assert(w.getAs[Long](c) <= total / 50,
+        s"$c clipped more than 2%: ${w.getAs[Long](c)} of $total")
+    val h = SparkEntry.queries("a12_histogram")(spark, sfDir).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == total,
+      "histogram bins must partition the rows")
+  }
+
+  test("transition probabilities sum to 1 per source state; ranks are a " +
+      "permutation") {
+    val t = SparkEntry.queries("w20_transitions")(spark, sfDir).collect()
+    for ((_, rs) <- t.groupBy(_.getAs[String]("from_type")))
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    val r = SparkEntry.queries("w21_rank_family")(spark, sfDir).collect()
+    val rnks = r.map(_.getAs[Int]("rnk")).sorted
+    assert(rnks.head == 1 && rnks.distinct.length == rnks.length,
+      "total-order tiebreak must make rank a permutation")
+    assert(r.map(_.getAs[Int]("quartile")).toSet == Set(1, 2, 3, 4))
+  }
+
   test("quality battery covers all six rules; invariant rules hold") {
     val m = SparkEntry.queries("f14_quality_asserts")(spark, sfDir).collect()
       .map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
