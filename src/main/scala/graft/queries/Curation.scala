@@ -306,6 +306,43 @@ object Curation {
                    jac
             FROM pairs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)""")),
 
+    // INCREMENTAL DEDUP from STORED signatures — the production pattern
+    // the on-the-fly sibling only notes: the corpus's shingle profile
+    // (codes + counts + minhash signature) PERSISTS to the lake as
+    // parquet and the daily batch joins against the stored table, so the
+    // corpus text is never re-shingled per ingest — at 100 TB the
+    // signature store is what makes incremental dedup affordable at all
+    // (re-profiling the corpus daily would dominate the pipeline).
+    // Same asymmetric broadcast band join, same result set, same oracle
+    // hash as llm_incremental_dedup; the parquet round-trip of the
+    // array-typed profile is part of what the gate proves.
+    ("llm_incremental_dedup_stored",
+      (s, d) => {
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_$id"
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          LlmOps.shingleProfile(s, d).write.mode("overwrite").parquet(dir)
+          val stored = s.read.parquet(dir).localCheckpoint() // eager: files go away
+          val isNew1 = col("d1") % 10 === 0
+          val isNew2 = col("d2") % 10 === 0
+          LlmOps.minhashPairs(s, d, smallSide = Some(c => c % 10 === 0),
+              prof = Some(stored))
+            .filter(isNew1 =!= isNew2)
+            .select(
+              when(isNew1, col("d1")).otherwise(col("d2")).as("doc_id"),
+              when(isNew1, col("d2")).otherwise(col("d1")).as("matched_doc"),
+              col("jac"))
+            .localCheckpoint()
+        } finally fs.delete(hp, true)
+      },
+      Some("WITH " + LlmOps.minhashPairsSql + """
+            SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS doc_id,
+                   CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS matched_doc,
+                   jac
+            FROM pairs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)""")),
+
     // TF-IDF top terms per document — the classic salient-term extraction.
     // tf and df are integer aggregates, idf = ln(N/df) computed from
     // identical integer operands in both engines; the score is ROUNDED

@@ -92,6 +92,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("stored-signature incremental dedup equals the on-the-fly path") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(pairs("llm_incremental_dedup")
+      == pairs("llm_incremental_dedup_stored"))
+  }
+
   test("winsorize clips ~1% per tail; histogram partitions the rows") {
     val total = Tables.lineitem(spark, sfDir).count()
     val w = SparkEntry.queries("a11_winsorize")(spark, sfDir).collect().head
