@@ -134,6 +134,62 @@ object Windows {
               FROM per
               WINDOW w AS (ORDER BY n_events DESC, user_id)""")),
 
+    // W22 — TIME-RANGE window frame (RANGE, not ROWS): per-user trailing
+    // 1-hour event-value sum — the frame is bounded by event TIME, so a
+    // burst of events contributes to each other's frames while sparse
+    // events stand alone (a row-count frame cannot express this). Both
+    // engines run the identical integer range on epoch seconds; sums are
+    // exact via the long-cents snap. Per-user window ⇒ independent state
+    // per key, the partitioned shape that fans out at scale.
+    ("w22_range_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("es"))
+          .rangeBetween(-3600L, 0L)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("es"), dec2(col("value")).as("v"))
+          .withColumn("trailing_1h",
+            sum(col("v")).over(w).cast(DoubleType))
+          .select(col("user_id"), col("event_id"), col("trailing_1h"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                                  AS es,
+                                CAST(value AS DECIMAL(18,2)) AS v
+                         FROM events)
+              SELECT user_id, event_id,
+                     CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es
+                                       RANGE BETWEEN 3600 PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                       AS trailing_1h
+              FROM x""")),
+
+    // W23 — HOPPING (sliding) windows in batch: 30-min windows every
+    // 15 min via the window() TVF — each event lands in exactly TWO
+    // overlapping windows, the shape streaming dashboards aggregate by.
+    // The oracle derives both containing window starts arithmetically
+    // (floor to the 15-min grid, that window and the one before), which
+    // is exactly window()'s assignment for slide = size/2.
+    ("w23_hopping",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("n"), col("total")),
+      Some("""WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS t, value
+                         FROM events),
+                   g AS (SELECT CAST(to_timestamp(
+                                  (epoch_us(t) // 900000000 - k) * 900)
+                                  AS TIMESTAMP) AS ws,
+                                value
+                         FROM x, generate_series(0, 1) s(k)),
+                   f AS (SELECT ws, ws + INTERVAL 30 MINUTE AS we,
+                                count(*) AS n,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                     AS DOUBLE) AS total
+                         FROM g GROUP BY 1)
+              SELECT ws, we, n, total FROM f""")),
+
     // W19 — LINEAR-INTERPOLATION upsample: hourly→15-min with values
     // interpolated between consecutive hourly points per series (the gap-
     // fill real energy pipelines use where W5's step-fill repeats the

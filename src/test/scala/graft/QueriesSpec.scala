@@ -92,6 +92,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("hopping windows double-count every event; range frame includes " +
+      "its own row") {
+    val total = Tables.events(spark, sfDir).count()
+    val h = SparkEntry.queries("w23_hopping")(spark, sfDir).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 2 * total,
+      "slide = size/2 must place each event in exactly two windows")
+    val r = SparkEntry.queries("w22_range_window")(spark, sfDir).collect()
+    assert(r.length == total)
+    assert(r.forall(x => !x.isNullAt(2)),
+      "the frame always contains the current row")
+  }
+
   test("stored-signature incremental dedup equals the on-the-fly path") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sfDir)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
