@@ -142,6 +142,32 @@ object StreamingE2e {
                         AS total
                FROM arrived GROUP BY 1, 2, 3""")),
 
+    // W24 — STREAMING HOPPING-window rollup e2e (the W23 twin as a
+    // stream): 30-min windows sliding every 15 min in Complete mode —
+    // each event lands in two windows whatever micro-batch delivered it,
+    // so final window totals are batch-boundary independent. Duplicates
+    // from the overlapping files are counted (raw-ingest tier semantics,
+    // as W14).
+    ("w24_stream_hopping_e2e",
+      (s, d) => runStream(s, d, "hopping", "complete")(
+        _.groupBy(window(col("ts"), "30 minutes", "15 minutes"))
+          .agg(count(lit(1)).as("n"), dsum2(col("amount")).as("total"))
+          .select(col("window.start").as("ws"), col("window.end").as("we"),
+            col("n"), col("total"))),
+      Some(s"""WITH src AS ($fixtureSql),
+               arrived AS (SELECT * FROM src WHERE event_id % 2 = 0
+                           UNION ALL
+                           SELECT * FROM src WHERE event_id % 3 = 0),
+               g AS (SELECT CAST(to_timestamp(
+                              (epoch_us(ts) // 900000000 - k) * 900)
+                              AS TIMESTAMP) AS ws,
+                            amount
+                     FROM arrived, generate_series(0, 1) s(k))
+               SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+                      CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+                        AS total
+               FROM g GROUP BY 1""")),
+
     // W15 — STREAM-STREAM equi-join e2e (the J9 twin as real streams):
     // precios and volumenes arrive as two file-source streams whose
     // batches are deliberately CROSSED — precios' early hours land in its
