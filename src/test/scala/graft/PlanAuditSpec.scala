@@ -189,6 +189,27 @@ class PlanAuditSpec extends SparkSpec {
       s"semdedup has a nested-loop join:\n$p")
   }
 
+  test("range-frame window and histogram pay exactly one exchange") {
+    for (q <- Seq("w22_range_window", "a12_histogram")) {
+      val p = plan(q)
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1, s"$q pays $ex hash exchanges:\n$p")
+    }
+    assert(plan("a12_histogram").contains("partial_count"),
+      "a12 lost map-side combine")
+  }
+
+  test("winsorize never sorts the fact table") {
+    // percentile is an aggregate and the clip is a narrow map — a Sort
+    // node over the lineitem scan would mean a quantile-by-sort regression
+    val p = plan("a11_winsorize")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("l_extendedprice")),
+      s"a11 sorts the fact table:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"a11 cutoffs not broadcast:\n$p")
+  }
+
   test("bucketed fact tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
