@@ -109,11 +109,15 @@ object Tables {
     // Structured Streaming's auto-created checkpoint dirs land under it,
     // and a bare `java -cp … graft.Bench/Verify` (the driver's invocation)
     // keeps the JVM default /tmp — ext4 here, where every streaming
-    // commit-log write pays a real fsync. The property is read per-call
-    // by File.createTempFile and friends, so a post-startup override
-    // works; only the untouched default is replaced, an explicit
-    // -Djava.io.tmpdir always wins.
+    // commit-log write pays a real fsync. Scope of the override: it
+    // reaches consumers that read the PROPERTY per call (our fixture
+    // paths, Spark's Utils.createTempDir for streaming checkpoints) but
+    // NOT java.io.File.createTempFile, which captures the dir at JVM
+    // startup on JDK 9+. An explicit -Djava.io.tmpdir to a non-/tmp path
+    // wins by construction; explicitly-meant /tmp is indistinguishable
+    // from the default, so SPARK_GRAFT_KEEP_TMPDIR=1 is the escape hatch.
     if (System.getProperty("java.io.tmpdir") == "/tmp" &&
+        !sys.env.contains("SPARK_GRAFT_KEEP_TMPDIR") &&
         shm.isDirectory && shm.canWrite) {
       val d = new java.io.File(shm, "graft-tmp")
       d.mkdirs()

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -252,6 +252,38 @@ object Similarity {
     cents
   }
 
+  /** Shared quantizer front end — the SINGLE Scala home of the
+    * cross-engine determinism protocol (mirrored in SQL by
+    * lloydChainSql): bounded md5-of-id-ordered sample, first-k init,
+    * fixed Lloyd's iterations with 1e-6 centroid snapping. Input frame
+    * must carry (vec_id, v); returns the trained centroid matrix plus
+    * the broadcastable literal columns (centroid array, per-centroid
+    * ||c||²) the assignment fold reads.
+    */
+  private def trainedQuantizer(e: DataFrame, nLists: Int, iters: Int,
+      samplePerList: Int): (Array[Array[Double]], Column, Column) = {
+    val sample = e
+      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
+        col("vec_id"))
+      .orderBy("hx", "vec_id").limit(nLists * samplePerList)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = lloyd(sample, nLists, iters = iters)
+    (cents, typedLit(cents.map(_.toSeq).toSeq),
+      typedLit(cents.map(c => c.map(x => x * x).sum).toSeq))
+  }
+
+  /** The strict-< argmin assignment fold over the literal centroids
+    * (ties → lowest list id, matching the SQL row_number ORDER BY d,
+    * c_id). Returns the full struct: `.i` is the assigned list, `.d` the
+    * winning ||c||² − 2·v·c.
+    */
+  private def argminFold(nLists: Int): Column =
+    expr(s"""aggregate(sequence(0, ${nLists - 1}),
+        named_struct('i', -1, 'd', cast('Infinity' as double)),
+        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
+          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
+          ELSE acc END)""")
+
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       nLists: Int = 16, nProbe: Int = 3, k: Int = 5,
       roundScale: Int = -1): DataFrame = {
@@ -267,30 +299,18 @@ object Similarity {
     // Deterministic: hash-ordered sample (md5 of the id string — a hash
     // both engines compute identically, so the oracle replays the exact
     // same sample in the exact same order), first-k init, fixed iterations.
-    val sample = e
-      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
-        col("vec_id"))
-      .orderBy("hx", "vec_id").limit(nLists * 64)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloyd(sample, nLists, iters = 8).zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
+    val (cents, cl, cn2) = trainedQuantizer(e, nLists, iters = 8,
+      samplePerList = 64)
     val spark = embeddings.sparkSession
     import spark.implicits._
     // full-table assignment: argmin Euclidean distance over the literal
     // centroid array, evaluated as one fold per row — ||v−c||² ordering
     // equals (||c||² − 2·v·c) ordering, ||v||² being row-constant
-    val cl = typedLit(centroids.map(_._2))
-    val cn2 = typedLit(centroids.map { case (_, c) =>
-      c.map(x => x * x).sum })
-    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
-        named_struct('i', -1, 'd', cast('Infinity' as double)),
-        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
-          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
-          ELSE acc END).i""")
     val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("list_id", assign).drop("cl", "cn2")
+      .withColumn("list_id", argminFold(nLists)("i")).drop("cl", "cn2")
     // each query ranks the (tiny, broadcast) centroid dim and probes nProbe
-    val cdf = centroids.toDF("c_id", "c_vec")
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("c_id", "c_vec")
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(cdf))
@@ -455,23 +475,12 @@ object Similarity {
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm2", expr("vec_dot(v, v)"))
-    val sample = e
-      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
-        col("vec_id"))
-      .orderBy("hx", "vec_id").limit(nLists * samplePerList)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloyd(sample, nLists, iters = iters)
-    val cl = typedLit(centroids.map(_.toSeq).toSeq)
-    val cn2 = typedLit(centroids.map(c => c.map(x => x * x).sum).toSeq)
-    // the same strict-< argmin fold as ivfTopK, but KEEPING the struct:
+      .localCheckpoint() // eager: the sample and the profile pass read it
+    val (_, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
+    // the shared strict-< argmin fold, KEEPING the struct:
     // .i is the assigned list, .d the winning ||c||² − 2·v·c
-    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
-        named_struct('i', -1, 'd', cast('Infinity' as double)),
-        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
-          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
-          ELSE acc END)""")
     e.withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("st", assign)
+      .withColumn("st", argminFold(nLists))
       // d2 = (||c||² − 2·v·c) + ||v||², micro-snapped to an exact long
       .select(col("st.i").as("list_id"),
         expr("CAST(floor((st.d + nrm2) * 1000000.0 + 0.5) AS BIGINT)")
@@ -527,21 +536,14 @@ object Similarity {
     val e = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-    val sample = e
-      .select(col("v"), md5(col("vec_id").cast("string")).as("hx"),
-        col("vec_id"))
-      .orderBy("hx", "vec_id").limit(nLists * samplePerList)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloyd(sample, nLists, iters = iters)
-    val cl = typedLit(centroids.map(_.toSeq).toSeq)
-    val cn2 = typedLit(centroids.map(c => c.map(x => x * x).sum).toSeq)
-    val assign = expr(s"""aggregate(sequence(0, ${nLists - 1}),
-        named_struct('i', -1, 'd', cast('Infinity' as double)),
-        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
-          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
-          ELSE acc END).i""")
+      .localCheckpoint() // eager: the sample and the assignment read it
+    val (_, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
+    // assignment materialized ONCE: both self-join sides read the
+    // checkpointed (vec_id, v, nrm, list_id) blocks instead of each
+    // re-running the nLists-way argmin fold over the full table
     val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("list_id", assign).drop("cl", "cn2")
+      .withColumn("list_id", argminFold(nLists)("i")).drop("cl", "cn2")
+      .localCheckpoint()
     val cosR = round(expr("vec_dot(a.v, b.v)")
       / (col("a.nrm") * col("b.nrm")), roundScale)
     assigned.as("a").join(assigned.as("b"),

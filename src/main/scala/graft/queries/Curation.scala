@@ -887,9 +887,14 @@ object Curation {
             .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
           val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((k, a, b, f))
+          // checkpoint per iteration (the Scala analogue of the oracle's
+          // AS MATERIALIZED v$k): without it, iteration k's argmax action
+          // replays all k−1 prior replace projections from the vocab
+          // checkpoint — O(K²) vocabulary passes instead of K
           cur = cur.select(call_function("replace", col("sy"),
             lit("•" + a + "••" + b + "•"), lit("•" + a + b + "•")).as("sy"),
             col("freq"))
+            .localCheckpoint()
         }
         import s.implicits._
         merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
@@ -1022,36 +1027,20 @@ object Curation {
               GROUP BY 1, 2"""))
   )
 
-  /** Shared char-bigram LM scorer (llm_lm_score / llm_ppl_buckets):
-    * one doc-level frame (doc_id, lang, n_tok, n_bigrams, lm_score_r),
-    * bigram-less docs excluded.
+  /** Train a char-bigram LM on the docs matching `trainPred` and collect
+    * it as (packed-key, log-prob) literal arrays — vocabulary-bounded
+    * (≤|charset|²) driver state regardless of corpus size, the IVF sample
+    * rule. Shared by the corpus model (pred = true) and DSIR's
+    * target-domain model.
     *
-    * TRAINING: one corpus-sized bigram fan-out, aggregated straight to
-    * the vocabulary (hash partial-agg collapses each input partition
+    * TRAINING shape: one corpus-sized bigram fan-out, aggregated straight
+    * to the vocabulary (hash partial-agg collapses each input partition
     * to ≤|charset|² rows before the shuffle — no repartition needed).
     * Bigrams index into a pre-split char ARRAY (element_at is O(1))
     * instead of substr(text, i, 2): UTF8String substring walks from the
     * string start, so the substr form is O(len²) per doc — measured
     * 1.66 s vs 0.62 s for this fan-out alone at sf0.1. split keeps a
     * trailing "" (limit -1), hence size(cs)-2.
-    *
-    * SCORING: the model is vocabulary-sized — bounded by |charset|²,
-    * independent of corpus size — so collect it (the bounded-driver-
-    * sample rule IVF already follows) and score each document in ONE
-    * narrow pass via the native bigram_lm_stats expression: a map over
-    * the scan with zero shuffles. Every doc bigram appears in a model
-    * trained on the same corpus, so the expression's matched-count
-    * equals an inner-join count exactly. The divide is guarded INSIDE
-    * the row (when), not just by the final filter: under ANSI mode an
-    * unguarded lp_sum/0 on a bigram-less doc (1-char text) raises
-    * DIVIDE_BY_ZERO before the filter ever runs (BigramLmSpec covers
-    * this).
-    */
-  /** Train a char-bigram LM on the docs matching `trainPred` and collect
-    * it as (packed-key, log-prob) literal arrays — vocabulary-bounded
-    * (≤|charset|²) driver state regardless of corpus size, the IVF sample
-    * rule. Shared by the corpus model (pred = true) and DSIR's
-    * target-domain model.
     */
   private def lmModelArrays(s: SparkSession, d: String,
       trainPred: Column): (Array[Long], Array[Double]) = {
@@ -1072,6 +1061,18 @@ object Curation {
       rows.map(_.getDouble(1)))
   }
 
+  /** Shared char-bigram LM scorer (llm_lm_score / llm_ppl_buckets): one
+    * doc-level frame (doc_id, lang, n_tok, n_bigrams, lm_score_r),
+    * bigram-less docs excluded. SCORING: the collected corpus model rides
+    * in as broadcast literals and each document scores in ONE narrow pass
+    * via the native bigram_lm_stats expression — a map over the scan,
+    * zero shuffles. Every doc bigram appears in a model trained on the
+    * same corpus, so the expression's matched-count equals an inner-join
+    * count exactly. The divide is guarded INSIDE the row (when), not just
+    * by the final filter: under ANSI mode an unguarded lp_sum/0 on a
+    * bigram-less doc (1-char text) raises DIVIDE_BY_ZERO before the
+    * filter ever runs (BigramLmSpec covers this).
+    */
   private def lmScored(s: SparkSession, d: String): DataFrame = {
     val (ks, vs) = lmModelArrays(s, d, lit(true))
     documents(s, d)

@@ -158,9 +158,10 @@ object StreamingE2e {
                arrived AS (SELECT * FROM src WHERE event_id % 2 = 0
                            UNION ALL
                            SELECT * FROM src WHERE event_id % 3 = 0),
-               g AS (SELECT CAST(to_timestamp(
-                              (epoch_us(ts) // 900000000 - k) * 900)
-                              AS TIMESTAMP) AS ws,
+               g AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+                              + to_seconds(
+                                  (epoch_us(ts) // 900000000 - k) * 900)
+                              AS ws,
                             amount
                      FROM arrived, generate_series(0, 1) s(k))
                SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,

@@ -178,9 +178,10 @@ object Windows {
           col("n"), col("total")),
       Some("""WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS t, value
                          FROM events),
-                   g AS (SELECT CAST(to_timestamp(
-                                  (epoch_us(t) // 900000000 - k) * 900)
-                                  AS TIMESTAMP) AS ws,
+                   g AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+                                  + to_seconds(
+                                      (epoch_us(t) // 900000000 - k) * 900)
+                                  AS ws,
                                 value
                          FROM x, generate_series(0, 1) s(k)),
                    f AS (SELECT ws, ws + INTERVAL 30 MINUTE AS we,

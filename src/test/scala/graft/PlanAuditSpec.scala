@@ -159,13 +159,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("w17 retention reuses the user_id partitioning for join + dedup") {
-    // exactly one exchange may carry raw (user_id, day) pairs; the
-    // distinct and per-user join must reuse it, and only the bounded
-    // |days|^2 grid re-shuffles afterwards
+    // at most TWO user_id exchanges may exist: the cohort branch's
+    // compressed partial-min buffers and the activity branch's raw
+    // (user_id, day) pairs. The distinct and the per-user join must
+    // REUSE those partitionings — a third user_id exchange means one of
+    // them re-shuffled the pair stream (the scale regression this gates).
     val p = plan("w17_retention")
-    val dayEx = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(user_id") && l.contains("day"))
-    assert(dayEx <= 1, s"w17 shuffles the activity pairs ${dayEx}x:\n$p")
+    val userEx = p.linesIterator.count(
+      _.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx <= 2, s"w17 shuffles on user_id ${userEx}x:\n$p")
     assert(p.contains("partial_min"), s"w17 cohort lost map-side combine:\n$p")
   }
 
