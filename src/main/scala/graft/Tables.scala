@@ -85,6 +85,36 @@ object Tables {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, cols: _*)
 
+  /** The fixture/scratch directory, resolved exactly once per JVM.
+    * Streaming e2e fixtures, Structured Streaming's auto-created
+    * checkpoint dirs, and the DuckDB-readable e2e fixtures land under
+    * java.io.tmpdir; a bare `java -cp … graft.Bench/Verify` (the driver's
+    * invocation) keeps the JVM default /tmp — ext4 here, where every
+    * streaming commit-log write pays a real fsync — so we point the
+    * property at tmpfs when the host has one. A single lazy val is the
+    * ordering guarantee: SparkEntry's oracle SQL strings interpolate the
+    * path at registry-init time while query lambdas read it at run time,
+    * and both go through here, so they agree no matter whether configure()
+    * or the query registry is touched first. Scope of the override: it
+    * reaches consumers that read the PROPERTY per call (our fixture paths,
+    * Spark's Utils.createTempDir for streaming checkpoints) but NOT
+    * java.io.File.createTempFile, which captures the dir at JVM startup on
+    * JDK 9+. An explicit -Djava.io.tmpdir to a non-/tmp path wins by
+    * construction; explicitly-meant /tmp is indistinguishable from the
+    * default, so SPARK_GRAFT_KEEP_TMPDIR=1 is the escape hatch.
+    */
+  lazy val tmpDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (System.getProperty("java.io.tmpdir") == "/tmp" &&
+        !sys.env.contains("SPARK_GRAFT_KEEP_TMPDIR") &&
+        shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-tmp")
+      d.mkdirs()
+      System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+      d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   /** Session defaults shared by Verify and Bench mains: UTC semantics, a
     * shuffle-partition count sized to the local core budget (not Spark's
     * default 200 — at 100 TB this is instead set to ~2-3× the executor core
@@ -105,24 +135,11 @@ object Tables {
       d.mkdirs()
       b.config("spark.local.dir", d.getAbsolutePath)
     }
-    // Same treatment for java.io.tmpdir: the streaming e2e fixtures and
-    // Structured Streaming's auto-created checkpoint dirs land under it,
-    // and a bare `java -cp … graft.Bench/Verify` (the driver's invocation)
-    // keeps the JVM default /tmp — ext4 here, where every streaming
-    // commit-log write pays a real fsync. Scope of the override: it
-    // reaches consumers that read the PROPERTY per call (our fixture
-    // paths, Spark's Utils.createTempDir for streaming checkpoints) but
-    // NOT java.io.File.createTempFile, which captures the dir at JVM
-    // startup on JDK 9+. An explicit -Djava.io.tmpdir to a non-/tmp path
-    // wins by construction; explicitly-meant /tmp is indistinguishable
-    // from the default, so SPARK_GRAFT_KEEP_TMPDIR=1 is the escape hatch.
-    if (System.getProperty("java.io.tmpdir") == "/tmp" &&
-        !sys.env.contains("SPARK_GRAFT_KEEP_TMPDIR") &&
-        shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft-tmp")
-      d.mkdirs()
-      System.setProperty("java.io.tmpdir", d.getAbsolutePath)
-    }
+    // Same treatment for java.io.tmpdir — resolved ONCE in the shared
+    // lazy val below so oracle SQL strings (interpolated at registry-init
+    // time) and query lambdas (run later) can never disagree on the
+    // fixture directory regardless of which side touches it first.
+    tmpDir
     b
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")

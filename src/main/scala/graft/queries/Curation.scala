@@ -874,8 +874,9 @@ object Curation {
           .localCheckpoint()
         var cur = vocab
         val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-        for (k <- 1 to K) {
-          val top = cur
+        var exhausted = false
+        for (k <- 1 to K if !exhausted) {
+          val topOpt = cur
             .select(col("freq"), split(col("sy"), "••").as("l"))
             .filter(size(col("l")) >= 4)
             .select(col("freq"),
@@ -884,7 +885,19 @@ object Curation {
                 .as("p"))
             .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
             .groupBy("a", "b").agg(sum(col("freq")).as("f"))
-            .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
+            .orderBy(col("f").desc, col("a"), col("b")).limit(1)
+            .collect().headOption
+          if (topOpt.isEmpty) {
+            // no mergeable pair left (degenerate vocab of single-symbol
+            // words): stop, emitting k−1 rows — EXACTLY what the oracle
+            // does, where the empty m$k LIMIT 1 empties every later v$k
+            // cross join so iterations ≥ k contribute no merge rows.
+            // Without this guard the two engines diverged on degenerate
+            // input: Scala threw on .head() while the oracle returned
+            // fewer rows (ADVICE r9).
+            exhausted = true
+          } else {
+          val top = topOpt.get
           val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((k, a, b, f))
           // checkpoint per iteration (the Scala analogue of the oracle's
@@ -895,6 +908,7 @@ object Curation {
             lit("•" + a + "••" + b + "•"), lit("•" + a + b + "•")).as("sy"),
             col("freq"))
             .localCheckpoint()
+          }
         }
         import s.implicits._
         merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")

@@ -48,7 +48,9 @@ object Pipelines {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def tmpDir = System.getProperty("java.io.tmpdir")
+  // Shared tmpfs-aware resolution (Tables.tmpDir) so oracle SQL strings
+  // interpolated at registry-init time and lambdas run later always agree.
+  private def tmpDir = graft.Tables.tmpDir
 
   /** S2 fixture rows: (up, hora-col-1, hora-col-2); "" = absent cell in
     * the sheet / empty CSV field in the twin. Decimal strings parse to
@@ -487,6 +489,13 @@ object Pipelines {
           val name = "up_" + "%02d".format(i)
           s"""{"id": $i, "name": "$name", "tags": $tags, "meta": $meta}"""
         }
+        // STABLE path by design (unlike the UUID-pathed e2e fixtures): the
+        // DuckDB oracle must read the same file after the Spark run, so the
+        // name appears verbatim in oracleSql. Safe under concurrency ONLY
+        // because the content is fully deterministic and writeAtomic's
+        // rename makes any concurrent winner byte-identical — keep both
+        // properties if editing. The file persists across runs (tmpfs, a
+        // few KiB); same-content overwrite per run is the cleanup.
         writeAtomic(java.nio.file.Paths.get(tmpDir, "graft_s14_fixture.jsonl"),
           (rows.mkString("\n") + "\n").getBytes("UTF-8"))
         val schema = StructType(Seq(

@@ -23,7 +23,9 @@ object StreamingE2e {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir = System.getProperty("java.io.tmpdir")
+  // Shared tmpfs-aware resolution (Tables.tmpDir) so oracle SQL strings
+  // interpolated at registry-init time and lambdas run later always agree.
+  private def tmpDir = graft.Tables.tmpDir
 
   /** Run `body` with a single shuffle partition. Stateful streaming cost
     * scales with partitions × micro-batches (every batch commits a state
