@@ -496,18 +496,30 @@ object Curation {
               FROM cand WHERE levenshtein(h1, h2) <= 8""")),
 
     // Per-source LENGTH percentiles (corpus health stats): exact
-    // interpolated p50/p90 token counts per source — Spark's percentile()
-    // and DuckDB's quantile_cont share the (n−1)·p linear-interpolation
-    // definition. One aggregation shuffle to ~|sources| rows.
+    // interpolated p50/p90 token counts per source, via the value-counts
+    // ranking in operators.Quantiles.grouped — token counts are a
+    // bounded-cardinality integer domain, so groupBy(source, n_tok)
+    // shrinks the data to |sources|×|distinct lengths| rows BEFORE any
+    // ranking, and the cumulative window + one aggregation select the
+    // interpolation anchors with bounded memory (percentile()'s per-
+    // partition value buffer, the r9 scale flag, is gone). Bit-identical
+    // to percentile() ≡ DuckDB quantile_cont (same anchors, same
+    // interpolation expression).
     ("llm_length_stats",
-      (s, d) => documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_tok")), 6).as("mean_tok"),
-          round(expr("percentile(n_tok, 0.5D)"), 6).as("p50_tok"),
-          round(expr("percentile(n_tok, 0.9D)"), 6).as("p90_tok")),
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
+        val stats = base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("n_tok")), 6).as("mean_tok"))
+        val q = graft.operators.Quantiles.grouped(base, Seq("source"),
+          "n_tok", Seq(0.5, 0.9), Seq("p50_raw", "p90_raw"))
+        stats.join(broadcast(q), Seq("source"))
+          .select(col("source"), col("n_docs"), col("mean_tok"),
+            round(col("p50_raw"), 6).as("p50_tok"),
+            round(col("p90_raw"), 6).as("p90_tok"))
+      },
       Some("""SELECT source, count(*) AS n_docs,
                      round(avg(n_tok), 6) AS mean_tok,
                      round(quantile_cont(n_tok, 0.5), 6) AS p50_tok,

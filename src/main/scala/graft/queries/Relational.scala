@@ -398,23 +398,27 @@ object Relational {
                 FROM orph) u""")),
 
     // A11 — WINSORIZE stats (outlier clipping at p01/p99, the robust-stats
-    // prep step): exact interpolated percentiles in one aggregation (the
-    // Spark percentile ≡ DuckDB quantile_cont parity the length-stats row
-    // established), cutoffs broadcast as a 1-row frame, clipping + tallies
-    // in a second single pass. No sort of the fact table — percentile is
-    // an aggregate, and the clip is a narrow map.
+    // prep step): exact interpolated percentiles via the histogram-bracket
+    // selection in operators.Quantiles — NOT percentile(), whose per-
+    // partition value→count buffer grows with the data and is the one
+    // linear-memory aggregate a 100 TB run cannot afford (VERDICT r9).
+    // The cutoffs are bit-identical to percentile()'s (exact order
+    // statistics + the same interpolation expression), cost O(1) extra
+    // column scans with O(bins) executor memory, and embed as literals;
+    // clipping + tallies stay one narrow pass over the fact table.
     ("a11_winsorize",
       (s, d) => {
-        val cuts = lineitem(s, d).agg(
-          round(expr("percentile(l_extendedprice, 0.01D)"), 6).as("p01"),
-          round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
-        lineitem(s, d).crossJoin(broadcast(cuts))
-          .select(col("p01"), col("p99"),
-            when(col("l_extendedprice") < col("p01"), 1).otherwise(0)
+        val cuts = graft.operators.Quantiles
+          .percentiles(lineitem(s, d), "l_extendedprice", Seq(0.01, 0.99))
+          .map(graft.operators.Quantiles.round6)
+        val (p01, p99) = (lit(cuts(0)), lit(cuts(1)))
+        lineitem(s, d)
+          .select(p01.as("p01"), p99.as("p99"),
+            when(col("l_extendedprice") < p01, 1).otherwise(0)
               .as("lo"),
-            when(col("l_extendedprice") > col("p99"), 1).otherwise(0)
+            when(col("l_extendedprice") > p99, 1).otherwise(0)
               .as("hi"),
-            greatest(least(col("l_extendedprice"), col("p99")), col("p01"))
+            greatest(least(col("l_extendedprice"), p99), p01)
               .as("clipped"))
           .groupBy("p01", "p99")
           .agg(sum(col("lo")).cast(LongType).as("n_clipped_low"),
@@ -455,6 +459,27 @@ object Relational {
                           AS INTEGER) AS bin,
                      count(*) AS n
               FROM lineitem GROUP BY 1""")),
+
+    // A13 — EXACT multi-quantile profile (the distribution summary every
+    // curation report opens with), via the same histogram-bracket
+    // selection as A11: quartiles of an unbounded double column with
+    // O(bins) executor memory and O(bins) driver traffic per refinement
+    // pass, where percentile() would buffer a value→count map of the
+    // whole column. The three brackets share scans (one stats pass + one
+    // joint histogram pass resolves all of them on uniform-ish data).
+    ("a13_exact_quantiles",
+      (s, d) => {
+        val qs = graft.operators.Quantiles
+          .percentiles(lineitem(s, d), "l_extendedprice",
+            Seq(0.25, 0.5, 0.75))
+          .map(graft.operators.Quantiles.round6)
+        s.range(1).select(lit(qs(0)).as("q25"), lit(qs(1)).as("q50"),
+          lit(qs(2)).as("q75"))
+      },
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+                     round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+                     round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+              FROM lineitem""")),
 
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values

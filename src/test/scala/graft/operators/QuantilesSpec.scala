@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The exactness claim for the scale-safe quantile paths: both must be
+  * BIT-IDENTICAL to Spark's percentile() (which r9 proved ≡ DuckDB
+  * quantile_cont under the round-6 gate) on every distribution shape the
+  * bracket refinement can hit — uniform-ish, heavy ties, tiny n, single
+  * value, and a leaf forced through multiple histogram passes.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  private def referencePs(df: org.apache.spark.sql.DataFrame, value: String,
+      ps: Seq[Double]): Seq[Double] = {
+    val exprs = ps.map(p => expr(s"percentile($value, ${p}D)"))
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    ps.indices.map(r.getDouble)
+  }
+
+  test("histogram-bracket percentiles match percentile() bit-exactly") {
+    import spark.implicits._
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").cast(DoubleType).as("v"))
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles.percentiles(df, "v", ps)
+    val want = referencePs(df, "v", ps)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("bracket refinement survives heavy ties and forced refinement") {
+    import spark.implicits._
+    // 90% of mass on one value (the bracket that cannot shrink by range),
+    // leafLimit 16 forces refinement passes even at this size
+    val vals = (1 to 2000).map(i => if (i % 10 == 0) i.toDouble else 42.0)
+    val df = vals.toDF("v")
+    val ps = Seq(0.1, 0.5, 0.89, 0.95)
+    val got = Quantiles.percentiles(df, "v", ps, bins = 8, leafLimit = 16)
+    val want = referencePs(df, "v", ps)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("tiny inputs: single row and two distinct values interpolate") {
+    import spark.implicits._
+    val one = Seq(7.25).toDF("v")
+    assert(Quantiles.percentiles(one, "v", Seq(0.0, 0.5, 1.0))
+      == Seq(7.25, 7.25, 7.25))
+    val two = Seq(1.0, 2.0).toDF("v")
+    assert(Quantiles.percentiles(two, "v", Seq(0.5, 0.75))
+      == referencePs(two, "v", Seq(0.5, 0.75)))
+  }
+
+  test("grouped value-counts quantiles match percentile() per group") {
+    import spark.implicits._
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
+    val got = Quantiles.grouped(df, Seq("source"), "n_tok",
+      Seq(0.5, 0.9), Seq("p50", "p90"))
+    val want = df.groupBy("source").agg(
+      expr("percentile(n_tok, 0.5D)").as("p50"),
+      expr("percentile(n_tok, 0.9D)").as("p90"))
+    val j = got.as("g").join(want.as("w"), "source")
+      .select(col("g.p50") === col("w.p50"), col("g.p90") === col("w.p90"))
+      .collect()
+    assert(j.nonEmpty && j.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
+  test("grouped excludes nulls and keeps single-row groups exact") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(5.0))).toDF("k", "v")
+    val got = Quantiles.grouped(df, Seq("k"), "v", Seq(0.5), Seq("p50"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("a", 2.0), ("b", 5.0)))
+  }
+}
