@@ -68,16 +68,23 @@ object Bench {
         System.gc()
       }
       try {
-        // per-query WARM pass, then measure the second run: per-query
-        // first-touch costs (parquet footer reads, codegen compilation,
-        // lambda interpreter setup) land in the warm pass, not the
-        // measurement — driver-run benches carried 2-6x first-touch
-        // artifacts on whichever query paid them (r7: w5_upsample 1.93 s
-        // driver vs 0.31 s re-run of the same binary)
+        // per-query WARM pass, then MIN of two measured runs: the warm
+        // pass absorbs per-query first-touch costs (parquet footer reads,
+        // codegen compilation, lambda interpreter setup — r7: w5_upsample
+        // 1.93 s driver vs 0.31 s re-run of the same binary), and the min
+        // absorbs the residual jitter driver runs still showed after it
+        // (r9: llm_span_dedup 3.59 s driver vs 0.57 s locally — a JIT
+        // deopt/GC landing inside the single measured pass). Min, not
+        // mean: the floor is the reproducible cost of the plan; anything
+        // above it is the JVM, not the query.
         once(); clear()
-        val t0 = System.nanoTime()
-        once()
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          once()
+          val dt = (System.nanoTime() - t0) / 1e9
+          clear(); dt
+        }.min
+        name -> t
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         name -> -1.0

@@ -44,6 +44,59 @@ object Similarity {
     expr(s"concat(${bits.mkString(", ")})")
   }
 
+  /** Brute-force cosine top-k — the exhaustive baseline every ANN variant
+    * is measured against (see the `llm_ann_recall` composition). Exact
+    * cosine of every query against every candidate; correct at any scale
+    * but O(|q|·n) — the thing IVF/LSH/PQ exist to avoid.
+    */
+  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      roundScale: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val withNorm = e.withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val q = withNorm.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("dot", expr("vec_dot(qv, cv)"))
+      .withColumn("cos_r", round(col("dot") / (col("qn") * col("cn")),
+        roundScale))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_r"),
+        col("rn").cast(IntegerType).as("rn"))
+  }
+
+  /** DuckDB oracle for bruteTopK (the unnest-join dot formulation — the
+    * per-dimension SUM groups in index order, matching vec_dot's
+    * left-to-right accumulation bit-for-bit).
+    */
+  def bruteOracleSql(k: Int, roundScale: Int, queryIdBound: Int): String =
+    s"""WITH e AS (
+          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings) t),
+        n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+          FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $queryIdBound
+                           AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qid, cid,
+                 round(dot / (nq.nrm * nc.nrm), $roundScale) AS cos_r
+          FROM dots
+          JOIN n nq ON nq.vec_id = qid
+          JOIN n nc ON nc.vec_id = cid)
+        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT qid, cid, cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_r DESC, cid) AS rn
+              FROM scored) t
+        WHERE rn <= $k"""
+
   /** Bucketed ANN: `nTables` independent LSH tables (classic OR-
     * amplification — a pair is a candidate if it collides in ANY table),
     * exact cosine on the deduplicated candidates, top-k per query.

@@ -468,47 +468,50 @@ object LlmOps {
     // path is the banded variant in graft.llm.Similarity). zip_with +
     // aggregate keep the dot product inside codegen — no UDF, no explode.
     ("llm_cosine_topk",
+      (s, d) => graft.llm.Similarity.bruteTopK(embeddings(s, d),
+        col("vec_id") < AnnQueryBound, k = 5, roundScale = 4),
+      Some(graft.llm.Similarity.bruteOracleSql(
+        k = 5, roundScale = 4, queryIdBound = AnnQueryBound))),
+
+    // ANN RECALL@k — the measurement that tunes every approximate index:
+    // the IVF result set scored against the exhaustive baseline, per
+    // query. This is how nProbe/nLists get chosen at 100 TB — run the
+    // brute force on a bounded query sample, the candidate index on the
+    // same sample, and read recall off the join; both sides and the
+    // intersection are deterministic (shared rounding + tiebreaks), so
+    // the whole measurement is hash-gated.
+    ("llm_ann_recall",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val withNorm = e.withColumn("nrm",
-          expr("sqrt(vec_dot(v, v))"))
-        val q = withNorm.filter(col("vec_id") < AnnQueryBound)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val c = withNorm
-          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-        val scored = q.join(c, col("qid") =!= col("cid"))
-          .withColumn("dot",
-            expr("vec_dot(qv, cv)"))
-          .withColumn("cos_r", round(col("dot") / (col("qn") * col("cn")), 4))
-        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("qid"), col("cid"), col("cos_r"),
-            col("rn").cast(IntegerType).as("rn"))
+        val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
+          col("vec_id") < AnnQueryBound, k = 5, roundScale = 4)
+          .select("qid", "cid")
+        val approx = graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
+          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, k = 5,
+          roundScale = 4).select("qid", "cid")
+        val hits = exact.join(approx, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        exact.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / 5)
+              .as("recall_at_k"))
       },
-      Some(s"""WITH e AS (
-                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-                FROM (SELECT vec_id, embedding,
-                             unnest(generate_series(1, len(embedding))) AS i
-                      FROM embeddings) t),
-              n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
-              dots AS (
-                SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
-                FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $AnnQueryBound
-                                 AND c.vec_id <> q.vec_id
-                GROUP BY 1, 2),
-              scored AS (
-                SELECT qid, cid,
-                       round(dot / (nq.nrm * nc.nrm), 4) AS cos_r
-                FROM dots
-                JOIN n nq ON nq.vec_id = qid
-                JOIN n nc ON nc.vec_id = cid)
-              SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
-              FROM (SELECT qid, cid, cos_r,
-                           row_number() OVER (PARTITION BY qid
-                                              ORDER BY cos_r DESC, cid) AS rn
-                    FROM scored) t
-              WHERE rn <= 5""")),
+      Some(s"""WITH exact AS (
+                 ${graft.llm.Similarity.bruteOracleSql(
+                     k = 5, roundScale = 4, queryIdBound = AnnQueryBound)}),
+               approx AS (
+                 ${graft.llm.Similarity.ivfFixedOracleSql(
+                     dims = 64, nCentroids = 8, nProbe = 3, k = 5,
+                     roundScale = 4, queryIdBound = AnnQueryBound)}),
+               hits AS (SELECT e.qid, count(*) AS n_hit
+                        FROM exact e JOIN approx a
+                          ON a.qid = e.qid AND a.cid = e.cid
+                        GROUP BY 1),
+               qs AS (SELECT DISTINCT qid FROM exact)
+               SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_k
+               FROM qs q LEFT JOIN hits h ON h.qid = q.qid""")),
 
     // LSH-bucketed ANN join — the 100 TB path: candidates from a shuffle on
     // (table, signature) bucket, exact cosine only within buckets. The

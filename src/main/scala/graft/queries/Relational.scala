@@ -481,6 +481,35 @@ object Relational {
                      round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
               FROM lineitem""")),
 
+    // A14 — MEDIAN ABSOLUTE DEVIATION, the robust dispersion statistic
+    // (outlier detection that, unlike stddev, a single corrupt value
+    // cannot drag): a TWO-PHASE composition of the exact quantile
+    // machinery — median first, then the median of |x − median| over a
+    // derived column. The median is snapped to the 6-decimal gate grid
+    // BEFORE the deviation pass in BOTH engines, so the second-phase
+    // input is bit-identical across them by the round-6 equality the
+    // gate itself establishes. Memory stays O(bins) per pass; at scale
+    // this is 2× the quantile cost, never a buffer of the column.
+    ("a14_mad",
+      (s, d) => {
+        val med = graft.operators.Quantiles.round6(
+          graft.operators.Quantiles
+            .percentiles(lineitem(s, d), "l_extendedprice", Seq(0.5)).head)
+        val dev = lineitem(s, d)
+          .select(abs(col("l_extendedprice") - med).as("dev"))
+        val mad = graft.operators.Quantiles.round6(
+          graft.operators.Quantiles.percentiles(dev, "dev", Seq(0.5)).head)
+        s.range(1).select(lit(med).as("median"), lit(mad).as("mad"))
+      },
+      Some("""WITH m AS (
+                SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+                FROM lineitem),
+              dv AS (SELECT abs(l_extendedprice - med) AS dev
+                     FROM lineitem, m)
+              SELECT (SELECT med FROM m) AS median,
+                     round(quantile_cont(dev, 0.5), 6) AS mad
+              FROM dv""")),
+
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values
     // are FIXED (the scale contract — value discovery would cost an extra
