@@ -876,89 +876,42 @@ object Curation {
     // engine-deterministic (ties: freq desc, then lexicographic pair).
     ("llm_bpe_merges",
       (s, d) => {
-        val K = 5
-        val vocab = documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .select(concat(lit("••"),
-            regexp_replace(col("word"), "(.)", "$1••")).as("sy"), col("freq"))
-          .localCheckpoint()
-        var cur = vocab
-        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-        var exhausted = false
-        for (k <- 1 to K if !exhausted) {
-          val topOpt = cur
-            .select(col("freq"), split(col("sy"), "••").as("l"))
-            .filter(size(col("l")) >= 4)
-            .select(col("freq"),
-              explode(expr("""transform(sequence(2, size(l) - 2),
-                i -> struct(element_at(l, i) AS a, element_at(l, i+1) AS b))"""))
-                .as("p"))
-            .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-            .groupBy("a", "b").agg(sum(col("freq")).as("f"))
-            .orderBy(col("f").desc, col("a"), col("b")).limit(1)
-            .collect().headOption
-          if (topOpt.isEmpty) {
-            // no mergeable pair left (degenerate vocab of single-symbol
-            // words): stop, emitting k−1 rows — EXACTLY what the oracle
-            // does, where the empty m$k LIMIT 1 empties every later v$k
-            // cross join so iterations ≥ k contribute no merge rows.
-            // Without this guard the two engines diverged on degenerate
-            // input: Scala threw on .head() while the oracle returned
-            // fewer rows (ADVICE r9).
-            exhausted = true
-          } else {
-          val top = topOpt.get
-          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((k, a, b, f))
-          // checkpoint per iteration (the Scala analogue of the oracle's
-          // AS MATERIALIZED v$k): without it, iteration k's argmax action
-          // replays all k−1 prior replace projections from the vocab
-          // checkpoint — O(K²) vocabulary passes instead of K
-          cur = cur.select(call_function("replace", col("sy"),
-            lit("•" + a + "••" + b + "•"), lit("•" + a + b + "•")).as("sy"),
-            col("freq"))
-            .localCheckpoint()
-          }
-        }
         import s.implicits._
-        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+        bpeLearn(s, d, 5)._2
+          .toDF("merge_rank", "lhs", "rhs", "pair_freq")
           .select(col("merge_rank").cast(IntegerType), col("lhs"),
             col("rhs"), col("pair_freq"))
       },
       Some {
-        val iters = (1 to 5).map { k =>
-          val prev = s"v${k - 1}"
-          s"""p$k AS (
-                SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f
-                FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 2))
-                             AS i
-                      FROM (SELECT freq, string_split(sy, '••') AS l
-                            FROM $prev) x
-                      WHERE len(l) >= 4) t
-                GROUP BY 1, 2),
-              m$k AS MATERIALIZED (
-                SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
-              v$k AS MATERIALIZED (
-                SELECT replace(sy, '•' || m.a || '••' || m.b || '•',
-                               '•' || m.a || m.b || '•') AS sy, freq
-                FROM $prev, m$k m)"""
-        }.mkString(",\n              ")
         val out = (1 to 5).map(k =>
           s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, f AS pair_freq FROM m$k")
           .mkString("\n              UNION ALL ")
-        s"""WITH v0 AS MATERIALIZED (
-              SELECT '••' || regexp_replace(word, '(.)', '\\1••', 'g') AS sy,
-                     count(*) AS freq
-              FROM (SELECT unnest(string_split(text, ' ')) AS word
-                    FROM documents) w
-              WHERE word <> '' GROUP BY 1),
-              $iters
+        s"""WITH ${bpeChainSql(5)}
               SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,
                      CAST(pair_freq AS BIGINT) AS pair_freq
               FROM ($out) u"""
       }),
+
+    // BPE ENCODE — the learned merges APPLIED: the final vocabulary state
+    // after the K merge operations, per word — encoded symbol string,
+    // symbol count, corpus frequency. This is the tokenizer-apply half of
+    // the train/apply pair (llm_bpe_merges learns; this emits what the
+    // tokenizer would do to every word), and the shape a 100 TB encode
+    // takes: the merge table is a driver-bounded literal chain, the
+    // corpus pass is ONE vocabulary aggregation plus K narrow replace
+    // projections over the vocabulary frame — documents are never
+    // re-scanned per merge.
+    ("llm_bpe_encode",
+      (s, d) => bpeLearn(s, d, 5)._1
+        .select(col("word"), col("freq"),
+          (size(split(col("sy"), "••")) - 2).cast(IntegerType).as("n_sym"),
+          col("sy").as("enc")),
+      Some(s"""WITH ${bpeChainSql(5)}
+               SELECT word, CAST(freq AS BIGINT) AS freq,
+                      CAST(len(string_split(sy, '••')) - 2 AS INTEGER)
+                        AS n_sym,
+                      sy AS enc
+               FROM v5""")),
 
     // DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — the hashed-ngram
@@ -1068,6 +1021,100 @@ object Curation {
     * 1.66 s vs 0.62 s for this fan-out alone at sf0.1. split keeps a
     * trailing "" (limit -1), hence size(cs)-2.
     */
+  /** Shared BPE core (Sennrich et al. 2016): ONE corpus-sized aggregation
+    * builds the (word, freq) vocabulary; the K iterations then run over
+    * the VOCABULARY frame only (Zipf keeps it ~10⁷ rows at 100 TB —
+    * against that the per-iteration argmax is a bounded 1-row collect,
+    * the IVF sample rule). Merge application is a plain string replace
+    * over the double-separator encoding ••s1••s2••…: the pair pattern
+    * •a••b• consumes ONE separator from each double edge, so adjacent
+    * occurrences keep their boundary and replace()'s left-to-right
+    * non-overlapping scan IS the BPE greedy merge — identical in Spark
+    * and DuckDB (ties: freq desc, then lexicographic pair). Returns the
+    * final encoded vocabulary (word, sy, freq) and the learned merges.
+    * If no mergeable pair remains before K (degenerate single-symbol
+    * vocab), learning stops early and the vocabulary freezes — exactly
+    * the oracle chain's LEFT JOIN against the empty m$k (ADVICE r9).
+    */
+  private def bpeLearn(s: SparkSession, d: String, K: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), concat(lit("••"),
+        regexp_replace(col("word"), "(.)", "$1••")).as("sy"), col("freq"))
+      .localCheckpoint()
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (k <- 1 to K if !exhausted) {
+      val topOpt = cur
+        .select(col("freq"), split(col("sy"), "••").as("l"))
+        .filter(size(col("l")) >= 4)
+        .select(col("freq"),
+          explode(expr("""transform(sequence(2, size(l) - 2),
+            i -> struct(element_at(l, i) AS a, element_at(l, i+1) AS b))"""))
+            .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("a"), col("b")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) exhausted = true
+      else {
+        val top = topOpt.get
+        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((k, a, b, f))
+        // checkpoint per iteration (the Scala analogue of the oracle's
+        // AS MATERIALIZED v$k): without it, iteration k's argmax action
+        // replays all k−1 prior replace projections from the vocab
+        // checkpoint — O(K²) vocabulary passes instead of K
+        cur = cur.select(col("word"),
+          call_function("replace", col("sy"),
+            lit("•" + a + "••" + b + "•"), lit("•" + a + b + "•")).as("sy"),
+          col("freq"))
+          .localCheckpoint()
+      }
+    }
+    (cur, merges.toSeq)
+  }
+
+  /** The DuckDB twin of bpeLearn as a WITH-clause body: v0 (vocabulary)
+    * through vK (encoded vocabulary), with p$k/m$k pair-count/argmax CTEs
+    * per iteration. v$k LEFT JOINs its merge so an empty m$k freezes the
+    * vocabulary instead of emptying it — mirroring bpeLearn's early stop.
+    */
+  private def bpeChainSql(K: Int): String = {
+    val iters = (1 to K).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS (
+            SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f
+            FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 2))
+                         AS i
+                  FROM (SELECT freq, string_split(sy, '••') AS l
+                        FROM $prev) x
+                  WHERE len(l) >= 4) t
+            GROUP BY 1, 2),
+          m$k AS MATERIALIZED (
+            SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
+          v$k AS MATERIALIZED (
+            SELECT word,
+                   CASE WHEN m.a IS NULL THEN sy
+                        ELSE replace(sy, '•' || m.a || '••' || m.b || '•',
+                                     '•' || m.a || m.b || '•') END AS sy,
+                   freq
+            FROM $prev LEFT JOIN m$k m ON TRUE)"""
+    }.mkString(",\n          ")
+    s"""v0 AS MATERIALIZED (
+          SELECT word,
+                 '••' || regexp_replace(word, '(.)', '\\1••', 'g') AS sy,
+                 count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents) w
+          WHERE word <> '' GROUP BY 1),
+          $iters"""
+  }
+
   private def lmModelArrays(s: SparkSession, d: String,
       trainPred: Column): (Array[Long], Array[Double]) = {
     val grams = documents(s, d).filter(trainPred)
