@@ -235,6 +235,59 @@ object Windows {
               FROM l, generate_series(0, 3) t(q)
               WHERE nxt IS NOT NULL OR q = 0""")),
 
+    // W25 — calendar DENSIFICATION + LOCF gap fill (the step-function
+    // twin of W19's linear interpolation — prices and settings hold
+    // until republished, so forward-fill is the correct semantics where
+    // W19's slope is not): the dense grid is |entities| × |hours| (a
+    // broadcastable dim cross join, NOT a data-sized operation), the
+    // sparse series left-joins onto it, and last(ignoreNulls) over the
+    // per-entity time order carries observations forward. One window
+    // pass, partition-parallel across entities; leading gaps stay null
+    // (nothing to carry). Gaps are deliberate (every hour ≡ 1 mod 3
+    // withheld) so the fill path is actually exercised.
+    ("w25_locf",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hora"))
+          .agg(dsum2(col("value")).as("v"))
+        val sparse = hourly.filter(hour(col("hora")) % 3 =!= 1)
+        val grid = hourly.select("hora").distinct()
+          .crossJoin(hourly.select("event_type").distinct())
+        val w = Window.partitionBy("event_type").orderBy("hora")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(sparse, Seq("event_type", "hora"), "left")
+          .select(col("event_type"), col("hora").as("datetime_utc"),
+            col("v").as("v_obs"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+            when(col("v").isNull, 1).otherwise(0)
+              .cast(IntegerType).as("was_gap"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                  AS hora,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                     AS DOUBLE) AS v
+                         FROM events GROUP BY 1, 2),
+                   grid AS (SELECT t.event_type, r.hora
+                            FROM (SELECT DISTINCT hora FROM h) r
+                            CROSS JOIN (SELECT DISTINCT event_type
+                                        FROM h) t),
+                   j AS (SELECT g.event_type, g.hora, s.v
+                         FROM grid g
+                         LEFT JOIN (SELECT * FROM h
+                                    WHERE hour(hora) % 3 <> 1) s
+                           ON s.event_type = g.event_type
+                          AND s.hora = g.hora)
+              SELECT event_type, hora AS datetime_utc, v AS v_obs,
+                     last_value(v IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY hora
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS v_filled,
+                     CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END
+                          AS INTEGER) AS was_gap
+              FROM j""")),
+
     // W11 — 24-row rolling mean over a daily series
     // ref: read/natlanguage_duckdb_queries.py:246-252
     ("w11_rolling_avg",

@@ -201,15 +201,33 @@ class PlanAuditSpec extends SparkSpec {
       "a12 lost map-side combine")
   }
 
-  test("winsorize never sorts the fact table") {
-    // percentile is an aggregate and the clip is a narrow map — a Sort
-    // node over the lineitem scan would mean a quantile-by-sort regression
+  test("winsorize never sorts, joins, or value-buffers the fact table") {
+    // the cutoffs come from the histogram-bracket selection and embed as
+    // literals: the final plan must be scan → narrow map → aggregate.
+    // A Sort would mean quantile-by-sort; a Percentile aggregate would
+    // mean the linear-memory buffer is back; a Join would mean the old
+    // crossJoin-the-cutoffs shape returned.
     val p = plan("a11_winsorize")
     assert(!p.linesIterator.exists(l =>
       l.contains("Sort ") && l.contains("l_extendedprice")),
       s"a11 sorts the fact table:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"a11 cutoffs not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"a11 buffers values in a percentile aggregate again:\n$p")
+    assert(!p.contains("Join"), s"a11 re-grew a cutoff join:\n$p")
+  }
+
+  test("quantile bracket re-scans push their range conjunct to parquet") {
+    // each refinement pass filters on a plain value range exactly so the
+    // parquet reader can prune row groups by min/max stats — losing the
+    // pushdown turns every pass into a full-table scan at 100 TB
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .filter(col("__v") >= 1000.0 && col("__v") <= 2000.0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_extendedprice,1000.0)"),
+      s"bracket range filter not pushed to the scan:\n$p")
   }
 
   test("bucketed fact tables join without an exchange") {
