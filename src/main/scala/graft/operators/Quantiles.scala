@@ -158,11 +158,14 @@ object Quantiles {
             if (acc == null) when(grp.head._2.pred, i)
             else acc.when(grp.head._2.pred, i)
           }
+        // collected UNSORTED (driver-side sort of ≤ leafLimit metadata
+        // rows beats a whole range-partitioning exchange in the plan)
         val rows = base.select(tag.as("__t"), v)
           .filter(col("__t").isNotNull)
           .groupBy(col("__t"), v).agg(count(lit(1)).as("c"))
-          .orderBy(col("__t"), v).collect()
+          .collect()
         val byTag = rows.groupBy(_.getInt(0))
+          .map { case (t, rs) => t -> rs.sortBy(_.getDouble(1)) }
         for ((grp, i) <- scanGroups.zipWithIndex; (k, b) <- grp) {
           val vs = byTag(i)
           var acc = 0L; var j = 0; var found = false
@@ -193,11 +196,13 @@ object Quantiles {
             if (acc == null) when(grp.head._2.pred, binExpr(grp.head._2))
             else acc.when(grp.head._2.pred, binExpr(grp.head._2))
           }
+        // unsorted collect + driver-side sort, as above
         val hist = base.select(tag.as("__t"), bin.as("__b"))
           .filter(col("__t").isNotNull)
           .groupBy(col("__t"), col("__b")).agg(count(lit(1)).as("c"))
-          .orderBy(col("__t"), col("__b")).collect()
+          .collect()
         val byTag = hist.groupBy(_.getInt(0))
+          .map { case (t, rs) => t -> rs.sortBy(_.getInt(1)) }
         for ((grp, i) <- refGroups.zipWithIndex) {
           val b0 = grp.head._2
           val w = (b0.hi - b0.lo) / bins

@@ -269,6 +269,62 @@ object LlmOps {
     ("llm_minhash_dedup", (s, d) => minhashPairs(s, d),
       Some("WITH " + minhashPairsSql + " SELECT d1, d2, jac FROM pairs")),
 
+    // MinHash-LSH candidate RECALL — the dedup twin of llm_ann_recall and
+    // the measurement that tunes the (bands, rows) banding scheme: ground
+    // truth is the EXHAUSTIVE exact Jaccard over a bounded doc subset
+    // (the only place all-pairs is affordable — the same bounded-sample
+    // rule as the IVF trainer and the CCNet cutoffs), the candidate arm
+    // is the production LSH pipeline with the subset predicate pushed
+    // into its band join. One summary row: truth pairs, LSH pairs, hits,
+    // recall — at 100 TB this runs on a sampled shard and reads the
+    // band-miss rate straight off the result.
+    ("llm_minhash_recall",
+      (s, d) => {
+        val B = 40
+        val profFull = shingleProfile(s, d)
+        val prof = profFull.filter(col("doc_id") < B)
+        val truth = prof.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+            col("c").as("ca"))
+          .join(prof.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+            col("c").as("cb")), col("d1") < col("d2"))
+          .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
+          .filter(col("ic").cast(DoubleType)
+            / (col("ca") + col("cb") - col("ic")) >= 0.4)
+          .select("d1", "d2")
+        val lsh = minhashPairs(s, d, prof = Some(profFull),
+          pairPred = Some((_, y) => y < B)).select("d1", "d2")
+        val nt = truth.agg(count(lit(1)).as("n_truth"))
+        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nh = truth.join(lsh, Seq("d1", "d2"))
+          .agg(count(lit(1)).as("n_hit"))
+        nt.crossJoin(nl).crossJoin(nh)
+          .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+            when(col("n_truth") === 0, lit(null).cast(DoubleType))
+              .otherwise(col("n_hit").cast(DoubleType) / col("n_truth"))
+              .as("recall"))
+      },
+      Some("WITH " + minhashPairsSql + """,
+            lsh AS (SELECT d1, d2 FROM pairs WHERE d2 < 40),
+            tinter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+              FROM shh a JOIN shh b ON a.x = b.x AND a.doc_id < b.doc_id
+              WHERE a.doc_id < 40 AND b.doc_id < 40 GROUP BY 1, 2),
+            truth AS (
+              SELECT d1, d2 FROM tinter
+              JOIN cnt ca ON ca.doc_id = d1
+              JOIN cnt cb ON cb.doc_id = d2
+              WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.4),
+            m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                         (SELECT count(*) FROM lsh) AS n_lsh,
+                         (SELECT count(*) FROM truth t JOIN lsh l
+                            ON l.d1 = t.d1 AND l.d2 = t.d2) AS n_hit)
+            SELECT CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(n_lsh AS BIGINT) AS n_lsh,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_truth = 0 THEN NULL
+                        ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
+            FROM m""")),
+
     // Dedup CLUSTERING: connected components over the near-dup pair graph,
     // via min-label propagation — each doc's label converges to the
     // smallest doc_id in its component (= the canonical keeper). The
