@@ -271,28 +271,35 @@ object LlmOps {
 
     // MinHash-LSH candidate RECALL — the dedup twin of llm_ann_recall and
     // the measurement that tunes the (bands, rows) banding scheme: ground
-    // truth is the EXHAUSTIVE exact Jaccard over a bounded doc subset
-    // (the only place all-pairs is affordable — the same bounded-sample
-    // rule as the IVF trainer and the CCNet cutoffs), the candidate arm
-    // is the production LSH pipeline with the subset predicate pushed
-    // into its band join. One summary row: truth pairs, LSH pairs, hits,
-    // recall — at 100 TB this runs on a sampled shard and reads the
-    // band-miss rate straight off the result.
+    // truth is the exhaustive exact Jaccard over a SAMPLED doc subset
+    // (id-parity here — an id-hash sample in production; the only place
+    // all-pairs truth is affordable, the same bounded-sample rule as the
+    // IVF trainer and the CCNet cutoffs), computed through the inverted
+    // index (explode → code self-join → pair counts — pairs sharing no
+    // shingle have J=0 and never materialize), NOT an n² array
+    // intersect. The candidate arm is the production LSH pipeline with
+    // the subset predicate pushed into its band join. One summary row:
+    // truth pairs, LSH pairs, hits, recall — the band-miss rate read
+    // straight off a sampled shard.
     ("llm_minhash_recall",
       (s, d) => {
-        val B = 40
         val profFull = shingleProfile(s, d)
-        val prof = profFull.filter(col("doc_id") < B)
-        val truth = prof.select(col("doc_id").as("d1"), col("hs").as("hs1"),
-            col("c").as("ca"))
-          .join(prof.select(col("doc_id").as("d2"), col("hs").as("hs2"),
-            col("c").as("cb")), col("d1") < col("d2"))
-          .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
+        val sub = profFull.filter(col("doc_id") % 2 === 0)
+        val ex = sub.select(col("doc_id"), explode(col("hs")).as("x"))
+        val inter = ex.as("a")
+          .join(ex.as("b"), col("a.x") === col("b.x") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("ic"))
+        val truth = inter
+          .join(sub.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
+          .join(sub.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
           .filter(col("ic").cast(DoubleType)
             / (col("ca") + col("cb") - col("ic")) >= 0.4)
           .select("d1", "d2")
         val lsh = minhashPairs(s, d, prof = Some(profFull),
-          pairPred = Some((_, y) => y < B)).select("d1", "d2")
+          pairPred = Some((x, y) => x % 2 === 0 && y % 2 === 0))
+          .select("d1", "d2")
         val nt = truth.agg(count(lit(1)).as("n_truth"))
         val nl = lsh.agg(count(lit(1)).as("n_lsh"))
         val nh = truth.join(lsh, Seq("d1", "d2"))
@@ -304,11 +311,12 @@ object LlmOps {
               .as("recall"))
       },
       Some("WITH " + minhashPairsSql + """,
-            lsh AS (SELECT d1, d2 FROM pairs WHERE d2 < 40),
+            lsh AS (SELECT d1, d2 FROM pairs
+                    WHERE d1 % 2 = 0 AND d2 % 2 = 0),
             tinter AS (
               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
               FROM shh a JOIN shh b ON a.x = b.x AND a.doc_id < b.doc_id
-              WHERE a.doc_id < 40 AND b.doc_id < 40 GROUP BY 1, 2),
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
             truth AS (
               SELECT d1, d2 FROM tinter
               JOIN cnt ca ON ca.doc_id = d1
