@@ -510,6 +510,37 @@ object Relational {
                      round(quantile_cont(dev, 0.5), 6) AS mad
               FROM dv""")),
 
+    // A15 — robust SPIKE DETECTION (the anomaly gate a price/volume feed
+    // runs before publishing): |x − median| > k·MAD flags, per series.
+    // Median and MAD come from the same histogram-bracket machinery as
+    // A14 — both snapped to the 6-decimal gate grid before the flag pass,
+    // so the threshold is one literal and flagging is a single narrow
+    // scan + aggregation. stddev-based z-scores would let one corrupt
+    // batch drag its own threshold; MAD is what holds on dirty feeds.
+    ("a15_spike_flags",
+      (s, d) => {
+        import graft.operators.Quantiles.{percentiles, round6}
+        val ev = events(s, d).select(col("event_type"),
+          col("value").cast(DoubleType).as("v"))
+        val med = round6(percentiles(ev, "v", Seq(0.5)).head)
+        val mad = round6(percentiles(
+          ev.select(abs(col("v") - med).as("dev")), "dev", Seq(0.5)).head)
+        ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(abs(col("v") - med) > 3.0 * mad, 1).otherwise(0))
+            .cast(LongType).as("n_spikes"))
+      },
+      Some("""WITH m AS (
+                SELECT round(quantile_cont(value, 0.5), 6) AS med
+                FROM events),
+              md AS (
+                SELECT round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+                FROM events, m)
+              SELECT event_type, count(*) AS n,
+                     CAST(SUM(CASE WHEN abs(value - m.med) > 3 * md.mad
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+              FROM events, m, md GROUP BY 1""")),
+
     // O5 — long→wide PIVOT, the inverse of the S3 melt: per-returnflag
     // quantity totals pivoted into one column per linestatus. Pivot values
     // are FIXED (the scale contract — value discovery would cost an extra
