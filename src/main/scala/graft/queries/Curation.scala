@@ -361,16 +361,27 @@ object Curation {
         val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
         val nDf = documents(s, d)
           .agg(countDistinct(col("doc_id")).cast(DoubleType).as("n"))
-        val scored = toks.join(dfreq, "tok")
-          .crossJoin(broadcast(nDf))
+        // df is an AGGREGATE of the term stream — map-side partials shrink
+        // it to ≤|vocab| rows per partition before its shuffle, and the
+        // result broadcasts back so the fat (doc, term, tf) stream never
+        // re-shuffles on tok; the per-doc top-3 then runs as the bounded
+        // topk_structs aggregate over the still-pinned doc_id partitioning
+        // (hash-identical to the row_number window — the o4 precedent)
+        // instead of a window sort. ONE fat exchange end to end. At a
+        // web-scale vocabulary (10⁸+ noise tokens) the broadcast arm
+        // flips back to a shuffle join — that regime's vocabulary no
+        // longer fits an executor; this corpus-health query assumes the
+        // curated-vocab regime.
+        val scored = toks.join(broadcast(dfreq.crossJoin(nDf)), "tok")
           .withColumn("score_r",
             round(col("tf") * log(col("n") / col("df")), 6))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score_r").desc, col("tok"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("doc_id"), col("tok").as("term"), col("score_r"),
-            col("rank").cast(IntegerType).as("rank"))
+        scored.groupBy("doc_id")
+          .agg(expr("topk_structs(struct(score_r, tok), 3, array(true, false))")
+            .as("top"))
+          .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "r")))
+          .select(col("doc_id"), col("r.tok").as("term"),
+            col("r.score_r").as("score_r"),
+            (col("pos") + 1).cast(IntegerType).as("rank"))
       },
       Some("""WITH t AS (
                 SELECT doc_id, tok, count(*) AS tf
