@@ -15,6 +15,41 @@ object Windows {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared funnel-step derivation (w16 conversion counts, w26 step
+    * latencies): per user, earliest signup, earliest click strictly
+    * after it, earliest purchase strictly after that. Each step is a
+    * (user_id, min-ts) aggregate — map-side partials shrink every branch
+    * to ≤|users| rows per task before its exchange.
+    */
+  private def funnelSteps(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def step(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val s1 = step("signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = step("click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = step("purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    (s1, s2, s3)
+  }
+
+  /** The DuckDB twin of funnelSteps as a WITH-clause body (e, s1-s3). */
+  private val funnelStepsSql =
+    """e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+            FROM events),
+       s1 AS (SELECT user_id, min(t) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(t) AS t2
+              FROM e JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+       s3 AS (SELECT e.user_id, min(t) AS t3
+              FROM e JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)"""
+
   val all: Seq[(String, Q, Option[String])] = Seq(
 
     // W3 — hourly label build + parse ("HH-HH+1" → hour), regex-based
@@ -633,17 +668,7 @@ object Windows {
     // row is a cross join of bounded 1-row aggregates.
     ("w16_funnel",
       (s, d) => {
-        def step(t: String) = events(s, d)
-          .filter(col("event_type") === t)
-          .select(col("user_id"), col("ts"))
-        val s1 = step("signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val s2 = step("click")
-          .join(s1, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val s3 = step("purchase")
-          .join(s2, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        val (s1, s2, s3) = funnelSteps(s, d)
         s1.agg(count(lit(1)).as("n_signup"))
           .crossJoin(s2.agg(count(lit(1)).as("n_click")))
           .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
@@ -652,21 +677,56 @@ object Windows {
           .withColumn("conversion",
             col("n_purchase").cast(DoubleType) / col("n_signup"))
       },
-      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
-                         FROM events),
-                   s1 AS (SELECT user_id, min(t) AS t1 FROM e
-                          WHERE event_type = 'signup' GROUP BY 1),
-                   s2 AS (SELECT e.user_id, min(t) AS t2
-                          FROM e JOIN s1 USING (user_id)
-                          WHERE event_type = 'click' AND t > t1 GROUP BY 1),
-                   s3 AS (SELECT e.user_id, min(t) AS t3
-                          FROM e JOIN s2 USING (user_id)
-                          WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+      Some(s"""WITH $funnelStepsSql
               SELECT n_signup, n_click, n_purchase,
                      CAST(n_purchase AS DOUBLE) / n_signup AS conversion
               FROM (SELECT (SELECT count(*) FROM s1) AS n_signup,
                            (SELECT count(*) FROM s2) AS n_click,
                            (SELECT count(*) FROM s3) AS n_purchase) t""")),
+
+    // W26 — FUNNEL STEP LATENCY: the time-to-convert distribution per
+    // transition, composed from the shared funnel steps and the exact
+    // grouped-quantile machinery (value-counts ranking — epoch-second
+    // deltas are a bounded integer domain, so the quantile input shrinks
+    // to distinct deltas before any ranking). n + exact p50/p90 seconds
+    // per step; the numbers a growth dashboard actually plots next to
+    // w16's conversion rates.
+    ("w26_funnel_latency",
+      (s, d) => {
+        val (s1, s2, s3) = funnelSteps(s, d)
+        val deltas = s2.join(s1, "user_id")
+          .select(lit("1_signup_to_click").as("step"),
+            (unix_timestamp(col("t2")) - unix_timestamp(col("t1")))
+              .cast(DoubleType).as("delta_s"))
+          .unionByName(s3.join(s2, "user_id")
+            .select(lit("2_click_to_purchase").as("step"),
+              (unix_timestamp(col("t3")) - unix_timestamp(col("t2")))
+                .cast(DoubleType).as("delta_s")))
+        val q = graft.operators.Quantiles.grouped(deltas, Seq("step"),
+          "delta_s", Seq(0.5, 0.9), Seq("p50_raw", "p90_raw"))
+        deltas.groupBy("step").agg(count(lit(1)).as("n"))
+          .join(broadcast(q), Seq("step"))
+          .select(col("step"), col("n"),
+            round(col("p50_raw"), 6).as("p50_s"),
+            round(col("p90_raw"), 6).as("p90_s"))
+      },
+      Some(s"""WITH $funnelStepsSql,
+                   dl AS (
+                     SELECT '1_signup_to_click' AS step,
+                            CAST(epoch_us(t2) // 1000000
+                                 - epoch_us(t1) // 1000000 AS DOUBLE)
+                              AS delta_s
+                     FROM s2 JOIN s1 USING (user_id)
+                     UNION ALL
+                     SELECT '2_click_to_purchase' AS step,
+                            CAST(epoch_us(t3) // 1000000
+                                 - epoch_us(t2) // 1000000 AS DOUBLE)
+                              AS delta_s
+                     FROM s3 JOIN s2 USING (user_id))
+              SELECT step, count(*) AS n,
+                     round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+                     round(quantile_cont(delta_s, 0.9), 6) AS p90_s
+              FROM dl GROUP BY 1""")),
 
     // W17 — RETENTION COHORTS: users grouped by first-seen day, activity
     // counted per (cohort, day-offset), retention as the share of the
