@@ -708,6 +708,40 @@ object Relational {
       Some("""SELECT CAST(year(mx) AS INTEGER) AS y, CAST(month(mx) AS INTEGER) AS m
               FROM (SELECT max(o_orderdate) AS mx FROM orders) t""")),
 
+    // O7 — MISSING-PARTITION discovery (the backfill probe behind the
+    // reference's 93-day download window: which expected partitions have
+    // never landed?): the loaded set is a distinct aggregate — map-side
+    // partials shrink it to |partitions| rows per task — anti-joined
+    // from a literal calendar grid, so the whole probe is
+    // metadata-sized however big the lake is. Gap months are simulated
+    // by withholding month ≡ 2 (mod 5) from the loaded set; trailing
+    // months past the last load surface as missing too, exactly what a
+    // backfill wants. ref: extract/esios_extractor.py:44,
+    // utilidades/raw_file_utils.py:316-419
+    ("o7_missing_partitions",
+      (s, d) => {
+        val loaded = orders(s, d)
+          .filter(month(col("o_orderdate")) % 5 =!= 2)
+          .select(year(col("o_orderdate")).cast(IntegerType).as("y"),
+            month(col("o_orderdate")).cast(IntegerType).as("m"))
+          .distinct()
+        val grid = s.range(1992, 1999)
+          .select(col("id").cast(IntegerType).as("y"))
+          .crossJoin(s.range(1, 13).select(col("id").cast(IntegerType).as("m")))
+        grid.join(broadcast(loaded), Seq("y", "m"), "left_anti")
+      },
+      Some("""WITH loaded AS (
+                SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y,
+                       CAST(month(o_orderdate) AS INTEGER) AS m
+                FROM orders WHERE month(o_orderdate) % 5 <> 2),
+              grid AS (
+                SELECT CAST(g.y AS INTEGER) AS y, CAST(h.m AS INTEGER) AS m
+                FROM generate_series(1992, 1998) g(y),
+                     generate_series(1, 12) h(m))
+              SELECT y, m FROM grid
+              WHERE NOT EXISTS (SELECT 1 FROM loaded l
+                                WHERE l.y = grid.y AND l.m = grid.m)""")),
+
     // S11 — predicate-pushdown scan (filters reach the parquet reader)
     // ref: utilidades/db_utils.py:224-301
     ("s11_pruned_scan",
