@@ -89,12 +89,22 @@ object Quantiles {
   def percentiles(df: DataFrame, value: String, ps: Seq[Double],
       bins: Int = 4096, leafLimit: Long = 1L << 16): Seq[Double] = {
     require(ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
+    require(bins >= 2 && bins <= (1 << 20),
+      "bins in [2, 2^20] (bin ids must stay exactly double-representable)")
     val base = df.select(col(value).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)
     val st = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
     val n = st.getLong(0)
     require(n > 0, "percentile of empty input")
     val mn = st.getDouble(1); val mx = st.getDouble(2)
+    // Spark orders NaN above every double, so max() surfaces any NaN in
+    // the column; ±Inf surfaces as the min/max itself. Neither has a
+    // cross-engine percentile semantics worth chasing (DuckDB and Spark
+    // already disagree on them), and both would poison the bracket
+    // arithmetic — reject loudly instead of returning garbage.
+    require(!mx.isNaN && !mn.isInfinity && !mx.isInfinity,
+      s"percentiles: non-finite values in '$value' (min=$mn, max=$mx) — " +
+        "filter NaN/Inf out first; their ordering is engine-specific")
     val ranks = ps.flatMap { p =>
       val pos = p * (n - 1)
       Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
@@ -118,6 +128,40 @@ object Quantiles {
   private final case class Bracket(
       pred: Column, lo: Double, hi: Double, offset: Long, cnt: Long)
 
+  /** Per-bin width, overflow-safe: (hi − lo) exceeds Double.MaxValue when
+    * a bracket spans huge values of both signs, so divide endpoints first
+    * in that regime. Finite whenever lo/hi are (which percentiles()
+    * enforces).
+    */
+  private def width(lo: Double, hi: Double, bins: Int): Double = {
+    val r = hi - lo
+    if (r.isInfinity) hi / bins - lo / bins else r / bins
+  }
+
+  /** Bin edge `lo + w·bin` without the w·bin overflow on astronomically
+    * wide brackets (endpoint interpolation keeps every intermediate
+    * within ±max(|lo|, |hi|)).
+    */
+  private def edge(lo: Double, hi: Double, bins: Int, bin: Long): Double =
+    if ((hi - lo).isInfinity) lo / bins * (bins - bin) + hi / bins * bin
+    else lo + (hi - lo) / bins * bin
+
+  /** The bin-assignment expression for a bracket. In the overflow regime
+    * (v − lo) is as unsafe as (hi − lo), so the division distributes;
+    * otherwise the plain form (numerically tighter once brackets are
+    * narrow — the dominant case after pass 1). Only internal consistency
+    * matters: the SAME expression assigns the histogram bin and later
+    * selects the bin's members, so rounding can never disagree with
+    * itself.
+    */
+  private def binExpr(v: Column, b: Bracket, bins: Int): Column = {
+    val w = width(b.lo, b.hi, bins)
+    val raw =
+      if ((b.hi - b.lo).isInfinity) floor(v / w - b.lo / w)
+      else floor((v - b.lo) / w)
+    least(greatest(raw, lit(0L)), lit((bins - 1).toLong)).cast(IntegerType)
+  }
+
   private def valuesAtRanks(base: DataFrame, n: Long, mn: Double,
       mx: Double, ranks: Seq[Long], bins: Int, leafLimit: Long)
       : Map[Long, Double] = {
@@ -131,41 +175,72 @@ object Quantiles {
     while (active.nonEmpty) {
       pass += 1
       // a bracket leafs when its population collects safely, when every
-      // value is identical, or when its range is within `bins` ulps (the
+      // value is identical, or when a bin narrows below one ulp (the
       // histogram can no longer split it, but then it holds ≤ bins+1
       // distinct doubles, so the distinct-leaf stays bounded); the pass
-      // cap is a pure backstop — range shrinks bins× per pass, so 40
+      // cap is a pure backstop — the range shrinks bins× per pass, so 40
       // passes out-divide the entire double dynamic range
       val (leaf, refine) = active.partition { case (_, b) =>
         b.cnt <= leafLimit || b.lo == b.hi || pass > 40 ||
-          (b.hi - b.lo) <=
-            math.ulp(math.max(math.abs(b.lo), math.abs(b.hi))) * bins
+          width(b.lo, b.hi, bins) <=
+            math.ulp(math.max(math.abs(b.lo), math.abs(b.hi)))
       }
       // brackets for nearby ranks coincide (p01's floor/ceil ranks, both
       // tails on the first pass) — dedup them; DISTINCT brackets are
       // pairwise disjoint by construction (identical parents dedup, and
-      // children of one parent are different bins), so every bracket at
-      // this pass shares ONE tagged scan: at 100 TB a pass costs one
-      // column read however many quantiles are in flight.
+      // children of one parent are different bins), so EVERY bracket at
+      // this pass — leaf value-counts and refinement histograms alike —
+      // shares ONE tagged scan, keyed by the value for leaf tags and the
+      // (exactly double-representable) bin id for refine tags: at 100 TB
+      // a pass costs one column read however many quantiles are in
+      // flight and whatever stage each has reached.
       val leafGroups = leaf.groupBy { case (_, b) => (b.lo, b.hi, b.cnt) }
         .values.toSeq
       val (constGroups, scanGroups) =
         leafGroups.partition(g => g.head._2.lo == g.head._2.hi)
       constGroups.foreach(_.foreach { case (k, b) => out(k) = b.lo })
-      if (scanGroups.nonEmpty) {
-        val tag = scanGroups.zipWithIndex
+      val refGroups = refine.groupBy { case (_, b) => (b.lo, b.hi, b.cnt) }
+        .values.toSeq
+      val allGroups = scanGroups ++ refGroups
+      val next = mutable.ArrayBuffer[(Long, Bracket)]()
+      if (allGroups.nonEmpty) {
+        def keyOf(grp: Seq[(Long, Bracket)], i: Int): Column =
+          if (i < scanGroups.length) v
+          else binExpr(v, grp.head._2, bins).cast(DoubleType)
+        val tag = allGroups.zipWithIndex
           .foldLeft(null: Column) { case (acc, (grp, i)) =>
             if (acc == null) when(grp.head._2.pred, i)
             else acc.when(grp.head._2.pred, i)
           }
-        // collected UNSORTED (driver-side sort of ≤ leafLimit metadata
-        // rows beats a whole range-partitioning exchange in the plan)
-        val rows = base.select(tag.as("__t"), v)
+        val key = allGroups.zipWithIndex
+          .foldLeft(null: Column) { case (acc, (grp, i)) =>
+            if (acc == null) when(grp.head._2.pred, keyOf(grp, i))
+            else acc.when(grp.head._2.pred, keyOf(grp, i))
+          }
+        // STANDALONE range prefilter — an OR of plain ge/le ranges (one
+        // bin-width slack per bracket, so it is a strict superset of the
+        // exact CASE membership below): the tag CASE traps its embedded
+        // range conjuncts where the parquet filter translator cannot see
+        // them, so without this separate pure-comparison filter NOTHING
+        // reaches PushedFilters and every narrowed re-scan reads the
+        // whole table (caught by the real-plan audit in QuantilesSpec)
+        def clampLo(x: Double) = if (x.isNegInfinity) -Double.MaxValue else x
+        def clampHi(x: Double) = if (x.isPosInfinity) Double.MaxValue else x
+        val range = allGroups.map { grp =>
+          val b = grp.head._2
+          val w = width(b.lo, b.hi, bins)
+          v >= clampLo(b.lo - w) && v <= clampHi(b.hi + w)
+        }.reduce(_ || _)
+        // collected UNSORTED (driver-side sort of metadata-sized results
+        // beats a whole range-partitioning exchange in the plan)
+        val rows = base.filter(range)
+          .select(tag.as("__t"), key.as("__k"))
           .filter(col("__t").isNotNull)
-          .groupBy(col("__t"), v).agg(count(lit(1)).as("c"))
+          .groupBy(col("__t"), col("__k")).agg(count(lit(1)).as("c"))
           .collect()
         val byTag = rows.groupBy(_.getInt(0))
           .map { case (t, rs) => t -> rs.sortBy(_.getDouble(1)) }
+        // leaf tags: walk the sorted value counts to each rank
         for ((grp, i) <- scanGroups.zipWithIndex; (k, b) <- grp) {
           val vs = byTag(i)
           var acc = 0L; var j = 0; var found = false
@@ -176,38 +251,14 @@ object Quantiles {
           }
           assert(found, s"rank ${b.offset} beyond bracket (cnt ${b.cnt})")
         }
-      }
-      val next = mutable.ArrayBuffer[(Long, Bracket)]()
-      val refGroups = refine.groupBy { case (_, b) => (b.lo, b.hi, b.cnt) }
-        .values.toSeq
-      if (refGroups.nonEmpty) {
-        def binExpr(b: Bracket): Column = {
-          val w = (b.hi - b.lo) / bins
-          least(greatest(floor((v - b.lo) / w), lit(0L)),
-            lit((bins - 1).toLong)).cast(IntegerType)
-        }
-        val tag = refGroups.zipWithIndex
-          .foldLeft(null: Column) { case (acc, (grp, i)) =>
-            if (acc == null) when(grp.head._2.pred, i)
-            else acc.when(grp.head._2.pred, i)
-          }
-        val bin = refGroups.zipWithIndex
-          .foldLeft(null: Column) { case (acc, (grp, i)) =>
-            if (acc == null) when(grp.head._2.pred, binExpr(grp.head._2))
-            else acc.when(grp.head._2.pred, binExpr(grp.head._2))
-          }
-        // unsorted collect + driver-side sort, as above
-        val hist = base.select(tag.as("__t"), bin.as("__b"))
-          .filter(col("__t").isNotNull)
-          .groupBy(col("__t"), col("__b")).agg(count(lit(1)).as("c"))
-          .collect()
-        val byTag = hist.groupBy(_.getInt(0))
-          .map { case (t, rs) => t -> rs.sortBy(_.getInt(1)) }
-        for ((grp, i) <- refGroups.zipWithIndex) {
+        // refine tags: walk the histogram, narrow to the covering bin
+        for ((grp, gi) <- refGroups.zipWithIndex) {
+          val i = scanGroups.length + gi
           val b0 = grp.head._2
-          val w = (b0.hi - b0.lo) / bins
-          val rows = byTag(i)
-          val binIds = rows.map(_.getInt(1)); val cs = rows.map(_.getLong(2))
+          val w = width(b0.lo, b0.hi, bins)
+          val rows2 = byTag(i)
+          val binIds = rows2.map(_.getDouble(1).toLong)
+          val cs = rows2.map(_.getLong(2))
           for ((k, b) <- grp) {
             var acc = 0L; var j = 0
             while (j < binIds.length && acc + cs(j) <= b.offset) {
@@ -216,13 +267,16 @@ object Quantiles {
             assert(j < binIds.length,
               s"rank ${b.offset} beyond histogram (cnt ${b.cnt})")
             val bn = binIds(j)
-            val lo2 = if (bn == 0) b.lo else b.lo + w * bn
-            val hi2 = if (bn == bins - 1) b.hi else b.lo + w * (bn + 1)
+            val e0 = edge(b0.lo, b0.hi, bins, bn)
+            val e1 = edge(b0.lo, b0.hi, bins, bn + 1)
+            val lo2 = if (bn == 0) b.lo else e0
+            val hi2 = if (bn == bins - 1) b.hi else e1
             // exact membership: the SAME bin expression; plus a one-bin-
             // slack plain range conjunct so parquet min/max row-group
-            // stats prune the re-scan
-            val pred2 = b.pred && binExpr(b0) === bn &&
-              v >= (b.lo + w * (bn - 1)) && v <= (b.lo + w * (bn + 2))
+            // stats prune the re-scan (slack absorbs edge rounding; an
+            // endpoint underflowing to ±Inf merely weakens the hint)
+            val pred2 = b.pred && binExpr(v, b0, bins) === bn.toInt &&
+              v >= (e0 - w) && v <= (e1 + w)
             next += k -> Bracket(pred2, lo2, hi2, b.offset - acc, cs(j))
           }
         }

@@ -23,6 +23,12 @@ object LlmOps {
     */
   private val AnnQueryBound = 10
 
+  /** recall@k cutoff for llm_ann_recall — ONE constant threaded into the
+    * exact arm, the IVF arm and both denominators, so retuning k can
+    * never silently divide by a stale constant (review r10).
+    */
+  private val AnnRecallK = 5
+
   private[queries] val shingleSql =
     """sh AS (
          SELECT DISTINCT doc_id, concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS s
@@ -546,11 +552,12 @@ object LlmOps {
     // the whole measurement is hash-gated.
     ("llm_ann_recall",
       (s, d) => {
+        val k = AnnRecallK
         val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
-          col("vec_id") < AnnQueryBound, k = 5, roundScale = 4)
+          col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
           .select("qid", "cid")
         val approx = graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
-          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, k = 5,
+          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, k = k,
           roundScale = 4).select("qid", "cid")
         val hits = exact.join(approx, Seq("qid", "cid"))
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -558,15 +565,16 @@ object LlmOps {
           .join(hits, Seq("qid"), "left")
           .select(col("qid"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / 5)
+            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
               .as("recall_at_k"))
       },
       Some(s"""WITH exact AS (
                  ${graft.llm.Similarity.bruteOracleSql(
-                     k = 5, roundScale = 4, queryIdBound = AnnQueryBound)}),
+                     k = AnnRecallK, roundScale = 4,
+                     queryIdBound = AnnQueryBound)}),
                approx AS (
                  ${graft.llm.Similarity.ivfFixedOracleSql(
-                     dims = 64, nCentroids = 8, nProbe = 3, k = 5,
+                     dims = 64, nCentroids = 8, nProbe = 3, k = AnnRecallK,
                      roundScale = 4, queryIdBound = AnnQueryBound)}),
                hits AS (SELECT e.qid, count(*) AS n_hit
                         FROM exact e JOIN approx a
@@ -574,7 +582,8 @@ object LlmOps {
                         GROUP BY 1),
                qs AS (SELECT DISTINCT qid FROM exact)
                SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
-                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_k
+                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $AnnRecallK
+                        AS recall_at_k
                FROM qs q LEFT JOIN hits h ON h.qid = q.qid""")),
 
     // LSH-bucketed ANN join — the 100 TB path: candidates from a shuffle on

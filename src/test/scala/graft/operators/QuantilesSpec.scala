@@ -67,6 +67,69 @@ class QuantilesSpec extends SparkSpec {
     assert(j.nonEmpty && j.forall(r => r.getBoolean(0) && r.getBoolean(1)))
   }
 
+  test("astronomically wide domains refine without overflow") {
+    import spark.implicits._
+    // (hi − lo) overflows Double.MaxValue — the regime where the naive
+    // width/edge/bin arithmetic turns Inf/NaN and the refinement either
+    // OOMs (a 'leaf' holding half the data) or misassigns bins
+    val vals = (0 until 4000).map { i =>
+      if (i % 2 == 0) -1.5e308 + i * 1.0e300 else 1.5e308 - i * 1.0e300
+    }
+    val df = vals.toDF("v")
+    val ps = Seq(0.01, 0.5, 0.99)
+    val got = Quantiles.percentiles(df, "v", ps, bins = 16, leafLimit = 64)
+    val want = referencePs(df, "v", ps)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("NaN and Inf inputs are rejected loudly, not silently mis-ranked") {
+    import spark.implicits._
+    val nan = Seq(1.0, Double.NaN, 3.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Quantiles.percentiles(nan, "v", Seq(0.5))
+    }
+    val inf = Seq(1.0, Double.PositiveInfinity).toDF("v")
+    intercept[IllegalArgumentException] {
+      Quantiles.percentiles(inf, "v", Seq(0.5))
+    }
+  }
+
+  test("refinement re-scans push their range conjunct in the REAL plans") {
+    // audits the predicates valuesAtRanks actually generates (not a
+    // hand-built lookalike): capture every executed plan during a run
+    // forced through multiple refinement passes and require that some
+    // narrowed re-scan reached the parquet reader with a pushed range
+    // filter on the source column
+    import org.apache.spark.sql.execution.QueryExecution
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_extendedprice").cast(DoubleType).as("p"))
+      Quantiles.percentiles(df, "p", Seq(0.25, 0.75),
+        bins = 8, leafLimit = 32)
+      def pushed = plans.synchronized {
+        plans.exists(p => p.contains("PushedFilters") &&
+          p.contains("GreaterThanOrEqual(l_extendedprice"))
+      }
+      val deadline = System.currentTimeMillis + 15000
+      while (!pushed && System.currentTimeMillis < deadline)
+        Thread.sleep(100) // listener events post asynchronously
+      assert(pushed, {
+        val scans = plans.synchronized {
+          plans.flatMap(_.linesIterator.filter(_.contains("FileScan")))
+            .distinct.mkString("\n")
+        }
+        s"no refinement scan pushed its range conjunct; saw ${plans.size} plans; scans:\n$scans"
+      })
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("grouped excludes nulls and keeps single-row groups exact") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
