@@ -66,4 +66,52 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(got == expected, s"round $round diverged")
     }
   }
+
+  test("bracket percentiles match percentile() on seeded random shapes") {
+    // distribution shapes the fixed fixtures can miss: dense ties, heavy
+    // skew, negatives, sub-ulp clusters, and leafLimit/bins boundaries
+    val rnd = new scala.util.Random(1234)
+    val shapes: Seq[Int => Double] = Seq(
+      _ => rnd.nextDouble() * 1e6 - 5e5, // uniform incl. negatives
+      _ => math.exp(rnd.nextGaussian() * 5), // heavy right skew
+      _ => rnd.nextInt(7).toDouble, // dense ties, tiny support
+      i => if (i % 10 == 0) rnd.nextDouble() else 42.0, // 90% one value
+      _ => 1e9 + rnd.nextInt(3) * math.ulp(1e9)) // sub-ulp cluster
+    for ((gen, si) <- shapes.zipWithIndex) {
+      val n = 500 + rnd.nextInt(1500)
+      val df = Seq.tabulate(n)(gen).toDF("v")
+      val ps = Seq(0.0, rnd.nextDouble(), 0.5, 0.97, 1.0)
+      val bins = 4 + rnd.nextInt(60)
+      val leaf = 8 + rnd.nextInt(100)
+      val got = Quantiles.percentiles(df, "v", ps,
+        bins = bins, leafLimit = leaf.toLong)
+      val exprs = ps.map(p => org.apache.spark.sql.functions
+        .expr(s"percentile(v, CAST($p AS DOUBLE))"))
+      val r = df.agg(exprs.head, exprs.tail: _*).head()
+      val want = ps.indices.map(r.getDouble)
+      assert(got == want,
+        s"shape $si (n=$n bins=$bins leaf=$leaf): got $got want $want")
+    }
+  }
+
+  test("grouped percentiles match percentile() on seeded random groups") {
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.tabulate(3000) { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      val v = rnd.nextInt(40).toDouble + (if (rnd.nextBoolean()) 0.5 else 0.0)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.grouped(df, Seq("g"), "v",
+        Seq(0.1, 0.5, 0.9), Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = df.groupBy("g").agg(
+        org.apache.spark.sql.functions.expr("percentile(v, 0.1D)"),
+        org.apache.spark.sql.functions.expr("percentile(v, 0.5D)"),
+        org.apache.spark.sql.functions.expr("percentile(v, 0.9D)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
 }
