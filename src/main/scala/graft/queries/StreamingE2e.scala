@@ -332,6 +332,46 @@ object StreamingE2e {
                FROM (SELECT DISTINCT user_id FROM e) u
                LEFT JOIN s1 USING (user_id)
                LEFT JOIN s2 USING (user_id)
-               LEFT JOIN s3 USING (user_id)"""))
+               LEFT JOIN s3 USING (user_id)""")),
+
+    // W27 — STREAMING robust-threshold SPIKE flags e2e (the A15 anomaly
+    // gate made continuous — the production split real monitoring uses):
+    // the median/MAD thresholds are TRAINED BATCH-SIDE by the exact
+    // histogram-bracket quantiles (a stream cannot compute an exact
+    // global quantile online; production retrains per window/day), then
+    // embedded as literals into the stream, where flagging is a pure
+    // stateless narrow map and per-user tallies run in Complete mode —
+    // micro-batch-order independent because the map is stateless and the
+    // final counts see every arrival.
+    ("w27_stream_spike_e2e",
+      (s, d) => {
+        import graft.operators.Quantiles.{percentiles, round6}
+        val src = fixture(s, d)
+        val arrived = src.filter(col("event_id") % 2 === 0)
+          .unionAll(src.filter(col("event_id") % 3 === 0))
+          .select(col("amount").as("a"))
+        val med = round6(percentiles(arrived, "a", Seq(0.5)).head)
+        val mad = round6(percentiles(
+          arrived.select(abs(col("a") - med).as("dev")), "dev",
+          Seq(0.5)).head)
+        runStream(s, d, "spike", "complete")(
+          _.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(abs(col("amount") - med) > lit(3.0) * mad, 1)
+                .otherwise(0)).cast(LongType).as("n_spikes")))
+      },
+      Some(s"""WITH src AS ($fixtureSql),
+               arrived AS (SELECT * FROM src WHERE event_id % 2 = 0
+                           UNION ALL
+                           SELECT * FROM src WHERE event_id % 3 = 0),
+               m AS (SELECT round(quantile_cont(amount, 0.5), 6) AS med
+                     FROM arrived),
+               md AS (SELECT round(quantile_cont(abs(amount - med), 0.5), 6)
+                               AS mad
+                      FROM arrived, m)
+               SELECT user_id, count(*) AS n,
+                      CAST(SUM(CASE WHEN abs(amount - m.med) > 3 * md.mad
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+               FROM arrived, m, md GROUP BY 1"""))
   )
 }
