@@ -741,6 +741,50 @@ object LlmOps {
         shortlist = 40, k = 5, roundScale = 4,
         queryIdBound = AnnQueryBound))),
 
+    // ANN RECALL@k for the COMPRESSED arm — llm_ann_recall's twin over
+    // the full IVF-PQ pipeline (coarse pruning + ADC estimate +
+    // shortlist refine): quantization error now shows up in the metric,
+    // which is exactly how shortlist size and codebook bits get tuned.
+    // Same bounded-query-sample protocol, same deterministic
+    // intersection, fully hash-gated.
+    ("llm_ivfpq_recall",
+      (s, d) => {
+        val k = AnnRecallK
+        val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
+          col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
+          .select("qid", "cid")
+        val approx = graft.llm.Similarity.ivfPqTopKFixed(embeddings(s, d),
+          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3,
+          dims = 64, m = 8, ksub = 16, shortlist = 40, k = k,
+          roundScale = 4).select("qid", "cid")
+        val hits = exact.join(approx, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        exact.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
+              .as("recall_at_k"))
+      },
+      Some(s"""WITH exact AS (
+                 ${graft.llm.Similarity.bruteOracleSql(
+                     k = AnnRecallK, roundScale = 4,
+                     queryIdBound = AnnQueryBound)}),
+               approx AS (
+                 ${graft.llm.Similarity.ivfPqFixedOracleSql(
+                     dims = 64, nCentroids = 8, nProbe = 3, m = 8,
+                     ksub = 16, shortlist = 40, k = AnnRecallK,
+                     roundScale = 4, queryIdBound = AnnQueryBound)}),
+               hits AS (SELECT e.qid, count(*) AS n_hit
+                        FROM exact e JOIN approx a
+                          ON a.qid = e.qid AND a.cid = e.cid
+                        GROUP BY 1),
+               qs AS (SELECT DISTINCT qid FROM exact)
+               SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $AnnRecallK
+                        AS recall_at_k
+               FROM qs q LEFT JOIN hits h ON h.qid = q.qid""")),
+
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",
