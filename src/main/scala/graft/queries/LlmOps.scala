@@ -358,6 +358,28 @@ object LlmOps {
             SELECT v AS doc_id, min(u) AS cluster
             FROM reach GROUP BY v""")),
 
+    // Dedup-cluster SIZE DISTRIBUTION — the health report read before
+    // applying any dedup policy (a fat tail of giant components usually
+    // means boilerplate, not true duplication, and wants a different
+    // treatment than pairwise near-dups): two tiny aggregations over the
+    // component labels, output bounded by the largest component size.
+    ("llm_dedup_cluster_stats",
+      (s, d) => dedupClusters(s, d)
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters")),
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+            comp AS (SELECT v, min(u) AS cluster FROM reach GROUP BY v),
+            szs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
+            SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1""")),
+
     // Dedup APPLY — the survivor selection the clustering feeds: every doc
     // whose cluster keeper (the component's min doc_id) is a DIFFERENT doc
     // is dropped; everything else (incl. docs in no near-dup pair at all)
