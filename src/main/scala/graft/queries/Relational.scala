@@ -742,6 +742,58 @@ object Relational {
               WHERE NOT EXISTS (SELECT 1 FROM loaded l
                                 WHERE l.y = grid.y AND l.m = grid.m)""")),
 
+    // O8 — EXACT JOIN-SIZE computation (what AQE estimates from sketches,
+    // computed exactly): |A ⋈ B| on the join key = Σ_k n_A(k)·n_B(k)
+    // over per-key counts — two map-side-shrunk aggregates joined at
+    // |distinct keys| grain, never the join itself. The number that
+    // decides broadcast vs shuffle vs salt BEFORE paying for the join;
+    // at 100 TB the counts frames are the (bounded) expensive part and
+    // the arithmetic is free.
+    ("o8_join_size",
+      (s, d) => {
+        val a = lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("na"))
+        val b = orders(s, d).groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("nb"))
+        a.join(b, "k")
+          .agg(sum(col("na") * col("nb")).cast(LongType).as("join_rows"),
+            count(lit(1)).cast(LongType).as("matched_keys"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k, count(*) AS na
+                         FROM lineitem GROUP BY 1),
+                   b AS (SELECT o_orderkey AS k, count(*) AS nb
+                         FROM orders GROUP BY 1)
+              SELECT CAST(SUM(na * nb) AS BIGINT) AS join_rows,
+                     CAST(count(*) AS BIGINT) AS matched_keys
+              FROM a JOIN b USING (k)""")),
+
+    // O9 — JOIN-KEY SKEW REPORT: the diagnostic that motivates the j12
+    // salted join — per-key frequencies aggregated once, then the heavy
+    // hitters (bounded top-k, TakeOrdered — never a global sort) next to
+    // the robust center of the distribution (exact median key count via
+    // the grouped value-counts quantile path: counts-of-counts is a tiny
+    // bounded domain). max/median > ~100 is the "salt this key" signal.
+    ("o9_skew_report",
+      (s, d) => {
+        val counts = lineitem(s, d)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        val med = graft.operators.Quantiles
+          .grouped(counts.select(lit(1).as("g"),
+            col("n").cast(DoubleType).as("nv")), Seq("g"), "nv",
+            Seq(0.5), Seq("med")).select("med")
+        counts.orderBy(col("n").desc, col("l_suppkey")).limit(5)
+          .crossJoin(broadcast(med))
+          .select(col("l_suppkey"), col("n"),
+            round(col("n") / col("med"), 6).as("x_median"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS n
+                         FROM lineitem GROUP BY 1),
+                   m AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+                         FROM c)
+              SELECT l_suppkey, n, round(n / med, 6) AS x_median
+              FROM (SELECT l_suppkey, n FROM c
+                    ORDER BY n DESC, l_suppkey LIMIT 5) t, m""")),
+
     // S11 — predicate-pushdown scan (filters reach the parquet reader)
     // ref: utilidades/db_utils.py:224-301
     ("s11_pruned_scan",
