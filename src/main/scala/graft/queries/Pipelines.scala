@@ -821,6 +821,57 @@ object Pipelines {
                      CAST(month(datetime_utc) AS INTEGER) AS month
               FROM src, m WHERE o_orderkey % m.m = 0""")),
 
+    // A16 — INCREMENTAL ROLLUP MAINTENANCE e2e (materialized-view
+    // upkeep, the pattern that makes a 100 TB daily rollup affordable:
+    // aggregate only the new batch, merge with the stored partials,
+    // never re-scan history). The partial state is (key, month →
+    // long CENTS, n) — exact and ASSOCIATIVE, so merge order and batch
+    // boundaries cannot change the result — persisted to parquet
+    // between "days". The oracle is the FULL recompute over all rows:
+    // incremental-equals-full is the entire correctness claim, checked
+    // by the driver's hash gate. Follows the e2e driver-proofing rules
+    // (UUID paths, eager checkpoint, cleanup).
+    ("a16_incremental_rollup_e2e",
+      (s, d) => {
+        val src = orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"),
+          col("o_totalprice"))
+        def partial(df: DataFrame) = df.groupBy("prio", "mes")
+          .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType))
+            .as("cents"), count(lit(1)).as("n"))
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        val p1 = s"$tmpDir/graft_e2e_a16a_$id"
+        val p2 = s"$tmpDir/graft_e2e_a16b_$id"
+        val h1 = new org.apache.hadoop.fs.Path(p1)
+        val h2 = new org.apache.hadoop.fs.Path(p2)
+        val fs = h1.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          // day 1: first batch's partials land in the state store
+          partial(src.filter(col("o_orderkey") % 3 =!= 0))
+            .write.mode("overwrite").parquet(p1)
+          // day 2: aggregate ONLY the new batch, merge with stored state
+          // (union + re-aggregate of two |groups|-sized frames — history
+          // is never re-scanned), write the new state version
+          s.read.parquet(p1)
+            .unionByName(partial(src.filter(col("o_orderkey") % 3 === 0)))
+            .groupBy("prio", "mes")
+            .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+            .write.mode("overwrite").parquet(p2)
+          s.read.parquet(p2)
+            .select(col("prio"), col("mes"),
+              (col("cents") / 100.0).as("total"),
+              col("n").cast(LongType).as("n"))
+            .localCheckpoint() // eager: materialize before cleanup
+        } finally { fs.delete(h1, true); fs.delete(h2, true) }
+      },
+      Some("""SELECT o_orderpriority AS prio,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total,
+                     count(*) AS n
+              FROM orders GROUP BY 1, 2""")),
+
     // O1 — sort-before-write proved END TO END under the driver's hash
     // gate (was ScalaTest-only): an UNSORTED fixture goes through the
     // append sink (whose sortWithinPartitions("datetime_utc") is the O1
