@@ -23,11 +23,53 @@ object LlmOps {
     */
   private val AnnQueryBound = 10
 
-  /** recall@k cutoff for llm_ann_recall — ONE constant threaded into the
-    * exact arm, the IVF arm and both denominators, so retuning k can
-    * never silently divide by a stale constant (review r10).
+  /** recall@k cutoff for the recall rows — ONE constant threaded into
+    * the exact arm, every approximate arm and both denominators, so
+    * retuning k can never silently divide by a stale constant (review
+    * r10).
     */
   private val AnnRecallK = 5
+
+  /** Shared recall@k harness (llm_ann_recall, llm_ivfpq_recall): the
+    * exhaustive baseline joined against an approximate arm, per-query
+    * hit counts, recall = hits / k — one implementation so a fix to the
+    * coalesce/denominator logic can never drift between the rows.
+    */
+  private def recallQuery(s: SparkSession, d: String,
+      approx: DataFrame): DataFrame = {
+    val k = AnnRecallK
+    val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
+      col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
+      .select("qid", "cid")
+    val hits = exact.join(approx.select("qid", "cid"), Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
+          .as("recall_at_k"))
+  }
+
+  /** The DuckDB twin of recallQuery, parameterized by the approximate
+    * arm's oracle SQL.
+    */
+  private def recallOracleSql(approxSql: String): String =
+    s"""WITH exact AS (
+          ${graft.llm.Similarity.bruteOracleSql(
+              k = AnnRecallK, roundScale = 4,
+              queryIdBound = AnnQueryBound)}),
+        approx AS (
+          $approxSql),
+        hits AS (SELECT e.qid, count(*) AS n_hit
+                 FROM exact e JOIN approx a
+                   ON a.qid = e.qid AND a.cid = e.cid
+                 GROUP BY 1),
+        qs AS (SELECT DISTINCT qid FROM exact)
+        SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+               CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $AnnRecallK
+                 AS recall_at_k
+        FROM qs q LEFT JOIN hits h ON h.qid = q.qid"""
 
   private[queries] val shingleSql =
     """sh AS (
@@ -573,40 +615,13 @@ object LlmOps {
     // intersection are deterministic (shared rounding + tiebreaks), so
     // the whole measurement is hash-gated.
     ("llm_ann_recall",
-      (s, d) => {
-        val k = AnnRecallK
-        val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
-          col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
-          .select("qid", "cid")
-        val approx = graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
-          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3, k = k,
-          roundScale = 4).select("qid", "cid")
-        val hits = exact.join(approx, Seq("qid", "cid"))
-          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-        exact.select("qid").distinct()
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
-              .as("recall_at_k"))
-      },
-      Some(s"""WITH exact AS (
-                 ${graft.llm.Similarity.bruteOracleSql(
-                     k = AnnRecallK, roundScale = 4,
-                     queryIdBound = AnnQueryBound)}),
-               approx AS (
-                 ${graft.llm.Similarity.ivfFixedOracleSql(
-                     dims = 64, nCentroids = 8, nProbe = 3, k = AnnRecallK,
-                     roundScale = 4, queryIdBound = AnnQueryBound)}),
-               hits AS (SELECT e.qid, count(*) AS n_hit
-                        FROM exact e JOIN approx a
-                          ON a.qid = e.qid AND a.cid = e.cid
-                        GROUP BY 1),
-               qs AS (SELECT DISTINCT qid FROM exact)
-               SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
-                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $AnnRecallK
-                        AS recall_at_k
-               FROM qs q LEFT JOIN hits h ON h.qid = q.qid""")),
+      (s, d) => recallQuery(s, d,
+        graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
+          col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3,
+          k = AnnRecallK, roundScale = 4)),
+      Some(recallOracleSql(graft.llm.Similarity.ivfFixedOracleSql(
+        dims = 64, nCentroids = 8, nProbe = 3, k = AnnRecallK,
+        roundScale = 4, queryIdBound = AnnQueryBound)))),
 
     // LSH-bucketed ANN join — the 100 TB path: candidates from a shuffle on
     // (table, signature) bucket, exact cosine only within buckets. The
@@ -770,42 +785,15 @@ object LlmOps {
     // Same bounded-query-sample protocol, same deterministic
     // intersection, fully hash-gated.
     ("llm_ivfpq_recall",
-      (s, d) => {
-        val k = AnnRecallK
-        val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
-          col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
-          .select("qid", "cid")
-        val approx = graft.llm.Similarity.ivfPqTopKFixed(embeddings(s, d),
+      (s, d) => recallQuery(s, d,
+        graft.llm.Similarity.ivfPqTopKFixed(embeddings(s, d),
           col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3,
-          dims = 64, m = 8, ksub = 16, shortlist = 40, k = k,
-          roundScale = 4).select("qid", "cid")
-        val hits = exact.join(approx, Seq("qid", "cid"))
-          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-        exact.select("qid").distinct()
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
-              .as("recall_at_k"))
-      },
-      Some(s"""WITH exact AS (
-                 ${graft.llm.Similarity.bruteOracleSql(
-                     k = AnnRecallK, roundScale = 4,
-                     queryIdBound = AnnQueryBound)}),
-               approx AS (
-                 ${graft.llm.Similarity.ivfPqFixedOracleSql(
-                     dims = 64, nCentroids = 8, nProbe = 3, m = 8,
-                     ksub = 16, shortlist = 40, k = AnnRecallK,
-                     roundScale = 4, queryIdBound = AnnQueryBound)}),
-               hits AS (SELECT e.qid, count(*) AS n_hit
-                        FROM exact e JOIN approx a
-                          ON a.qid = e.qid AND a.cid = e.cid
-                        GROUP BY 1),
-               qs AS (SELECT DISTINCT qid FROM exact)
-               SELECT q.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
-                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $AnnRecallK
-                        AS recall_at_k
-               FROM qs q LEFT JOIN hits h ON h.qid = q.qid""")),
+          dims = 64, m = 8, ksub = 16, shortlist = 40, k = AnnRecallK,
+          roundScale = 4)),
+      Some(recallOracleSql(graft.llm.Similarity.ivfPqFixedOracleSql(
+        dims = 64, nCentroids = 8, nProbe = 3, m = 8, ksub = 16,
+        shortlist = 40, k = AnnRecallK, roundScale = 4,
+        queryIdBound = AnnQueryBound)))),
 
     // Embedding-cosine near-dup pairs above a similarity threshold —
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
