@@ -267,6 +267,26 @@ object Relational {
                      count(*) AS n
               FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""")),
 
+    // A17 — CUBE, the third face of the grouping family (A10 covers
+    // ROLLUP/grouping sets): every dimension subset in one pass, with
+    // grouping_id disambiguating a real NULL key from a subtotal row —
+    // the detail that makes cube output joinable downstream. Same
+    // map-side-combine shape as any aggregate: the expansion factor is
+    // 2^|dims| on the PARTIAL buffers, never on raw rows.
+    ("a17_cube",
+      (s, d) => orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(dsum2(col("o_totalprice")).as("total"), count(lit(1)).as("n"),
+          grouping_id().cast(IntegerType).as("gid")),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total,
+                     count(*) AS n,
+                     CAST(GROUPING(o_orderpriority) * 2
+                          + GROUPING(o_orderstatus) AS INTEGER) AS gid
+              FROM orders
+              GROUP BY CUBE(o_orderpriority, o_orderstatus)""")),
+
     // O4 — deterministic top-k per group (ranking window)
     ("o4_topk_per_group",
       (s, d) => {
