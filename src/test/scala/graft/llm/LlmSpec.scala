@@ -387,4 +387,31 @@ class LlmSpec extends SparkSpec {
     // every reported pair really has Jaccard ≥ 0.4 (the verify threshold)
     assert(dups.filter(col("jac") < 0.4).count() == 0)
   }
+
+  test("recall rows: compression does not beat the uncompressed index") {
+    // quantization can only lose information, so mean recall@k of the
+    // IVF-PQ pipeline must not EXCEED the uncompressed IVF's on the same
+    // query sample (ties allowed — small samples can saturate both at
+    // 1.0). A statistical property of the fixture in the tie direction,
+    // not an operator invariant (the DSIR-spec caveat); the hash gate is
+    // the correctness claim, this spec guards the measurement's SIGN.
+    def mean(name: String): Double = {
+      val xs = graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("recall_at_k").collect().map(_.getDouble(0))
+      assert(xs.nonEmpty, s"$name returned no query rows")
+      xs.sum / xs.length
+    }
+    val ivf = mean("llm_ann_recall"); val pq = mean("llm_ivfpq_recall")
+    assert(pq <= ivf + 1e-9, s"ivfpq recall $pq exceeds ivf recall $ivf")
+  }
+
+  test("minhash recall row measures real truth pairs with full recall") {
+    val r = graft.SparkEntry.queries("llm_minhash_recall")(spark, sfDir)
+      .head()
+    assert(r.getAs[Long]("n_truth") > 0,
+      "parity subset lost the planted near-dups — fixture regenerated?")
+    // b=6 r=2 banding catches every planted ~0.9-Jaccard pair; a recall
+    // drop here means the banding or the subset pushdown broke
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
 }
