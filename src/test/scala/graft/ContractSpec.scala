@@ -21,6 +21,17 @@ class ContractSpec extends SparkSpec {
     SparkEntry.oracleSql.keys.foreach(k => assert(node.has(k), k))
   }
 
+  test("registry invariants: oracles pair 1:1 with registered queries") {
+    // an oracle without a query is dead weight the driver never compares;
+    // a query without an oracle silently downgrades to the weaker
+    // rows-only check — both should be deliberate, and today neither
+    // exists (every registered query is hash-gated)
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
   test("fixture contract: every table loads with the dtypes the queries assume") {
     // broad regeneration canary (the events.ts lesson generalized): if the
     // driver regenerates /root/testdata with a different physical type on
