@@ -21,6 +21,18 @@ class ContractSpec extends SparkSpec {
     SparkEntry.oracleSql.keys.foreach(k => assert(node.has(k), k))
   }
 
+  test("registry invariants: no duplicate names across query modules") {
+    // SparkEntry concatenates per-module Seqs and toMap-dedups — a name
+    // collision would SILENTLY shadow one module's query with another's
+    // and the gate would verify the survivor, not both
+    val names = Seq(graft.queries.Relational.all, graft.queries.Joins.all,
+      graft.queries.Windows.all, graft.queries.LlmOps.all,
+      graft.queries.Curation.all, graft.queries.Pipelines.all,
+      graft.queries.StreamingE2e.all).flatten.map(_._1)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("registry invariants: oracles pair 1:1 with registered queries") {
     // an oracle without a query is dead weight the driver never compares;
     // a query without an oracle silently downgrades to the weaker
