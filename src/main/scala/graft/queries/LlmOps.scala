@@ -778,6 +778,69 @@ object LlmOps {
         shortlist = 40, k = 5, roundScale = 4,
         queryIdBound = AnnQueryBound))),
 
+    // HARD-NEGATIVE MINING (contrastive-training prep — the per-query
+    // nearest neighbors of a DIFFERENT class, the examples that teach an
+    // embedding model the decision boundary): the brute-force cosine
+    // shape restricted to cross-label pairs before ranking, so the top-k
+    // is over negatives only. At scale the same restriction composes
+    // with the IVF/LSH candidate generators exactly as the recall rows
+    // compose their arms; the label filter rides INTO the join, never
+    // after the rank.
+    ("llm_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val withNorm = e.withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+        val q = withNorm.filter(col("vec_id") < AnnQueryBound)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = withNorm.select(col("vec_id").as("cid"),
+          col("label").as("cl"), col("v").as("cv"), col("nrm").as("cn"))
+        val scored = q.join(c,
+            col("qid") =!= col("cid") && col("ql") =!= col("cl"))
+          .withColumn("cos_r",
+            round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), 4))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_r").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("ql").as("q_label"), col("cid"),
+            col("cl").as("neg_label"), col("cos_r"),
+            col("rn").cast(IntegerType).as("rn"))
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding)))
+                               AS i
+                      FROM embeddings) t),
+              n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm
+                    FROM e GROUP BY 1),
+              lb AS (SELECT vec_id, label FROM embeddings),
+              dots AS (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                       SUM(q.x * c.x) AS dot
+                FROM e q JOIN e c
+                  ON q.i = c.i AND q.vec_id < $AnnQueryBound
+                 AND c.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+              scored AS (
+                SELECT qid, lq.label AS q_label, cid,
+                       lc.label AS neg_label,
+                       round(dot / (nq.nrm * nc.nrm), 4) AS cos_r
+                FROM dots
+                JOIN n nq ON nq.vec_id = qid
+                JOIN n nc ON nc.vec_id = cid
+                JOIN lb lq ON lq.vec_id = qid
+                JOIN lb lc ON lc.vec_id = cid
+                WHERE lq.label <> lc.label)
+              SELECT qid, q_label, cid, neg_label, cos_r,
+                     CAST(rn AS INTEGER) AS rn
+              FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_r DESC, cid) AS rn
+                    FROM scored) t
+              WHERE rn <= 5""")),
+
     // ANN RECALL@k for the COMPRESSED arm — llm_ann_recall's twin over
     // the full IVF-PQ pipeline (coarse pruning + ADC estimate +
     // shortlist refine): quantization error now shows up in the metric,
