@@ -112,4 +112,37 @@ class LakeSpec extends SparkSpec {
       path, "diario", Seq("datetime_utc", "id_mercado"), "batch_id")
     assert(Lake.latestPartition(spark, path) == (2024, 3))
   }
+
+  test("upsert keep-last matches a driver-side replay on random batches") {
+    // seeded randomized differential test (the RandomizedOpsSpec pattern)
+    // for the CORE lake semantic: random batch sequences with intra-batch
+    // duplicates, keys scattered across three month partitions, replayed
+    // against a plain driver-side map where a later batch always wins.
+    // Values are a pure function of (key, batch) so intra-batch duplicate
+    // rows are byte-identical — the same determinism rule production
+    // batches follow (equal-precedence ties pick an arbitrary physical
+    // row, so tied rows must agree on content).
+    val rnd = new scala.util.Random(2024)
+    for (round <- 1 to 3) {
+      val path = tmpDir() + s"/rlake$round"
+      val ref = scala.collection.mutable.Map[(String, Int), Double]()
+      for (b <- 1 to 4) {
+        val rows = Seq.fill(30) {
+          val dt = "2024-0%d-01 00:%02d:00".format(
+            1 + rnd.nextInt(3), rnd.nextInt(4) * 15)
+          val id = 1 + rnd.nextInt(2)
+          (dt, id, (b * 1000 + math.abs((dt, id).hashCode % 97)).toDouble)
+        }
+        rows.foreach { case (dt, id, v) => ref((dt, id)) = v }
+        Lake.upsert(spark, batch(b, rows: _*), path, "diario",
+          Seq("datetime_utc", "id_mercado"), "batch_id")
+      }
+      val got = spark.read.parquet(path)
+        .select(col("datetime_utc").cast("string"), col("id_mercado"),
+          col("precio"))
+        .as[(String, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == ref.toMap, s"round $round diverged")
+    }
+  }
 }
