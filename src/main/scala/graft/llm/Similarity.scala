@@ -48,31 +48,58 @@ object Similarity {
     * is measured against (see the `llm_ann_recall` composition). Exact
     * cosine of every query against every candidate; correct at any scale
     * but O(|q|·n) — the thing IVF/LSH/PQ exist to avoid.
+    *
+    * `carry` threads extra embedding columns through both sides (emitted
+    * as `q_<c>` / `c_<c>`), and `pairPred` restricts pairs BEFORE ranking
+    * (so the top-k is over the restricted set) — together they express
+    * variants like hard-negative mining (carry the label, keep only
+    * cross-label pairs) on the ONE brute formulation, instead of a copy
+    * whose numeric guarantees could drift.
     */
   def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      roundScale: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      roundScale: Int, carry: Seq[String] = Nil,
+      pairPred: Column = lit(true)): DataFrame = {
+    val e = embeddings.select(col("vec_id") +: carry.map(col) :+
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"): _*)
     val withNorm = e.withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val q = withNorm.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("qid") +:
+        carry.map(cc => col(cc).as(s"q_$cc")) :+
+        col("v").as("qv") :+ col("nrm").as("qn"): _*)
     val c = withNorm
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("vec_id").as("cid") +:
+        carry.map(cc => col(cc).as(s"c_$cc")) :+
+        col("v").as("cv") :+ col("nrm").as("cn"): _*)
+    val scored = q.join(c, col("qid") =!= col("cid") && pairPred)
       .withColumn("dot", expr("vec_dot(qv, cv)"))
       .withColumn("cos_r", round(col("dot") / (col("qn") * col("cn")),
         roundScale))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid"))
+    val outCols = (col("qid") +: carry.map(cc => col(s"q_$cc"))) ++
+      (col("cid") +: carry.map(cc => col(s"c_$cc"))) ++
+      Seq(col("cos_r"), col("rn").cast(IntegerType).as("rn"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos_r"),
-        col("rn").cast(IntegerType).as("rn"))
+      .select(outCols: _*)
   }
 
   /** DuckDB oracle for bruteTopK (the unnest-join dot formulation — the
     * per-dimension SUM groups in index order, matching vec_dot's
-    * left-to-right accumulation bit-for-bit).
+    * left-to-right accumulation bit-for-bit). `carry`/`pairWhere` mirror
+    * bruteTopK's carry/pairPred (pairWhere references `lq`/`lc`, the
+    * query- and candidate-side embedding rows).
     */
-  def bruteOracleSql(k: Int, roundScale: Int, queryIdBound: Int): String =
+  def bruteOracleSql(k: Int, roundScale: Int, queryIdBound: Int,
+      carry: Seq[String] = Nil, pairWhere: String = ""): String = {
+    val carryJoin =
+      if (carry.isEmpty) ""
+      else """
+          JOIN embeddings lq ON lq.vec_id = qid
+          JOIN embeddings lc ON lc.vec_id = cid"""
+    val carryCols = carry.map(c => s", lq.$c AS q_$c").mkString +
+      carry.map(c => s", lc.$c AS c_$c").mkString
+    val outCarry = carry.map(c => s"q_$c, ").mkString +
+      "cid" + carry.map(c => s", c_$c").mkString
+    val where = if (pairWhere.isEmpty) "" else s"\n          WHERE $pairWhere"
     s"""WITH e AS (
           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
           FROM (SELECT vec_id, embedding,
@@ -85,17 +112,18 @@ object Similarity {
                            AND c.vec_id <> q.vec_id
           GROUP BY 1, 2),
         scored AS (
-          SELECT qid, cid,
+          SELECT qid, cid$carryCols,
                  round(dot / (nq.nrm * nc.nrm), $roundScale) AS cos_r
           FROM dots
           JOIN n nq ON nq.vec_id = qid
-          JOIN n nc ON nc.vec_id = cid)
-        SELECT qid, cid, cos_r, CAST(rn AS INTEGER) AS rn
-        FROM (SELECT qid, cid, cos_r,
+          JOIN n nc ON nc.vec_id = cid$carryJoin$where)
+        SELECT qid, $outCarry, cos_r, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT *,
                      row_number() OVER (PARTITION BY qid
                                         ORDER BY cos_r DESC, cid) AS rn
               FROM scored) t
         WHERE rn <= $k"""
+  }
 
   /** Bucketed ANN: `nTables` independent LSH tables (classic OR-
     * amplification — a pair is a candidate if it collides in ANY table),

@@ -31,6 +31,12 @@ class ContractSpec extends SparkSpec {
       graft.queries.StreamingE2e.all).flatten.map(_._1)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    // drift guard: if SparkEntry gains a module this hand-copied list
+    // doesn't know, the sizes diverge and this fails readably instead of
+    // the collision check silently not covering the new module
+    assert(names.size == SparkEntry.queries.size,
+      s"module list drifted: ${names.size} here vs " +
+        s"${SparkEntry.queries.size} in SparkEntry")
   }
 
   test("registry invariants: oracles pair 1:1 with registered queries") {

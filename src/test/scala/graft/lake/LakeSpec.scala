@@ -137,11 +137,15 @@ class LakeSpec extends SparkSpec {
         Lake.upsert(spark, batch(b, rows: _*), path, "diario",
           Seq("datetime_utc", "id_mercado"), "batch_id")
       }
-      val got = spark.read.parquet(path)
+      val rows = spark.read.parquet(path)
         .select(col("datetime_utc").cast("string"), col("id_mercado"),
           col("precio"))
         .as[(String, Int, Double)].collect()
-        .map(r => (r._1, r._2) -> r._3).toMap
+      // row-count FIRST: .toMap would nondeterministically mask a
+      // leftover stale duplicate for a key (review r10)
+      assert(rows.length == ref.size,
+        s"round $round: ${rows.length} rows for ${ref.size} keys")
+      val got = rows.map(r => (r._1, r._2) -> r._3).toMap
       assert(got == ref.toMap, s"round $round diverged")
     }
   }
