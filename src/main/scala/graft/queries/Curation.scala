@@ -319,7 +319,7 @@ object Curation {
     ("llm_incremental_dedup_stored",
       (s, d) => {
         val id = java.util.UUID.randomUUID.toString.replace("-", "")
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_$id"
+        val dir = s"${graft.Tables.tmpDir}/graft_sigstore_$id"
         val hp = new org.apache.hadoop.fs.Path(dir)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         try {
@@ -572,6 +572,69 @@ object Curation {
                       WHERE len(l) >= 50) t)
               SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
               FROM w GROUP BY h HAVING count(*) >= 2""")),
+
+    // SPAN SCRUB — the dedup APPLIED at sub-document grain: cut every
+    // document into non-overlapping 25-token chunks, keep each distinct
+    // chunk's FIRST global occurrence (min (doc_id, idx) — the exact-dedup
+    // keeper rule at chunk grain), and REASSEMBLE the surviving chunks in
+    // order. This is the C4/RefinedWeb repeated-passage scrub that
+    // whole-doc dedup can't do: boilerplate shared by many documents is
+    // deleted from all but one, the unique prose stays. Non-overlapping
+    // stride makes reassembly well-defined. Shape at 100 TB: one
+    // repartition(doc_id) fan-out to chunks, one groupBy(h) over
+    // (hash, doc_id, idx) ids — never the text — to pick keepers, one
+    // join back on h, one groupBy(doc_id) to reassemble; the scrubbed
+    // text travels as an md5 so the gate checks bytes without hauling
+    // them. (A semi-join of chunk ids would also work, but the keeper
+    // frame is already exactly (h, keep_doc, keep_idx).)
+    ("llm_span_scrub",
+      (s, d) => {
+        val chunks = documents(s, d)
+          .transform(pinnedRepartition(_, col("doc_id")))
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(l) - 1) div 25)")).as("i"),
+            col("l"))
+          .select(col("doc_id"), col("i"),
+            expr("concat_ws(' ', slice(l, i * 25 + 1, 25))").as("chunk"))
+          .withColumn("h", md5(col("chunk")))
+        val keepers = chunks.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("i"))).as("k"))
+          .select(col("h"), col("k.doc_id").as("kd"), col("k.i").as("ki"))
+        chunks.join(keepers, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("kd") === col("doc_id") && col("ki") === col("i"), 1L)
+              .otherwise(0L)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              """transform(
+                   array_sort(collect_list(CASE
+                     WHEN kd = doc_id AND ki = i THEN struct(i, chunk)
+                     END)),
+                   e -> e.chunk)"""))).as("scrub_md5"))
+      },
+      Some("""WITH c AS (
+                SELECT doc_id, i,
+                       array_to_string(l[i*25+1 : i*25+25], ' ') AS chunk
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(0, (len(l)-1)//25)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l
+                            FROM documents) x) t),
+              h AS (SELECT doc_id, i, chunk, md5(chunk) AS h FROM c),
+              k AS (SELECT h,
+                           min(struct_pack(doc_id := doc_id, i := i)) AS k
+                    FROM h GROUP BY h)
+              SELECT h.doc_id, count(*) AS n_chunks,
+                     CAST(SUM(CASE WHEN k.k.doc_id = h.doc_id
+                                    AND k.k.i = h.i
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     md5(coalesce(string_agg(CASE WHEN k.k.doc_id = h.doc_id
+                                                   AND k.k.i = h.i
+                                             THEN chunk END,
+                                             ' ' ORDER BY h.i), ''))
+                       AS scrub_md5
+              FROM h JOIN k USING (h)
+              GROUP BY h.doc_id""")),
 
     // CURATION pipeline e2e — the composition the per-operator oracles
     // never see, as one registered query (the pipeline_*_e2e pattern from
@@ -923,6 +986,43 @@ object Curation {
                         AS n_sym,
                       sy AS enc
                FROM v5""")),
+
+    // TOKENIZER FERTILITY — tokens-per-word per language under the learned
+    // BPE state: the measurement a tokenizer budget decision actually
+    // consumes (how many model tokens a corpus costs, and which languages
+    // pay more per word). The corpus re-pass is ONE explode + a BROADCAST
+    // join against the vocabulary (Zipf-bounded — the same reasoning as
+    // bpeLearn) + one |langs|-cell aggregation; documents are scanned
+    // once, never per merge.
+    ("llm_bpe_token_count",
+      (s, d) => {
+        val vocab = bpeLearn(s, d, 5)._1
+          .select(col("word"),
+            (size(split(col("sy"), "••")) - 2).cast(LongType).as("n_sym"))
+        documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(vocab), Seq("word"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).as("n_tokens"),
+            round(sum(col("n_sym")).cast(DoubleType) / count(lit(1)), 6)
+              .as("tokens_per_word"))
+      },
+      Some(s"""WITH ${bpeChainSql(5)},
+               voc AS (SELECT word,
+                              CAST(len(string_split(sy, '••')) - 2 AS BIGINT)
+                                AS n_sym
+                       FROM v5),
+               w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               SELECT lang, count(*) AS n_words,
+                      CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+                      round(SUM(n_sym) * 1.0 / count(*), 6)
+                        AS tokens_per_word
+               FROM w JOIN voc USING (word)
+               WHERE word <> ''
+               GROUP BY lang""")),
 
     // DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — the hashed-ngram

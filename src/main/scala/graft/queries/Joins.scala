@@ -84,7 +84,7 @@ object Joins {
         // clean and concurrent processes fully isolated. A shutdown
         // hook reclaims the copies so repeated runs don't accumulate
         // scratch parquet in the temp dir.
-        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+        val loc = s"${graft.Tables.tmpDir}/graft_$tbl"
         val p = new org.apache.hadoop.fs.Path(loc)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)

@@ -140,7 +140,7 @@ object Pipelines {
     // per-invocation unique path: a fixed shared path let concurrent
     // driver processes (bench n=5 vs correctness) race the
     // wipe/write/read cycle and produce nondeterministic results
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_esios_" +
+    val path = s"${graft.Tables.tmpDir}/graft_e2e_esios_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -269,6 +269,141 @@ object StreamingE2e {
                 ON p.datetime_utc = v.datetime_utc
                AND p.id_mercado = v.id_mercado""")),
 
+    // W28 — STREAM-STREAM LEFT-OUTER join e2e: precios hours 40-47 have
+    // NO volumenes counterpart; once the watermark (48 h lateness) passes
+    // them they must be EMITTED WITH NULL volumenes/importe — the
+    // streaming form of the reference's "keep precios, volumenes file
+    // missing" case. Null emission is watermark-driven, so the fixture
+    // CONTROLS event-time order across micro-batches: each landed file
+    // gets an explicit, strictly-increasing modification time (the file
+    // source processes oldest-first), the two real batches stay inside
+    // the lateness window, and two trailing matched sentinel pairs (hour
+    // offsets 1000/2000) advance the watermark so the unmatched rows'
+    // null emission happens in the LAST micro-batch — not after the
+    // stream stops. Deterministic because eviction depends only on event
+    // time vs watermark, and every file's batch slot is pinned by mtime.
+    ("w28_stream_outer_join_e2e",
+      (s, d) => withFewPartitions(s) {
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        val pdir = s"$tmpDir/graft_stream_ojp_$id"
+        val vdir = s"$tmpDir/graft_stream_ojv_$id"
+        val hp = new org.apache.hadoop.fs.Path(pdir)
+        val hv = new org.apache.hadoop.fs.Path(vdir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base = orders(s, d).filter(col("o_orderkey") % 89 === 0)
+          .select(
+            (col("o_orderkey") % 48).cast(IntegerType).as("h"),
+            (col("o_orderkey") % 3 + 1).cast(IntegerType).as("id_mercado"),
+            concat(lit("U"), (col("o_orderkey") % 40).cast(StringType))
+              .as("uof"),
+            ((col("o_orderkey") % 64).cast(DoubleType) / 4).as("volumenes"))
+          .withColumn("datetime_utc", expr(
+            "TIMESTAMP '2024-05-01 00:00:00' + make_interval(0,0,0,0,h,0,0)"))
+          .localCheckpoint()
+        val p = base.select(col("datetime_utc"), col("id_mercado"),
+            (((col("h") * 7 + col("id_mercado") * 13) % 100)
+              .cast(DoubleType) / 4).as("precio"), col("h"))
+          .dropDuplicates("datetime_utc", "id_mercado")
+        val v = base.filter(col("h") < 40)
+          .select(col("datetime_utc"), col("id_mercado"), col("uof"),
+            col("volumenes"), col("h"))
+        def sentP(hh: Int) = s.sql(
+          s"""SELECT TIMESTAMP '2024-05-01 00:00:00'
+                       + make_interval(0,0,0,0,$hh,0,0) AS datetime_utc,
+                     CAST(1 AS INT) AS id_mercado,
+                     CAST(0.25 AS DOUBLE) AS precio""")
+        def sentV(hh: Int) = s.sql(
+          s"""SELECT TIMESTAMP '2024-05-01 00:00:00'
+                       + make_interval(0,0,0,0,$hh,0,0) AS datetime_utc,
+                     CAST(1 AS INT) AS id_mercado, 'S' AS uof,
+                     CAST(0.5 AS DOUBLE) AS volumenes""")
+        // land one file, stamp a strictly-increasing mtime on it so the
+        // file source's oldest-first ordering is pinned per source
+        var t = 1714521600000L // 2024-05-01, arbitrary fixed epoch base
+        val seen = scala.collection.mutable.Set[String]()
+        def land(df: DataFrame, dir: String): Unit = {
+          df.coalesce(1).write.mode("append").parquet(dir)
+          val hd = new org.apache.hadoop.fs.Path(dir)
+          for (f <- fs.listStatus(hd)
+               if f.getPath.getName.startsWith("part-")
+               if !seen.contains(f.getPath.toString)) {
+            fs.setTimes(f.getPath, t, -1)
+            seen += f.getPath.toString
+          }
+          t += 60000L
+        }
+        land(p.filter(col("h") < 24).drop("h"), pdir)
+        land(v.filter(col("h") < 24).drop("h"), vdir)
+        land(p.filter(col("h") >= 24).drop("h"), pdir)
+        land(v.filter(col("h") >= 24).drop("h"), vdir)
+        land(sentP(1000), pdir); land(sentV(1000), vdir)
+        land(sentP(2000), pdir); land(sentV(2000), vdir)
+        val pSchema = StructType(Seq(
+          StructField("datetime_utc", TimestampType),
+          StructField("id_mercado", IntegerType),
+          StructField("precio", DoubleType)))
+        val vSchema = StructType(Seq(
+          StructField("datetime_utc", TimestampType),
+          StructField("id_mercado", IntegerType),
+          StructField("uof", StringType),
+          StructField("volumenes", DoubleType)))
+        val qn = s"graft_sink_$id"
+        try {
+          val ps = s.readStream.schema(pSchema)
+            .option("maxFilesPerTrigger", 1).parquet(pdir)
+          val vs = s.readStream.schema(vSchema)
+            .option("maxFilesPerTrigger", 1).parquet(vdir)
+          val q = graft.streaming.StreamJoin
+            .joinPreciosVolumenesOuter(ps, vs, lateness = "48 hours")
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(qn).localCheckpoint()
+        } finally {
+          try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+          fs.delete(hp, true)
+          fs.delete(hv, true)
+        }
+      },
+      Some("""WITH base AS (
+                SELECT CAST(o_orderkey % 48 AS INTEGER) AS h,
+                       CAST(o_orderkey % 3 + 1 AS INTEGER) AS id_mercado,
+                       concat('U', CAST(o_orderkey % 40 AS VARCHAR)) AS uof,
+                       CAST(o_orderkey % 64 AS DOUBLE) / 4 AS volumenes
+                FROM orders WHERE o_orderkey % 89 = 0),
+              p AS (
+                SELECT DISTINCT
+                       TIMESTAMP '2024-05-01 00:00:00'
+                         + to_hours(CAST(h AS BIGINT)) AS datetime_utc,
+                       id_mercado,
+                       CAST((h * 7 + id_mercado * 13) % 100 AS DOUBLE) / 4
+                         AS precio
+                FROM base
+                UNION ALL
+                SELECT TIMESTAMP '2024-05-01 00:00:00' + to_hours(1000),
+                       CAST(1 AS INTEGER), CAST(0.25 AS DOUBLE)
+                UNION ALL
+                SELECT TIMESTAMP '2024-05-01 00:00:00' + to_hours(2000),
+                       CAST(1 AS INTEGER), CAST(0.25 AS DOUBLE)),
+              v AS (
+                SELECT TIMESTAMP '2024-05-01 00:00:00'
+                         + to_hours(CAST(h AS BIGINT)) AS datetime_utc,
+                       id_mercado, uof, volumenes
+                FROM base WHERE h < 40
+                UNION ALL
+                SELECT TIMESTAMP '2024-05-01 00:00:00' + to_hours(1000),
+                       CAST(1 AS INTEGER), 'S', CAST(0.5 AS DOUBLE)
+                UNION ALL
+                SELECT TIMESTAMP '2024-05-01 00:00:00' + to_hours(2000),
+                       CAST(1 AS INTEGER), 'S', CAST(0.5 AS DOUBLE))
+              SELECT p.datetime_utc, p.id_mercado, precio, uof, volumenes,
+                     precio * volumenes AS importe
+              FROM p LEFT JOIN v
+                ON p.datetime_utc = v.datetime_utc
+               AND p.id_mercado = v.id_mercado""")),
+
     // W18 — STREAMING ordered-step FUNNEL e2e (the W16 twin as a real
     // stream). Ordered-step semantics (step k counts only strictly after
     // step k−1) are NOT commutative under out-of-order arrival, so the

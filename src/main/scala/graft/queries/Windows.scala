@@ -771,5 +771,53 @@ object Windows {
                        / max(CASE WHEN day_offset = 0 THEN n_active END)
                            OVER (PARTITION BY cohort_day) AS pct
               FROM g"""))
+  ,
+
+    // W29 — EXPONENTIAL MOVING AVERAGE: the genuinely-recursive per-key
+    // fold (ema_i = α·v_i + (1−α)·ema_{i−1}, α = 1/4) that NO window
+    // frame expresses — the closed form Σ α(1−α)^(i−j)v_j overflows
+    // pow() at data-sized i, so both engines run the literal recursion:
+    // Spark as a per-key ordered `aggregate()` fold over the collected
+    // series, DuckDB as a recursive CTE. Bit-determinism holds because
+    // both execute the IDENTICAL IEEE-double op sequence per key (α
+    // dyadic, same (ts, event_id) order). State is each key's history —
+    // fine at the per-user grain here (≤ a few hundred events); when a
+    // single key's history outgrows memory at 100 TB, the scalable shape
+    // is the streaming twin (graft.streaming, incremental state of ONE
+    // double per key) or repartition-by-key + sortWithinPartitions +
+    // a per-partition running fold — the recursion itself is inherently
+    // sequential per key and parallel only ACROSS keys.
+    ("w29_ema",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value").as("v")))).as("xs"))
+        .select(col("user_id"), col("n_events"),
+          round(expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+                 CAST(xs[0].v AS DOUBLE),
+                 (acc, e) -> CAST(0.25 AS DOUBLE) * e.v
+                             + CAST(0.75 AS DOUBLE) * acc)"""), 6)
+            .as("ema_last")),
+      Some("""WITH RECURSIVE s AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+              n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
+              r AS (
+                SELECT user_id, rn, CAST(value AS DOUBLE) AS ema
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.rn,
+                       CAST(0.25 AS DOUBLE) * s.value
+                         + CAST(0.75 AS DOUBLE) * r.ema
+                FROM s JOIN r ON s.user_id = r.user_id
+                             AND s.rn = r.rn + 1)
+              SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+                     round(r.ema, 6) AS ema_last
+              FROM r JOIN n ON r.user_id = n.user_id
+                           AND r.rn = n.n_events"""))
   )
 }

@@ -85,9 +85,14 @@ object Reader {
   def registerView(spark: SparkSession, lakePath: String, view: String): Unit =
     spark.read.parquet(lakePath).createOrReplaceTempView(view)
 
-  /** J9 — the prescribed precios×volumenes CTE join shape. */
-  def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame): DataFrame =
-    precios.join(volumenes, Seq("datetime_utc", "id_mercado"))
+  /** J9 — the prescribed precios×volumenes CTE join shape. `joinType`
+    * "left_outer" keeps unpriced/unmatched hours with null volumenes and
+    * null importe (the late-volumenes case of the reference's re-download
+    * loop, processed_file_utils.py:112-131).
+    */
+  def joinPreciosVolumenes(precios: DataFrame, volumenes: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    precios.join(volumenes, Seq("datetime_utc", "id_mercado"), joinType)
       .withColumn("importe", col("precio") * col("volumenes"))
 
   /** W11 — 24-slot rolling mean over an ordered series, per market. */

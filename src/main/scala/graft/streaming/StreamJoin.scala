@@ -22,4 +22,21 @@ object StreamJoin {
     graft.query.Reader.joinPreciosVolumenes(
       precios.withWatermark("datetime_utc", lateness),
       volumenes.withWatermark("datetime_utc", lateness))
+
+  /** LEFT-OUTER stream-stream join: precios whose volumenes never arrive
+    * within the lateness window are EMITTED WITH NULLS once the watermark
+    * passes their event time — the streaming answer to the reference's
+    * "volumenes file missing, keep precios and re-download later" loop.
+    *
+    * Because the equi-join key contains the watermarked event-time column,
+    * Spark uses the state-KEY watermark: a buffered left row becomes
+    * definitively unmatched (and its null row is emitted) in the first
+    * micro-batch after the watermark passes its key — so null emission is
+    * driven purely by event time, never by micro-batch boundaries.
+    */
+  def joinPreciosVolumenesOuter(precios: DataFrame, volumenes: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    graft.query.Reader.joinPreciosVolumenes(
+      precios.withWatermark("datetime_utc", lateness),
+      volumenes.withWatermark("datetime_utc", lateness), "left_outer")
 }
