@@ -973,6 +973,99 @@ object LlmOps {
                           AS BIGINT) AS rh
               FROM documents""")),
 
+    // GLOBAL TOP-K NGRAMS — the corpus-statistics table every tokenizer /
+    // filter-threshold decision starts from: trigram counts, top 20 by
+    // (count desc, gram asc). The plan is the scalable global top-k:
+    // hash-aggregate per trigram (map-side partials bound each task's
+    // output by |vocab|³), then TakeOrderedAndProject — per-partition
+    // top-20 heaps merged on the driver, never a global sort of the
+    // aggregate stream.
+    ("llm_topk_ngrams",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(l) - 2),
+               i -> concat_ws(' ', slice(l, i, 3)))""")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20),
+      Some("""SELECT gram, count(*) AS n
+              FROM (SELECT concat(l[i], ' ', l[i+1], ' ', l[i+2]) AS gram
+                    FROM (SELECT l, unnest(generate_series(1, len(l) - 2))
+                                 AS i
+                          FROM (SELECT string_split(text, ' ') AS l
+                                FROM documents) x
+                          WHERE len(l) >= 3) t) g
+              GROUP BY gram
+              ORDER BY n DESC, gram
+              LIMIT 20""")),
+
+    // WINNOWING (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprint):
+    // per position, hash the 4-gram; per sliding window of 5 hashes, keep
+    // the MINIMUM — the guarantee is any shared run ≥ 8 tokens shares a
+    // fingerprint, at ~1/5 the storage of all-grams. Pairs of documents
+    // sharing ≥ 3 distinct fingerprints are the local-overlap candidates
+    // span dedup at a fixed stride can miss (winnowing is offset-
+    // invariant). Scale shape: per-doc fingerprinting is one narrow
+    // higher-order-function pass (no shuffle), the pair generation is one
+    // groupBy(fp) over ids with a HOT-FINGERPRINT CAP (≤ 50 docs — the
+    // LSH-bucket-cap rule: a boilerplate fingerprint shared by thousands
+    // of docs would otherwise emit quadratic pairs), then one pair count.
+    ("llm_winnow",
+      (s, d) => {
+        val fps = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= 8)
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, size(l) - 3),
+                 i -> CAST(conv(substr(md5(concat_ws(' ', slice(l, i, 4))),
+                                       1, 7), 16, 10) AS BIGINT))""")
+            .as("h"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            """transform(sequence(1, size(h) - 4),
+                 j -> array_min(slice(h, j, 5)))"""))).as("fp"))
+        val buckets = fps.groupBy("fp")
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")).between(2, 50))
+        buckets
+          .select(col("fp"), explode(expr(
+            """flatten(transform(ds, a ->
+                 filter(transform(ds, b -> struct(a AS d1, b AS d2)),
+                        p -> p.d1 < p.d2)))""")).as("p"))
+          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, i,
+                       CAST(concat('0x',
+                              substr(md5(concat(l[i], ' ', l[i+1], ' ',
+                                                l[i+2], ' ', l[i+3])),
+                                     1, 7)) AS BIGINT) AS hv
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1, len(l) - 3)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l
+                            FROM documents) x
+                      WHERE len(l) >= 8) t),
+              fpall AS (
+                SELECT doc_id, i,
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW
+                                              AND 4 FOLLOWING) AS fp,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM h),
+              fp AS (SELECT DISTINCT doc_id, fp
+                     FROM fpall WHERE i <= n - 4),
+              ok AS (SELECT fp FROM fp GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND 50)
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     count(*) AS n_shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              JOIN ok ON ok.fp = a.fp
+              GROUP BY 1, 2
+              HAVING count(*) >= 3""")),
+
     // Text normalization: ONE corpus-prep pipeline — casefold, drop
     // punctuation, collapse whitespace runs, strip edges — published both
     // as the cleaned text and as its md5 (what exact-dedup would key on

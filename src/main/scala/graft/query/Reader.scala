@@ -95,6 +95,28 @@ object Reader {
     precios.join(volumenes, Seq("datetime_utc", "id_mercado"), joinType)
       .withColumn("importe", col("precio") * col("volumenes"))
 
+  /** J9 with the SCALE default: when both fact tables exist as bucketed
+    * catalog tables (Lake.writeBucketed on the join key at ingest), join
+    * those — the plan carries no Exchange on the join keys because the
+    * shuffle was paid once at write time. Falls back to the given frames
+    * (by-name args stay unevaluated on the bucketed path). The most
+    * common reference query (the precios×volumenes CTE,
+    * read/natlanguage_duckdb_queries.py:254-275) thus gets the
+    * exchange-free layout whenever ingest provided it, without callers
+    * opting in.
+    */
+  def joinPreciosVolumenesAuto(spark: SparkSession,
+      preciosTable: String, volumenesTable: String,
+      precios: => DataFrame, volumenes: => DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    val bucketed = spark.catalog.tableExists(preciosTable) &&
+      spark.catalog.tableExists(volumenesTable)
+    if (bucketed)
+      joinPreciosVolumenes(
+        spark.table(preciosTable), spark.table(volumenesTable), joinType)
+    else joinPreciosVolumenes(precios, volumenes, joinType)
+  }
+
   /** W11 — 24-slot rolling mean over an ordered series, per market. */
   def rollingAvg(df: DataFrame, valueCol: String, slots: Int = 24): DataFrame = {
     val w = Window.partitionBy("id_mercado").orderBy("datetime_utc")
