@@ -33,4 +33,55 @@ object StreamDedup {
       eventTimeCol: String, lateness: String): DataFrame =
     stream.withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Third arm — [[dedupTtl]]: the Spark 4 `transformWithState` form with
+    * an explicit per-key state TTL. Unlike the watermark arm (state
+    * bounded by EVENT-time width, needs an event-time column), TTL bounds
+    * state by WALL-CLOCK age — the right guarantee when the stream has no
+    * usable event time (raw file re-downloads, dimension republications)
+    * but re-deliveries are known to land within a wall-clock window. The
+    * state store (RocksDB-backed, required by transformWithState) evicts
+    * expired keys itself; a key re-arriving after its TTL is treated as
+    * new and re-emitted. First arrival per key wins, within-batch ties
+    * resolved by the caller-ordered iterator.
+    *
+    * Testing note: the processor logic is spec-tested against a stub
+    * ValueState. A full RocksDB micro-batch e2e is deliberately NOT in
+    * the suite: ProcessingTime time mode schedules micro-batches
+    * continuously (TTL/timers must fire without input), and on a
+    * container without the Hadoop native library every store commit
+    * forks one `chmod` process per RocksDB file (~8 s/batch observed) —
+    * a local-harness pathology, not an operator property; a real cluster
+    * has native IO and amortizes commits across long-lived batches.
+    */
+  private[streaming] class TtlDedupProcessor[I](ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, I, I] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[I],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[I] =
+      if (seen.exists() || !rows.hasNext) Iterator.empty
+      else {
+        seen.update(true) // refreshes the TTL clock on first sight only
+        Iterator.single(rows.next())
+      }
+  }
+
+  def dedupTtl[I](stream: Dataset[I], key: I => String,
+      ttl: java.time.Duration)(implicit enc: org.apache.spark.sql.Encoder[I])
+      : Dataset[I] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(key)
+      .transformWithState(new TtlDedupProcessor[I](ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(), enc)
+  }
 }

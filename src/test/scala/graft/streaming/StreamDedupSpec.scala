@@ -55,4 +55,43 @@ class StreamDedupSpec extends SparkSpec {
     val got = spark.table("dedup_wm").as[DedupDoc].collect().map(_.doc_id).toSet
     assert(got == Set(1L, 3L, 4L))
   }
+
+  test("TTL dedup processor: first arrival emits, in-TTL dups drop, expiry re-admits") {
+    // the transformWithState plan itself needs a RocksDB-backed run (see
+    // the dedupTtl scaladoc for why that e2e is out of the local suite);
+    // the PROCESSOR contract is checked here against a stub ValueState
+    // whose expiry we control — exactly what the TTL store does for real.
+    var state: Option[Boolean] = None
+    val stub = new org.apache.spark.sql.streaming.ValueState[Boolean] {
+      def exists(): Boolean = state.isDefined
+      def get(): Boolean = state.get
+      def update(v: Boolean): Unit = state = Some(v)
+      def clear(): Unit = state = None
+    }
+    val p = new StreamDedup.TtlDedupProcessor[DedupDoc](
+      java.time.Duration.ofMillis(1500)) {
+      override def init(
+          om: org.apache.spark.sql.streaming.OutputMode,
+          tm: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    }
+    val seenField = classOf[StreamDedup.TtlDedupProcessor[_]]
+      .getDeclaredField("seen")
+    seenField.setAccessible(true)
+    seenField.set(p, stub)
+    def feed(docs: DedupDoc*): Seq[DedupDoc] =
+      p.handleInputRows("a", docs.iterator, null).toSeq
+    // batch 1: first arrival emits, in-batch dup drops
+    val b1 = feed(Doc(1L, "a", ts("2024-01-01 10:00:00")),
+      Doc(2L, "a", ts("2024-01-01 10:01:00")))
+    assert(b1.map(_.doc_id) == Seq(1L))
+    // batch 2 within TTL: state present → suppressed
+    assert(feed(Doc(3L, "a", ts("2024-01-01 10:02:00"))).isEmpty)
+    // the store expires the key after the TTL → next arrival re-emits
+    state = None
+    val b3 = feed(Doc(4L, "a", ts("2024-01-01 10:30:00")))
+    assert(b3.map(_.doc_id) == Seq(4L))
+    // and an empty iterator never touches state
+    state = None
+    assert(feed().isEmpty && state.isEmpty)
+  }
 }
