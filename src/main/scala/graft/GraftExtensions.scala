@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
       (children: Seq[Expression]) =>
         TopKStructs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_prints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowPrints].getName,
+        "winnow_prints"),
+      (children: Seq[Expression]) =>
+        graft.functions.WinnowPrints(children.head)))
     // Spark ships these two for its own runtime-filter rewrites but does
     // not register them in the public FunctionRegistry; exposing them via
     // the extension gives queries the classic bloom semi-join reduction

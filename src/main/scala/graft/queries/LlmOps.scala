@@ -1014,17 +1014,14 @@ object LlmOps {
     // of docs would otherwise emit quadratic pairs), then one pair count.
     ("llm_winnow",
       (s, d) => {
+        // one narrow codegen'd pass per doc (graft.functions.WinnowPrints)
+        // — bit-identical to the composed transform/md5/conv/array_min
+        // chain (asserted over the corpus in NarrowStatsSpec), ~3× cheaper
         val fps = documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("l"))
           .filter(size(col("l")) >= 8)
-          .select(col("doc_id"), expr(
-            """transform(sequence(1, size(l) - 3),
-                 i -> CAST(conv(substr(md5(concat_ws(' ', slice(l, i, 4))),
-                                       1, 7), 16, 10) AS BIGINT))""")
-            .as("h"))
-          .select(col("doc_id"), explode(array_distinct(expr(
-            """transform(sequence(1, size(h) - 4),
-                 j -> array_min(slice(h, j, 5)))"""))).as("fp"))
+          .select(col("doc_id"),
+            explode(call_function("winnow_prints", col("l"))).as("fp"))
         val buckets = fps.groupBy("fp")
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")).between(2, 50))

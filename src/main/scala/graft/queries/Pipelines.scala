@@ -517,6 +517,48 @@ object Pipelines {
                                        'tags':'VARCHAR[]',
                                        'meta':'STRUCT(zona VARCHAR, pot DOUBLE)'})""")),
 
+    // S15 — SCHEMA EVOLUTION e2e: a lake dataset whose later batches grew
+    // a column (the reference's sheets gain columns across market-rule
+    // changes; at 100 TB re-writing history for every added column is not
+    // an option). Batch 1 lands (id, v); batch 2 lands (id, v, extra);
+    // the mergeSchema read must surface the union schema with NULLs for
+    // the old files. Explicitly `mergeSchema` per read — the production
+    // default stays off because schema merging reads EVERY file footer at
+    // planning time; a curated lake turns it on per-dataset, which is
+    // exactly what this operator models. Oracle recomputes the union from
+    // the source table (the e2e pattern: files are the thing under test).
+    ("s15_schema_evolution_e2e",
+      (s, d) => {
+        val dir = s"$tmpDir/graft_e2e_s15_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          orders(s, d).filter(col("o_orderkey") % 50 === 0)
+            .select(col("o_orderkey").as("id"),
+              ((col("o_orderkey") % 16).cast(DoubleType) / 4).as("v"))
+            .write.mode("append").parquet(dir)
+          orders(s, d).filter(col("o_orderkey") % 70 === 0)
+            .select(col("o_orderkey").as("id"),
+              ((col("o_orderkey") % 16).cast(DoubleType) / 4).as("v"),
+              concat(lit("x"), (col("o_orderkey") % 7).cast(StringType))
+                .as("extra"))
+            .write.mode("append").parquet(dir)
+          s.read.option("mergeSchema", "true").parquet(dir)
+            .select(col("id"), col("v"), col("extra"))
+            .localCheckpoint() // eager: files are deleted in finally
+        } finally fs.delete(hp, true)
+      },
+      Some("""SELECT o_orderkey AS id,
+                     CAST(o_orderkey % 16 AS DOUBLE) / 4 AS v,
+                     CAST(NULL AS VARCHAR) AS extra
+              FROM orders WHERE o_orderkey % 50 = 0
+              UNION ALL
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 16 AS DOUBLE) / 4,
+                     concat('x', CAST(o_orderkey % 7 AS VARCHAR))
+              FROM orders WHERE o_orderkey % 70 = 0""")),
+
     // ESIOS e2e — raw fixture derived deterministically from `events`
     // (geo filter fodder, mixed granularity), through transform → lake
     // upsert → pruned read. Lambda/oracle defined above (esiosE2eQ) so the

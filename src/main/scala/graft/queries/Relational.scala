@@ -287,6 +287,55 @@ object Relational {
               FROM orders
               GROUP BY CUBE(o_orderpriority, o_orderstatus)""")),
 
+    // A18 — APPROXIMATE DISTINCT (HyperLogLog++) gated by the exact
+    // answer: per group, the exact distinct count plus a boolean asserting
+    // the HLL estimate (rsd 2%) landed within 5% of it. The estimate
+    // itself is engine-specific so it can't be hash-compared — the GATE
+    // can: the oracle expects `true`, and HLL++ on fixed data is
+    // deterministic, so a sketch regression flips the row red. This is
+    // the recall@k pattern (approximate arm judged by the exact arm)
+    // applied to cardinality. At 100 TB the HLL arm is the only viable
+    // one — mergeable fixed-size sketches, no distinct shuffle of the
+    // full key stream — and this row documents its contract.
+    ("a18_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("est"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("hll_within_5pct")),
+      Some("""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS exact_parts,
+                     true AS hll_within_5pct
+              FROM lineitem GROUP BY 1""")),
+
+    // A19 — APPROXIMATE QUANTILE (Greenwald-Khanna via approxQuantile)
+    // gated by exact RANK position: the GK p50 estimate's true rank must
+    // sit within the requested ±1% rank error of the median position.
+    // Same approx-gated-by-exact contract as A18; the exact median comes
+    // from the bounded-memory histogram-bracket operator (not a value
+    // buffer), so both arms scale.
+    ("a19_approx_quantile_gate",
+      (s, d) => {
+        val df = lineitem(s, d)
+        val apx = df.stat.approxQuantile("l_extendedprice",
+          Array(0.5), 0.01)(0)
+        val exact = graft.operators.Quantiles.round6(
+          graft.operators.Quantiles.percentiles(df, "l_extendedprice",
+            Seq(0.5)).head)
+        df.agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") <= apx, 1L).otherwise(0L))
+              .as("rank_apx"))
+          .select(lit(exact).as("exact_p50"),
+            (abs(col("rank_apx") - col("n") * 0.5)
+              <= col("n") * 0.011 + 1).as("gk_rank_ok"))
+      },
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.5), 6)
+                       AS exact_p50,
+                     true AS gk_rank_ok
+              FROM lineitem""")),
+
     // O4 — deterministic top-k per group (ranking window)
     ("o4_topk_per_group",
       (s, d) => {

@@ -276,10 +276,10 @@ object StreamingE2e {
     // missing" case. Null emission is watermark-driven, so the fixture
     // CONTROLS event-time order across micro-batches: each landed file
     // gets an explicit, strictly-increasing modification time (the file
-    // source processes oldest-first), the two real batches stay inside
-    // the lateness window, and two trailing matched sentinel pairs (hour
-    // offsets 1000/2000) advance the watermark so the unmatched rows'
-    // null emission happens in the LAST micro-batch — not after the
+    // source processes oldest-first), the real data lands in one batch
+    // inside the lateness window, and two trailing matched sentinel pairs
+    // (hour offsets 1000/2000) advance the watermark so the unmatched
+    // rows' null emission happens in the LAST micro-batch — not after the
     // stream stops. Deterministic because eviction depends only on event
     // time vs watermark, and every file's batch slot is pinned by mtime.
     ("w28_stream_outer_join_e2e",
@@ -332,10 +332,8 @@ object StreamingE2e {
           }
           t += 60000L
         }
-        land(p.filter(col("h") < 24).drop("h"), pdir)
-        land(v.filter(col("h") < 24).drop("h"), vdir)
-        land(p.filter(col("h") >= 24).drop("h"), pdir)
-        land(v.filter(col("h") >= 24).drop("h"), vdir)
+        land(p.drop("h"), pdir)
+        land(v.drop("h"), vdir)
         land(sentP(1000), pdir); land(sentV(1000), vdir)
         land(sentP(2000), pdir); land(sentV(2000), vdir)
         val pSchema = StructType(Seq(

@@ -157,12 +157,42 @@ class NarrowStatsSpec extends SparkSpec {
     assert(r)
   }
 
+  test("winnow_prints equals the composed transform/md5 chain over the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("l"))
+      .filter(size($"l") >= 8)
+    val composed = docs
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(l) - 3),
+             i -> CAST(conv(substr(md5(concat_ws(' ', slice(l, i, 4))),
+                                   1, 7), 16, 10) AS BIGINT))""").as("h"))
+      .select($"doc_id", array_sort(array_distinct(expr(
+        """transform(sequence(1, size(h) - 4),
+             j -> array_min(slice(h, j, 5)))"""))).as("ref"))
+    val narrow = docs.select($"doc_id",
+      array_sort(call_function("winnow_prints", $"l")).as("nw"))
+    val bad = composed.join(narrow, "doc_id")
+      .filter($"ref" =!= $"nw").count()
+    assert(bad == 0, s"$bad docs diverge from the composed winnowing chain")
+    // short input (< K+W-1 tokens → no full window) yields an empty array
+    val short = Seq("a b c d e f g").toDF("t")
+      .select(size(call_function("winnow_prints", split($"t", " "))))
+      .as[Int].head()
+    assert(short == 0)
+    // null array in → null out
+    val nl = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("winnow_prints", split($"t", " ")).isNull)
+      .as[Boolean].head()
+    assert(nl)
+  }
+
   test("all narrow expressions participate in whole-stage codegen") {
     val docs = graft.Tables.documents(spark, sfDir)
     for ((fn, arg) <- Seq(
         ("char_entropy_stats", col("text")),
         ("bigram_rep_stats", split(col("text"), " ")),
-        ("shingle_codes", split(col("text"), " ")))) {
+        ("shingle_codes", split(col("text"), " ")),
+        ("winnow_prints", split(col("text"), " ")))) {
       val plan = docs.select(call_function(fn, arg))
         .queryExecution.executedPlan.toString
       assert(plan.linesIterator.exists(l =>
