@@ -47,6 +47,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("llm_topk_ngrams takes per-partition heaps, never a global sort") {
+    val p = plan("llm_topk_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k lost the heap-merge operator:\n$p")
+    assert(p.contains("partial_count"),
+      s"ngram counts lost map-side partials:\n$p")
+  }
+
+  test("llm_span_scrub shuffles ids and hashes, never a cartesian") {
+    val p = plan("llm_span_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span scrub joins degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"keeper join missing:\n$p")
+  }
+
+  test("llm_winnow fingerprints stay narrow until the fp exchange") {
+    // the winnow_prints projection must sit under the FIRST exchange —
+    // per-doc hashing is a map, only 8-byte fingerprints shuffle
+    val p = plan("llm_winnow")
+    val firstExchange = p.linesIterator.indexWhere(_.contains("Exchange "))
+    val winnowLine = p.linesIterator.indexWhere(l =>
+      l.toLowerCase.contains("winnowprints") ||
+        l.toLowerCase.contains("winnow_prints"))
+    assert(winnowLine >= 0, s"winnow_prints not in the plan:\n$p")
+    assert(firstExchange >= 0 && winnowLine > firstExchange,
+      s"fingerprinting not below the first exchange:\n$p")
+  }
+
+  test("a18/a19 approx gates stay single-aggregation shapes") {
+    val p18 = plan("a18_approx_distinct")
+    assert(p18.contains("partial_"), s"a18 lost partial aggregation:\n$p18")
+    val p19 = plan("a19_approx_quantile_gate")
+    assert(p19.contains("PushedFilters") || p19.contains("HashAggregate"),
+      s"a19 degenerate plan:\n$p19")
+  }
+
   test("o4 top-k aggregate never window-sorts the fact rows") {
     // the whole point of the topk_structs sibling: no WindowExec (which
     // would sort every joined row inside its segment's single partition)

@@ -139,4 +139,34 @@ class PropertySpec extends SparkSpec {
       assert(got == want.toDouble, s"$want")
     }
   }
+
+  test("property: winnow_prints matches a sequential reference on random token arrays") {
+    // random short vocab forces gram collisions and window-min ties —
+    // the structural cases the fixed corpus rarely hits
+    val genDoc = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "x y".trim))
+    } yield toks
+    val docs = samples(genDoc, 300).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    def gramHash(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    val expected = docs.map { case (id, toks) =>
+      val hs = toks.sliding(4).filter(_.length == 4)
+        .map(g => gramHash(g.mkString(" "))).toVector
+      val fps =
+        if (hs.length < 5) Vector[Long]()
+        else hs.sliding(5).map(_.min).toVector.distinct
+      id -> fps
+    }.toMap
+    val got = docs.toDF("id", "l")
+      .select($"id", call_function("winnow_prints", $"l").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, fps) <- expected)
+      assert(got(id) == fps, s"doc $id: got ${got(id)}, want $fps")
+  }
 }
