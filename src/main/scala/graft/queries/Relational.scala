@@ -299,8 +299,14 @@ object Relational {
     // full key stream — and this row documents its contract.
     ("a18_approx_distinct",
       (s, d) => lineitem(s, d)
+        // dedupe first, then count — mixing count(DISTINCT) with another
+        // aggregate makes Catalyst plan an Expand (every row duplicated
+        // per aggregate family); HLL is idempotent on duplicates, so
+        // running it over the pre-distinct rows gives the identical
+        // estimate in one straight two-phase aggregation
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(lit(1))
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("est"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("est") - col("exact_parts"))
