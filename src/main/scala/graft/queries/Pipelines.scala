@@ -559,6 +559,33 @@ object Pipelines {
                      concat('x', CAST(o_orderkey % 7 AS VARCHAR))
               FROM orders WHERE o_orderkey % 70 = 0""")),
 
+    // O10 — TRAINING-SHARD EXPORT e2e: the global shuffle a training run
+    // wants, as a lake write — rows ordered by a content hash (md5 ⇒
+    // deterministic, uniform, uncorrelated with ingest order),
+    // range-partitioned into shards, each shard split into files capped
+    // at maxRecordsPerFile. At 100 TB this is repartitionByRange(N) on
+    // the hash (one exchange, sampled range bounds) + sorted sequential
+    // file splitting inside each writer task — no driver involvement in
+    // the shuffle. The driver gate checks content parity (nothing lost
+    // or duplicated by the export); PipelineSpec audits the file-level
+    // contract (per-file cap, disjoint hash ranges).
+    ("o10_shard_export_e2e",
+      (s, d) => {
+        val dir = s"$tmpDir/graft_e2e_o10_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+            .repartitionByRange(4, col("h"))
+            .sortWithinPartitions(col("h"))
+            .write.option("maxRecordsPerFile", 100)
+            .mode("overwrite").parquet(dir)
+          s.read.parquet(dir).localCheckpoint() // eager: dir deleted below
+        } finally fs.delete(hp, true)
+      },
+      Some("SELECT doc_id, md5(text) AS h FROM documents")),
+
     // ESIOS e2e — raw fixture derived deterministically from `events`
     // (geo filter fodder, mixed granularity), through transform → lake
     // upsert → pruned read. Lambda/oracle defined above (esiosE2eQ) so the
