@@ -59,6 +59,28 @@ object Joins {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2""")
 
+  /** ONE SQL text executed verbatim by BOTH engines (sql1_tpch_q3): the
+    * S12-analog proof that the free-form SQL surface (Reader.registerView
+    * + spark.sql — what an NL layer would emit) yields the same rows as
+    * the typed facade. The text stays in the ANSI subset the two dialects
+    * share; money sums use the dsum4 decimal-snap convention.
+    */
+  private val q3Sql: String =
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              CAST(o_orderdate AS DATE) AS odate,
+              o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, odate, l_orderkey
+       LIMIT 10"""
+
   /** The shared exchange-free j9 join over session-bucketed fact copies:
     * both facts are bucketed on the join key at ingest (Lake.writeBucketed),
     * so the join runs with NO Exchange on the join key — the shuffle was
@@ -368,6 +390,19 @@ object Joins {
 
     // J9 — precios×volumenes-shaped fact join + time-bucketed aggregate
     // ref: read/natlanguage_duckdb_queries.py:254-275
+    // S12 analog — the SAME SQL text runs in Spark (over registered views
+    // of the lake tables) and in the DuckDB oracle: the NL/free-form path
+    // and the typed path cannot drift. TPC-H Q3 shape: selective dim
+    // filter → fact join → money rollup → deterministic top-10
+    // (TakeOrderedAndProject — per-partition heaps, no global sort).
+    ("sql1_tpch_q3",
+      (s, d) => {
+        for (t <- Seq("customer", "orders", "lineitem"))
+          graft.Tables.load(s, d, t).createOrReplaceTempView(t)
+        s.sql(q3Sql)
+      },
+      Some(q3Sql)),
+
     ("j9_fact_join",
       (s, d) => lineitem(s, d)
         // derive the month bucket on the BUILD side before the join: the

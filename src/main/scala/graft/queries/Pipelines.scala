@@ -559,6 +559,30 @@ object Pipelines {
                      concat('x', CAST(o_orderkey % 7 AS VARCHAR))
               FROM orders WHERE o_orderkey % 70 = 0""")),
 
+    // S16 — ORC ROUND-TRIP e2e: the second columnar format Spark treats
+    // as first-class (own reader/writer, predicate pushdown, zstd),
+    // proven by content parity through a write→read cycle. Types chosen
+    // to cross the format boundary non-trivially: int64, date, double,
+    // string. The oracle recomputes the derivation from the source table
+    // (DuckDB reads no ORC; the files are the thing under test).
+    ("s16_orc_roundtrip_e2e",
+      (s, d) => {
+        val dir = s"$tmpDir/graft_e2e_s16_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          lineitem(s, d).filter(col("l_orderkey") % 40 === 0)
+            .select(col("l_orderkey"), col("l_shipdate"),
+              col("l_extendedprice"), col("l_returnflag"))
+            .write.format("orc").option("compression", "zstd")
+            .mode("overwrite").save(dir)
+          s.read.format("orc").load(dir).localCheckpoint()
+        } finally fs.delete(hp, true)
+      },
+      Some("""SELECT l_orderkey, l_shipdate, l_extendedprice, l_returnflag
+              FROM lineitem WHERE l_orderkey % 40 = 0""")),
+
     // O10 — TRAINING-SHARD EXPORT e2e: the global shuffle a training run
     // wants, as a lake write — rows ordered by a content hash (md5 ⇒
     // deterministic, uniform, uncorrelated with ingest order),

@@ -402,6 +402,87 @@ object StreamingE2e {
                 ON p.datetime_utc = v.datetime_utc
                AND p.id_mercado = v.id_mercado""")),
 
+    // W30 — STREAMING EMA e2e (the w29 recursive fold as a REAL stateful
+    // stream): the mapGroupsWithState operator (graft.streaming.Ema, ONE
+    // double of state per key) driven through a file-source stream whose
+    // three files split the fixture by event time with pinned mtimes —
+    // the operator's in-order-across-batches contract made true by
+    // construction — and hash-gated against the SAME DuckDB recursive-CTE
+    // oracle as the batch query. Update-mode sink keeps every per-batch
+    // re-emission; the final state per key is the row with the maximal
+    // (strictly increasing) n_events. Bit-determinism: identical IEEE
+    // fold sequence per key in stream, batch and oracle.
+    ("w30_stream_ema_e2e",
+      (s, d) => withFewPartitions(s) {
+        import s.implicits._
+        val id = java.util.UUID.randomUUID.toString.replace("-", "")
+        val dir = s"$tmpDir/graft_stream_ema_$id"
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val src = events(s, d).filter(col("event_id") % 5 === 0)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .localCheckpoint()
+        var t = 1714521600000L
+        val seen = scala.collection.mutable.Set[String]()
+        def land(df: DataFrame): Unit = {
+          df.coalesce(1).write.mode("append").parquet(dir)
+          for (f <- fs.listStatus(hp)
+               if f.getPath.getName.startsWith("part-")
+               if !seen.contains(f.getPath.toString)) {
+            fs.setTimes(f.getPath, t, -1)
+            seen += f.getPath.toString
+          }
+          t += 60000L
+        }
+        land(src.filter(col("ts") < lit("2024-01-11").cast(TimestampType)))
+        land(src.filter(col("ts") >= lit("2024-01-11").cast(TimestampType)
+          && col("ts") < lit("2024-01-21").cast(TimestampType)))
+        land(src.filter(col("ts") >= lit("2024-01-21").cast(TimestampType)))
+        val sch = StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("value", DoubleType)))
+        val qn = s"graft_sink_$id"
+        try {
+          val st = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .as[graft.streaming.Ema.Point]
+          val q = graft.streaming.Ema.emaStream(st)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(qn)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n_events"), col("ema_last"))).as("m"))
+            .select(col("user_id"), col("m.n_events").as("n_events"),
+              round(col("m.ema_last"), 6).as("ema_last"))
+            .localCheckpoint()
+        } finally {
+          try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+          fs.delete(hp, true)
+        }
+      },
+      Some("""WITH RECURSIVE s AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_id % 5 = 0),
+              n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1),
+              r AS (
+                SELECT user_id, rn, CAST(value AS DOUBLE) AS ema
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.rn,
+                       CAST(0.25 AS DOUBLE) * s.value
+                         + CAST(0.75 AS DOUBLE) * r.ema
+                FROM s JOIN r ON s.user_id = r.user_id
+                             AND s.rn = r.rn + 1)
+              SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+                     round(r.ema, 6) AS ema_last
+              FROM r JOIN n ON r.user_id = n.user_id
+                           AND r.rn = n.n_events""")),
+
     // W18 — STREAMING ordered-step FUNNEL e2e (the W16 twin as a real
     // stream). Ordered-step semantics (step k counts only strictly after
     // step k−1) are NOT commutative under out-of-order arrival, so the
