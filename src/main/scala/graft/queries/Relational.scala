@@ -342,6 +342,77 @@ object Relational {
                      true AS gk_rank_ok
               FROM lineitem""")),
 
+    // A20 — COUNT-MIN SKETCH: the frequency sketch that completes the
+    // approximate-structures family (HLL cardinality, GK quantiles, bloom
+    // membership, minhash similarity — and now CMS heavy-hitter counts).
+    // The sketch is 4×1024 integer cells built by ONE corpus aggregation
+    // (map-side partials shrink each task's output to ≤4096 rows — the
+    // mergeable fixed-size property that makes CMS the 100 TB counter);
+    // estimates for the exact top-10 tokens are min-over-rows via a
+    // broadcast of the cell table. Everything is integer arithmetic over
+    // md5-prefix hashes, so the ORACLE REPLICATES THE SKETCH and the
+    // estimates hash-compare exactly — stronger than a boolean gate.
+    ("a20_countmin_est",
+      (s, d) => {
+        val P = 2147483647L; val W = 1024
+        val A = Seq(1103515245L, 1232937849L, 1654435769L, 999999937L)
+        val C = Seq(12345L, 362437L, 521288629L, 668265263L)
+        val toks = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .withColumn("x",
+            expr("CAST(conv(substr(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+        def rows(c: org.apache.spark.sql.Column) = array((0 until 4).map(j =>
+          struct(lit(j).as("j"), (((c * A(j)) + C(j)) % P % W).as("b"))): _*)
+        val cells = toks.select(explode(rows(col("x"))).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val top = toks.groupBy("tok", "x").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(10)
+        top.select(col("tok"), col("exact_n"),
+            explode(rows(col("x"))).as("jb"))
+          .select(col("tok"), col("exact_n"),
+            col("jb.j").as("j"), col("jb.b").as("b"))
+          .join(broadcast(cells), Seq("j", "b"))
+          .groupBy("tok", "exact_n").agg(min(col("c")).as("est_n"))
+      },
+      Some("""WITH t AS (
+                SELECT tok,
+                       CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT)
+                         AS x
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents) w
+                WHERE tok <> ''),
+              h AS (
+                SELECT j,
+                       ((x * CASE j WHEN 0 THEN 1103515245
+                                    WHEN 1 THEN 1232937849
+                                    WHEN 2 THEN 1654435769
+                                    ELSE 999999937 END
+                         + CASE j WHEN 0 THEN 12345 WHEN 1 THEN 362437
+                                  WHEN 2 THEN 521288629
+                                  ELSE 668265263 END)
+                        % 2147483647) % 1024 AS b
+                FROM t, generate_series(0, 3) s(j)),
+              cells AS (SELECT j, b, count(*) AS c FROM h GROUP BY 1, 2),
+              top AS (SELECT tok, x, count(*) AS exact_n FROM t
+                      GROUP BY 1, 2 ORDER BY exact_n DESC, tok LIMIT 10),
+              q AS (
+                SELECT tok, exact_n, j,
+                       ((x * CASE j WHEN 0 THEN 1103515245
+                                    WHEN 1 THEN 1232937849
+                                    WHEN 2 THEN 1654435769
+                                    ELSE 999999937 END
+                         + CASE j WHEN 0 THEN 12345 WHEN 1 THEN 362437
+                                  WHEN 2 THEN 521288629
+                                  ELSE 668265263 END)
+                        % 2147483647) % 1024 AS b
+                FROM top, generate_series(0, 3) s(j))
+              SELECT tok, CAST(exact_n AS BIGINT) AS exact_n,
+                     CAST(min(c) AS BIGINT) AS est_n
+              FROM q JOIN cells USING (j, b)
+              GROUP BY tok, exact_n""")),
+
     // O4 — deterministic top-k per group (ranking window)
     ("o4_topk_per_group",
       (s, d) => {

@@ -219,4 +219,18 @@ class QueriesSpec extends SparkSpec {
     assert(p.forall(_.getAs[Double]("mean_d2_r") >= 0.0),
       "mean squared distance cannot be negative")
   }
+
+  test("count-min estimates never underestimate (the CMS guarantee)") {
+    // one-sided error is CMS's defining property: collisions only ADD.
+    // The hash gate already pins exact values; this asserts the
+    // structural invariant so a broken hash/bucket mapping (which could
+    // still produce a self-consistent oracle match) reads as what it is.
+    val rows = SparkEntry.queries("a20_countmin_est")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"CMS underestimated ${r.getAs[String]("tok")}: " +
+        s"est=$est < exact=$exact")
+    }
+  }
 }
