@@ -559,6 +559,46 @@ object Pipelines {
                      concat('x', CAST(o_orderkey % 7 AS VARCHAR))
               FROM orders WHERE o_orderkey % 70 = 0""")),
 
+    // O11 — ETL LEDGER under the hash gate: EtlRunner drives a 2-day ×
+    // 2-market range where one leg is a known-bad publication day (the
+    // reference's error-date mask, configs/i90_config.py:196-215, raised
+    // as a failure instead of silently masked) — the other three legs
+    // run REAL per-day Spark counts. The gate pins the whole ledger:
+    // healthy legs' row counts, the poisoned leg's (ok=false, 0) row,
+    // and that a failing leg never poisons its siblings.
+    ("o11_etl_ledger",
+      (s, d) => {
+        val days = Seq(java.time.LocalDate.parse("2024-01-05"),
+          java.time.LocalDate.parse("2024-01-06"))
+        val statuses = graft.transform.EtlRunner.run(days,
+          Seq("diario", "intra")) { (day, m) =>
+          if (day.toString == "2024-01-06" && m == "intra")
+            sys.error(s"known-bad publication day: $day")
+          val base = events(s, d)
+            .filter(to_date(col("ts")) === lit(day.toString).cast(DateType))
+          (if (m == "diario") base else base.filter(col("event_id") % 2 === 0))
+            .count()
+        }
+        graft.transform.EtlRunner.ledger(s, statuses)
+          .select(col("day"), col("market"), col("ok"),
+            col("rows").as("n_rows")) // error text is JVM-specific: excluded
+      },
+      Some("""SELECT day, market, ok, n_rows FROM (
+                SELECT '2024-01-05' AS day, 'diario' AS market, true AS ok,
+                       (SELECT count(*) FROM events
+                        WHERE CAST(ts AS DATE) = DATE '2024-01-05') AS n_rows
+                UNION ALL
+                SELECT '2024-01-05', 'intra', true,
+                       (SELECT count(*) FROM events
+                        WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+                          AND event_id % 2 = 0)
+                UNION ALL
+                SELECT '2024-01-06', 'diario', true,
+                       (SELECT count(*) FROM events
+                        WHERE CAST(ts AS DATE) = DATE '2024-01-06')
+                UNION ALL
+                SELECT '2024-01-06', 'intra', false, CAST(0 AS BIGINT)) t""")),
+
     // S16 — ORC ROUND-TRIP e2e: the second columnar format Spark treats
     // as first-class (own reader/writer, predicate pushdown, zstd),
     // proven by content parity through a write→read cycle. Types chosen
