@@ -287,6 +287,49 @@ object Relational {
               FROM orders
               GROUP BY CUBE(o_orderpriority, o_orderstatus)""")),
 
+    // A21 — GROUPED winsorize: the per-group face of A11 — cutoffs per
+    // source come from the fully in-plan grouped exact quantiles
+    // (operators/Quantiles.grouped: value-counts + cumulative window over
+    // DISTINCT values per group, bounded by |group|×|distinct|, nothing
+    // collected), broadcast back, clip + one aggregation. The shape a
+    // per-domain outlier policy takes at 100 TB: no global sort, no
+    // per-group value buffer, cutoff table is |groups|-sized.
+    ("a21_winsorize_grouped",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("source"), col("n_chars").cast(DoubleType).as("v"))
+        val cuts = graft.operators.Quantiles.grouped(base, Seq("source"),
+          "v", Seq(0.05, 0.95), Seq("lo_raw", "hi_raw"))
+          .select(col("source"), round(col("lo_raw"), 6).as("lo"),
+            round(col("hi_raw"), 6).as("hi"))
+        base.join(broadcast(cuts), Seq("source"))
+          .select(col("source"), col("lo"), col("hi"),
+            when(col("v") < col("lo"), 1).otherwise(0).as("clo"),
+            when(col("v") > col("hi"), 1).otherwise(0).as("chi"),
+            greatest(least(col("v"), col("hi")), col("lo")).as("clipped"))
+          .groupBy("source", "lo", "hi")
+          .agg(sum(col("clo")).cast(LongType).as("n_clipped_low"),
+            sum(col("chi")).cast(LongType).as("n_clipped_high"),
+            sum(col("clipped").cast(DecimalType(28, 6)))
+              .cast(DoubleType).as("sum_clipped"))
+      },
+      Some("""WITH cuts AS (
+                SELECT source,
+                       round(quantile_cont(n_chars, 0.05), 6) AS lo,
+                       round(quantile_cont(n_chars, 0.95), 6) AS hi
+                FROM documents GROUP BY 1)
+              SELECT d.source, lo, hi,
+                     CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_clipped_low,
+                     CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_clipped_high,
+                     CAST(SUM(CAST(greatest(least(CAST(n_chars AS DOUBLE),
+                                                  hi), lo)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_clipped
+              FROM documents d JOIN cuts ON d.source = cuts.source
+              GROUP BY 1, 2, 3""")),
+
     // A18 — APPROXIMATE DISTINCT (HyperLogLog++) gated by the exact
     // answer: per group, the exact distinct count plus a boolean asserting
     // the HLL estimate (rsd 2%) landed within 5% of it. The estimate
