@@ -12,6 +12,9 @@ import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, Collect
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // tier-(c) surface: the as-of join as a first-class logical node,
+    // lowered during analysis (see graft.plans.AsOfJoinPlan)
+    ext.injectResolutionRule(s => new graft.plans.ResolveAsOfJoin(s))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
