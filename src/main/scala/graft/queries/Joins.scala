@@ -387,6 +387,42 @@ object Joins {
               FROM facts f ASOF LEFT JOIN quotes q
                 ON f.user_id = q.user_id AND f.ts >= q.ts""")),
 
+    // J14 (additive) — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT
+    // FROM): the join face ordinary equality silently drops — NULL keys
+    // match each other. The reference's dim keys go NULL on unmapped
+    // sheets (F4/F5's strict arm raises; the lenient arm carries NULL),
+    // and reconciling two such feeds needs null-buckets to PAIR, not
+    // vanish. Aggregated to per-key match counts so the result stays
+    // |keys|-sized; Spark plans <=> as a regular hash join on the
+    // null-safe-wrapped key — same shuffle shape as plain equality.
+    ("j14_nullsafe_join",
+      (s, d) => {
+        def keyed(df: DataFrame) = df.select(
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(pmod(col("user_id"), lit(10))).cast(IntegerType)
+            .as("k"), col("event_id"))
+        val l = keyed(events(s, d).filter(col("event_id") % 97 === 0))
+          .withColumnRenamed("k", "lk").withColumnRenamed("event_id", "lid")
+        val r = keyed(events(s, d).filter(col("event_id") % 3 === 0))
+        l.join(r, col("lk") <=> col("k"))
+          .groupBy(col("lk"))
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("lid")).as("n_left"))
+      },
+      Some("""WITH l AS (
+                SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE CAST(user_id % 10 AS INTEGER) END AS lk,
+                       event_id AS lid
+                FROM events WHERE event_id % 97 = 0),
+              r AS (
+                SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE CAST(user_id % 10 AS INTEGER) END AS k
+                FROM events WHERE event_id % 3 = 0)
+              SELECT lk, count(*) AS n_matches,
+                     count(DISTINCT lid) AS n_left
+              FROM l JOIN r ON l.lk IS NOT DISTINCT FROM r.k
+              GROUP BY lk""")),
+
     // J11 (additive) — range join: events matched to the 45-minute windows
     // (per user) that contain them. The bucket-binned equi-join
     // formulation — never the broadcast-nested-loop plan the naive

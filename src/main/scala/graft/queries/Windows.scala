@@ -787,6 +787,45 @@ object Windows {
     // double per key) or repartition-by-key + sortWithinPartitions +
     // a per-partition running fold — the recursion itself is inherently
     // sequential per key and parallel only ACROSS keys.
+    // W31 — TWAP (time-weighted average): each observation weighted by
+    // its holding duration to the next observation (lead window), the
+    // canonical market-data average when sampling is irregular. Weights
+    // are exact integer microseconds; values snap to DECIMAL(18,2), so
+    // the weighted sum is order-exact decimal arithmetic and only the
+    // final division is floating point (identical operands both engines,
+    // 1e-6 snap for safety). One partitioned window + one aggregation —
+    // partition-parallel across keys, the 100 TB shape.
+    ("w31_twap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("lts", lead(col("ts"), 1).over(w))
+          .filter(col("lts").isNotNull)
+          .withColumn("dt_us", expr("timestampdiff(MICROSECOND, ts, lts)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_seg"),
+            sum(col("dt_us")).as("span_us"),
+            round((sum(dec2(col("value")) * col("dt_us"))
+              / sum(col("dt_us"))).cast(DoubleType), 6).as("twap"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, value,
+                       CAST(ts AS TIMESTAMP) AS ts,
+                       lead(CAST(ts AS TIMESTAMP), 1)
+                         OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         AS lts
+                FROM events)
+              SELECT user_id, count(*) AS n_seg,
+                     CAST(SUM(date_diff('microseconds', ts, lts)) AS BIGINT)
+                       AS span_us,
+                     round(CAST(SUM(CAST(value AS DECIMAL(18,2))
+                                    * date_diff('microseconds', ts, lts))
+                                / SUM(date_diff('microseconds', ts, lts))
+                                AS DOUBLE), 6) AS twap
+              FROM o WHERE lts IS NOT NULL
+              GROUP BY user_id""")),
+
     ("w29_ema",
       (s, d) => events(s, d)
         .groupBy(col("user_id"))
