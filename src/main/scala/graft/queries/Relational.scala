@@ -782,6 +782,32 @@ object Relational {
               SELECT o_custkey AS k FROM orders
               WHERE year(o_orderdate) = 1995""")),
 
+    // U4/U5 — the MULTISET set-op faces (EXCEPT ALL / INTERSECT ALL):
+    // bag semantics keep duplicate multiplicities (m−n / min(m,n) copies)
+    // where the distinct forms above collapse them — the face that
+    // matters when the rows ARE occurrences (re-delivered files, repeated
+    // trades). Spark plans both as aggregate+generate over counts: one
+    // exchange, no join.
+    ("u4_except_all",
+      (s, d) => orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("k"))
+        .exceptAll(orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_custkey").as("k"))),
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
+              EXCEPT ALL
+              SELECT o_custkey AS k FROM orders
+              WHERE o_orderkey % 5 = 0""")),
+
+    ("u5_intersect_all",
+      (s, d) => orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("k"))
+        .intersectAll(orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_custkey").as("k"))),
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
+              INTERSECT ALL
+              SELECT o_custkey AS k FROM orders
+              WHERE o_orderkey % 5 = 0""")),
+
     // S3 — wide sheet → long melt (native unpivot; null cells dropped like
     // the reference's dropna). ref: _descargador_i90.py:197-304
     ("s3_melt",

@@ -220,6 +220,43 @@ class QueriesSpec extends SparkSpec {
       "mean squared distance cannot be negative")
   }
 
+  test("twap lies within each user's value range; weights positive") {
+    val rows = SparkEntry.queries("w31_twap")(spark, sfDir).collect()
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("value").as("mn"),
+        org.apache.spark.sql.functions.max("value").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (u, tw) = (r.getLong(0), r.getAs[Double]("twap"))
+      val (mn, mx) = bounds(u)
+      // dec2 snap can sit half a cent outside the raw bounds
+      assert(tw >= mn - 0.005 && tw <= mx + 0.005,
+        s"user $u twap $tw outside [$mn, $mx]")
+      assert(r.getAs[Long]("span_us") > 0L)
+    }
+  }
+
+  test("null-safe join pairs the NULL bucket and never loses a left key") {
+    val rows = SparkEntry.queries("j14_nullsafe_join")(spark, sfDir)
+      .collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "NULL bucket dropped — <=> degenerated to =")
+    assert(nullRow.get.getAs[Long]("n_matches") > 0L)
+  }
+
+  test("except-all keeps multiplicities the distinct form collapses") {
+    val ea = SparkEntry.queries("u4_except_all")(spark, sfDir).count()
+    val ia = SparkEntry.queries("u5_intersect_all")(spark, sfDir).count()
+    val a = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 0)
+      .count()
+    // bag identity: |A ⧵all B| + |A ∩all B| = |A|
+    assert(ea + ia == a, s"$ea + $ia != $a")
+  }
+
   test("count-min estimates never underestimate (the CMS guarantee)") {
     // one-sided error is CMS's defining property: collisions only ADD.
     // The hash gate already pins exact values; this asserts the
