@@ -782,6 +782,32 @@ object Relational {
               SELECT o_custkey AS k FROM orders
               WHERE year(o_orderdate) = 1995""")),
 
+    // A22 — per-group MODE (most frequent value), deterministic: both
+    // engines resolve ties by (count desc, value asc) over the per-group
+    // value-count frame — never the engine-specific mode() builtin,
+    // whose tie rule differs. Shape: one count aggregation (map-side
+    // partials), then a window over the |groups|×|distinct values|
+    // aggregate frame only — the raw rows are never window-sorted.
+    ("a22_mode",
+      (s, d) => {
+        val counts = lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+            col("n").as("n_occurrences"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty,
+                     n AS n_occurrences
+              FROM (SELECT l_returnflag, l_quantity, count(*) AS n,
+                           row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY count(*) DESC, l_quantity) AS rn
+                    FROM lineitem GROUP BY 1, 2) t
+              WHERE rn = 1""")),
+
     // U4/U5 — the MULTISET set-op faces (EXCEPT ALL / INTERSECT ALL):
     // bag semantics keep duplicate multiplicities (m−n / min(m,n) copies)
     // where the distinct forms above collapse them — the face that
