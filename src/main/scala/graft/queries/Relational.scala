@@ -782,6 +782,29 @@ object Relational {
               SELECT o_custkey AS k FROM orders
               WHERE year(o_orderdate) = 1995""")),
 
+    // SC7 — deterministic LISTAGG: per-group CSV of member ids, ordered
+    // LEXICALLY in both engines (Spark's array_sort over the cast
+    // strings = DuckDB's ORDER BY the cast expression — numeric order
+    // would also work but then the Spark side needs a struct sort; the
+    // point is an EXPLICIT shared order, never engine-default agg order,
+    // which is nondeterministic in both). Bounded: the collected list is
+    // group-sized, and the selective filter keeps groups small — the
+    // same bounded-collect discipline as the funnel event lists.
+    ("sc7_string_agg",
+      (s, d) => orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+            array_sort(collect_list(col("o_orderkey").cast(StringType))))
+            .as("keys_csv"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+                     string_agg(CAST(o_orderkey AS VARCHAR), ','
+                                ORDER BY CAST(o_orderkey AS VARCHAR))
+                       AS keys_csv,
+                     count(*) AS n
+              FROM orders WHERE o_orderkey % 97 = 0
+              GROUP BY 1""")),
+
     // A22 — per-group MODE (most frequent value), deterministic: both
     // engines resolve ties by (count desc, value asc) over the per-group
     // value-count frame — never the engine-specific mode() builtin,
