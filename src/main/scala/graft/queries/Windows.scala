@@ -787,6 +787,35 @@ object Windows {
     // double per key) or repartition-by-key + sortWithinPartitions +
     // a per-partition running fold — the recursion itself is inherently
     // sequential per key and parallel only ACROSS keys.
+    // W32 — OHLC bars (open/high/low/close per key per day) as PURE
+    // AGGREGATION: open/close are min/max over (ts, event_id, value)
+    // structs — the argmin/argmax-by-time trick — so no window ever
+    // sorts the raw rows; one exchange with map-side partials, the
+    // shape a 100 TB bar build needs. Ties impossible: event_id is
+    // unique within a key-day.
+    ("w32_ohlc",
+      (s, d) => events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("day"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"), col("n")),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS day,
+                     (min(struct_pack(ts := CAST(ts AS TIMESTAMP),
+                                      event_id := event_id,
+                                      value := value))).value AS open,
+                     max(value) AS high, min(value) AS low,
+                     (max(struct_pack(ts := CAST(ts AS TIMESTAMP),
+                                      event_id := event_id,
+                                      value := value))).value AS close,
+                     count(*) AS n
+              FROM events
+              GROUP BY 1, 2""")),
+
     // W31 — TWAP (time-weighted average): each observation weighted by
     // its holding duration to the next observation (lead window), the
     // canonical market-data average when sampling is irregular. Weights
