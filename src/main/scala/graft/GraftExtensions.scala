@@ -11,6 +11,25 @@ import graft.functions.{BigramLmStats, BigramRepStats, CharEntropyStats, Collect
   * expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity-checked builder: the raw `Seq[Expression] => Expression` form
+    * would let `winnow_prints(l, 5)` silently DROP the extra argument
+    * (ADVICE r11) — an analysis-time error is the contract every builtin
+    * honors, so every graft builder goes through this guard.
+    */
+  private def exact(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // tier-(c) surface: the as-of join as a first-class logical node,
     // lowered during analysis (see graft.plans.AsOfJoinPlan)
@@ -18,44 +37,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      exact("vec_dot", 2)(c => VecDot(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("bigram_lm_stats"),
       new ExpressionInfo(classOf[BigramLmStats].getName, "bigram_lm_stats"),
-      (children: Seq[Expression]) =>
-        BigramLmStats(children(0), children(1), children(2))))
+      exact("bigram_lm_stats", 3)(c => BigramLmStats(c(0), c(1), c(2)))))
     ext.injectFunction((
       new FunctionIdentifier("bigram_rep_stats"),
       new ExpressionInfo(classOf[BigramRepStats].getName, "bigram_rep_stats"),
-      (children: Seq[Expression]) => BigramRepStats(children.head)))
+      exact("bigram_rep_stats", 1)(c => BigramRepStats(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("char_entropy_stats"),
       new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy_stats"),
-      (children: Seq[Expression]) => CharEntropyStats(children.head)))
+      exact("char_entropy_stats", 1)(c => CharEntropyStats(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
-      (children: Seq[Expression]) => Md5Prefix60(children.head)))
+      exact("md5_prefix60", 1)(c => Md5Prefix60(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("shingle_codes"),
       new ExpressionInfo(classOf[ShingleCodes].getName, "shingle_codes"),
-      (children: Seq[Expression]) => ShingleCodes(children.head)))
+      exact("shingle_codes", 1)(c => ShingleCodes(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("collect_bounded"),
       new ExpressionInfo(classOf[CollectBoundedLongs].getName, "collect_bounded"),
-      (children: Seq[Expression]) =>
-        CollectBoundedLongs(children(0), children(1))))
+      exact("collect_bounded", 2)(c => CollectBoundedLongs(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("topk_structs"),
       new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
-      (children: Seq[Expression]) =>
-        TopKStructs(children(0), children(1), children(2))))
+      exact("topk_structs", 3)(c => TopKStructs(c(0), c(1), c(2)))))
     ext.injectFunction((
       new FunctionIdentifier("winnow_prints"),
       new ExpressionInfo(classOf[graft.functions.WinnowPrints].getName,
         "winnow_prints"),
-      (children: Seq[Expression]) =>
-        graft.functions.WinnowPrints(children.head)))
+      exact("winnow_prints", 1)(c => graft.functions.WinnowPrints(c.head))))
     // Spark ships these two for its own runtime-filter rewrites but does
     // not register them in the public FunctionRegistry; exposing them via
     // the extension gives queries the classic bloom semi-join reduction
@@ -67,25 +82,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (children: Seq[Expression]) =>
+      exact("bloom_agg", 3)(c =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children(0), children(1), children(2))))
+          c(0), c(1), c(2)))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
-      (children: Seq[Expression]) =>
+      exact("bloom_might_contain", 2)(c =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+          c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_votes"),
       new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),
-      (children: Seq[Expression]) => SimhashVotes(children.head)))
+      exact("simhash_votes", 1)(c => SimhashVotes(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinhashSig(children(0), children(1), children(2), children(3))))
+      exact("minhash_sig", 4)(c => MinhashSig(c(0), c(1), c(2), c(3)))))
   }
 }

@@ -1149,7 +1149,7 @@ object Curation {
     */
   // Three registered queries (merges / encode / token_count) consume the
   // same deterministic training loop. The learned MERGE LIST (plain
-  // driver-side data) is cached per (application, dir, K); the vocabulary
+  // driver-side data) is cached per (dataset fingerprint, K); the vocabulary
   // FRAME is NOT — Verify/Bench unpersist all localCheckpoint blocks
   // between queries for per-query independence, so a cached checkpointed
   // frame dies under them (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). On a hit
@@ -1157,8 +1157,9 @@ object Curation {
   // replace projections (no argmax collects, no checkpoints) — the
   // "apply known merges" path, which is also exactly what a production
   // encode job does with a shipped merge table.
+  // keyed on (dataset fingerprint @ dir, K) — see datasetFingerprint
   private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), Seq[(Int, String, String, Long)]]()
+    (String, Int), Seq[(Int, String, String, Long)]]()
 
   private def bpeVocab0(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -1177,9 +1178,26 @@ object Curation {
         col("freq"))
     }
 
+  /** Fingerprint of the documents dataset under `d` — file (name, size,
+    * mtime) digest via the Hadoop FS listing, so a REWRITE of the data
+    * during the application's lifetime invalidates cached merges instead
+    * of silently serving a vocabulary learned on the old bytes (ADVICE
+    * r11). Driver-side, one RPC, O(#files) — metadata-bounded.
+    */
+  private def datasetFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.isFile)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8")))
+  }
+
   private def bpeLearn(s: SparkSession, d: String, K: Int)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val key = (s.sparkContext.applicationId, d, K)
+    val key = (datasetFingerprint(s, d) + "@" + d, K)
     val cached = bpeMergeCache.get(key)
     if (cached != null) (bpeApplyMerges(bpeVocab0(s, d), cached), cached)
     else {

@@ -109,9 +109,22 @@ object Reader {
       preciosTable: String, volumenesTable: String,
       precios: => DataFrame, volumenes: => DataFrame,
       joinType: String = "inner"): DataFrame = {
-    val bucketed = spark.catalog.tableExists(preciosTable) &&
-      spark.catalog.tableExists(volumenesTable)
-    if (bucketed)
+    // CONTENT CONTRACT: the named tables must be the ingest-time bucketed
+    // materialization of the same dataset the by-name fallback frames
+    // read — Lake.writeBucketed is the only writer of these names. The
+    // name check alone is not enough (ADVICE r11): a same-name table that
+    // is NOT bucketed on the join keys would silently forfeit the claimed
+    // exchange-free plan (or worse, be an unrelated stale table), so take
+    // the fast path only when the catalog metadata proves the layout.
+    def bucketedOnKeys(name: String): Boolean =
+      spark.catalog.tableExists(name) && {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+        meta.bucketSpec.exists(bs =>
+          bs.bucketColumnNames.map(_.toLowerCase) ==
+            Seq("datetime_utc", "id_mercado"))
+      }
+    if (bucketedOnKeys(preciosTable) && bucketedOnKeys(volumenesTable))
       joinPreciosVolumenes(
         spark.table(preciosTable), spark.table(volumenesTable), joinType)
     else joinPreciosVolumenes(precios, volumenes, joinType)

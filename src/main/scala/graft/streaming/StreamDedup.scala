@@ -42,8 +42,11 @@ object StreamDedup {
     * but re-deliveries are known to land within a wall-clock window. The
     * state store (RocksDB-backed, required by transformWithState) evicts
     * expired keys itself; a key re-arriving after its TTL is treated as
-    * new and re-emitted. First arrival per key wins, within-batch ties
-    * resolved by the caller-ordered iterator.
+    * new and re-emitted. First arrival per key wins; WITHIN a micro-batch
+    * "first" is decided by the caller-supplied `ord` (minimum wins), not
+    * iterator position — the post-shuffle iterator order of same-key rows
+    * inside one batch is not deterministic (ADVICE r11), so callers name
+    * an event-time/sequence field and determinism is restored.
     *
     * Testing note: the processor logic is spec-tested against a stub
     * ValueState. A full RocksDB micro-batch e2e is deliberately NOT in
@@ -54,7 +57,8 @@ object StreamDedup {
     * a local-harness pathology, not an operator property; a real cluster
     * has native IO and amortizes commits across long-lived batches.
     */
-  private[streaming] class TtlDedupProcessor[I](ttl: java.time.Duration)
+  private[streaming] class TtlDedupProcessor[I](ttl: java.time.Duration,
+      ord: Ordering[I])
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, I, I] {
     @transient private var seen:
       org.apache.spark.sql.streaming.ValueState[Boolean] = _
@@ -71,16 +75,21 @@ object StreamDedup {
       if (seen.exists() || !rows.hasNext) Iterator.empty
       else {
         seen.update(true) // refreshes the TTL clock on first sight only
-        Iterator.single(rows.next())
+        // O(1) running-min scan (never buffers the batch): the ord-least
+        // row is the batch's "first arrival" regardless of shuffle order
+        Iterator.single(rows.foldLeft(rows.next())(ord.min))
       }
   }
 
+  /** `ord` picks the within-batch representative (least wins) — order it
+    * by an event-time or sequence field, not arrival position.
+    */
   def dedupTtl[I](stream: Dataset[I], key: I => String,
-      ttl: java.time.Duration)(implicit enc: org.apache.spark.sql.Encoder[I])
-      : Dataset[I] = {
+      ttl: java.time.Duration, ord: Ordering[I])(
+      implicit enc: org.apache.spark.sql.Encoder[I]): Dataset[I] = {
     import stream.sparkSession.implicits._
     stream.groupByKey(key)
-      .transformWithState(new TtlDedupProcessor[I](ttl),
+      .transformWithState(new TtlDedupProcessor[I](ttl, ord),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         org.apache.spark.sql.streaming.OutputMode.Append(), enc)
   }

@@ -28,7 +28,18 @@ object EtlRunner {
   /** Run `leg` for every (day, market); a leg returns its row count. */
   def run(days: Seq[LocalDate], markets: Seq[String])
       (leg: (LocalDate, String) => Long): Seq[LegStatus] =
-    for (d <- days; m <- markets) yield
+    runLegs(for (d <- days; m <- markets) yield (d, m))(leg)
+
+  /** Run `leg` for EXACTLY the given (day, market) pairs — the retry
+    * companion of [[failedLegs]]: failures spanning multiple days AND
+    * markets re-execute only the failed pairs, not the days×markets
+    * cross product a `run(days, markets)` retry would rebuild from them
+    * (ADVICE r11: `failed.map(_._1).distinct × failed.map(_._2).distinct`
+    * re-runs healthy legs).
+    */
+  def runLegs(legs: Seq[(LocalDate, String)])
+      (leg: (LocalDate, String) => Long): Seq[LegStatus] =
+    for ((d, m) <- legs) yield
       scala.util.Try(leg(d, m)) match {
         case scala.util.Success(n) => LegStatus(d.toString, m, ok = true, n, "")
         case scala.util.Failure(e) => LegStatus(d.toString, m, ok = false, 0L,

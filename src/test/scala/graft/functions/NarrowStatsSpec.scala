@@ -186,6 +186,20 @@ class NarrowStatsSpec extends SparkSpec {
     assert(nl)
   }
 
+  test("extension builders reject wrong arity at analysis (ADVICE r11)") {
+    // pre-fix, extras were silently DROPPED — winnow_prints(l, 5) ran as
+    // winnow_prints(l); the guard makes it an analysis error like builtins
+    val df = Seq("a b c").toDF("t").select(split($"t", " ").as("l"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("winnow_prints", $"l", lit(5))).collect()
+    }
+    assert(e.getMessage.contains("winnow_prints"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("vec_dot", $"l")).collect()
+    }
+    assert(e2.getMessage.contains("vec_dot"))
+  }
+
   test("all narrow expressions participate in whole-stage codegen") {
     val docs = graft.Tables.documents(spark, sfDir)
     for ((fn, arg) <- Seq(

@@ -54,10 +54,22 @@ class ReaderSpec extends SparkSpec {
       val fb = Reader.joinPreciosVolumenesAuto(spark,
         "no_such_p", "no_such_v", p, v)
       assert(fb.count() == fallback.count())
+      // a same-name table WITHOUT the join-key bucketing must NOT be
+      // taken for the fast path (ADVICE r11: name existence alone could
+      // silently swap in a stale/unrelated table): metadata says plain
+      // ⇒ the caller's frames win
+      p.limit(1).write.mode("overwrite").saveAsTable("nb_precios")
+      v.limit(1).write.mode("overwrite").saveAsTable("nb_volumenes")
+      val nb = Reader.joinPreciosVolumenesAuto(spark,
+        "nb_precios", "nb_volumenes", p, v)
+      assert(nb.count() == fallback.count(),
+        "non-bucketed same-name tables must not shadow the caller's frames")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS b_precios")
       spark.sql("DROP TABLE IF EXISTS b_volumenes")
+      spark.sql("DROP TABLE IF EXISTS nb_precios")
+      spark.sql("DROP TABLE IF EXISTS nb_volumenes")
     }
   }
 }

@@ -69,7 +69,8 @@ class StreamDedupSpec extends SparkSpec {
       def clear(): Unit = state = None
     }
     val p = new StreamDedup.TtlDedupProcessor[DedupDoc](
-      java.time.Duration.ofMillis(1500)) {
+      java.time.Duration.ofMillis(1500),
+      Ordering.by((x: DedupDoc) => (x.ts.getTime, x.doc_id))) {
       override def init(
           om: org.apache.spark.sql.streaming.OutputMode,
           tm: org.apache.spark.sql.streaming.TimeMode): Unit = ()
@@ -84,6 +85,12 @@ class StreamDedupSpec extends SparkSpec {
     val b1 = feed(Doc(1L, "a", ts("2024-01-01 10:00:00")),
       Doc(2L, "a", ts("2024-01-01 10:01:00")))
     assert(b1.map(_.doc_id) == Seq(1L))
+    // representative is ord-least, NOT iterator-first: a shuffled arrival
+    // order of the same batch yields the same survivor (ADVICE r11)
+    state = None
+    val b1r = feed(Doc(2L, "a", ts("2024-01-01 10:01:00")),
+      Doc(1L, "a", ts("2024-01-01 10:00:00")))
+    assert(b1r.map(_.doc_id) == Seq(1L))
     // batch 2 within TTL: state present → suppressed
     assert(feed(Doc(3L, "a", ts("2024-01-01 10:02:00"))).isEmpty)
     // the store expires the key after the TTL → next arrival re-emits

@@ -28,8 +28,7 @@ class EtlRunnerSpec extends SparkSpec {
     assert(failed == Seq((LocalDate.parse("2024-05-02"), "intra")))
 
     // retry ONLY the failed legs; the source is fixed now
-    val retry = EtlRunner.run(failed.map(_._1).distinct,
-      failed.map(_._2).distinct)((_, _) => 7L)
+    val retry = EtlRunner.runLegs(failed)((_, _) => 7L)
     assert(retry.forall(_.ok))
     val merged = EtlRunner.mergeLedgers(first, retry)
     assert(merged.length == 4 && merged.forall(_.ok))
@@ -37,6 +36,19 @@ class EtlRunnerSpec extends SparkSpec {
     assert(merged.find(s => s.day == "2024-05-02" && s.market == "intra")
       .get.rows == 7L)
     assert(merged.count(_.rows == 42L) == 3)
+  }
+
+  test("runLegs executes exactly the given pairs (no cross-product rebuild)") {
+    // failures on (d1, intra) and (d2, diario): a days×markets rebuild
+    // would run 4 legs and re-execute the 2 healthy ones (ADVICE r11);
+    // runLegs touches only the failed pairs
+    val failedPairs = Seq((days(0), "intra"), (days(1), "diario"))
+    var ran = List[(String, String)]()
+    val retry = EtlRunner.runLegs(failedPairs) { (d, m) =>
+      ran ::= (d.toString, m); 1L
+    }
+    assert(retry.length == 2 && retry.forall(_.ok))
+    assert(ran.toSet == Set(("2024-05-01", "intra"), ("2024-05-02", "diario")))
   }
 
   test("distributed legs: statuses reflect real Spark job results") {
