@@ -254,6 +254,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"a11 re-grew a cutoff join:\n$p")
   }
 
+  test("w29_ema never buffers a key's history in an aggregation buffer") {
+    // the batch EMA is a per-key ORDERED fold: the scale-safe plan is a
+    // secondary-sorted shuffle feeding a streaming MapGroups (O(1) state
+    // per key, external sort spills). A collect_list/ObjectHashAggregate
+    // reappearing means the linear-per-key-memory buffer is back — the
+    // r11 "last unbounded buffer" finding.
+    val p = plan("w29_ema")
+    assert(!p.contains("collect_list") && !p.contains("CollectList"),
+      s"w29 re-grew the per-key history buffer:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"w29 aggregates through an object buffer:\n$p")
+    assert(p.contains("MapGroups") && p.contains("Sort "),
+      s"w29 lost the sorted-groups fold shape:\n$p")
+  }
+
   test("quantile bracket re-scans push their range conjunct to parquet") {
     // each refinement pass filters on a plain value range exactly so the
     // parquet reader can prune row groups by min/max stats — losing the
