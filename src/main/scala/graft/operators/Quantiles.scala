@@ -85,14 +85,34 @@ object Quantiles {
   /** Exact interpolated global quantiles of `value` at probabilities `ps`,
     * driver-coordinated histogram-bracket selection (doc above). The
     * returned doubles are bit-identical to `percentile(value, p)`.
+    *
+    * `reuse` (default on) persists the projected single-double column for
+    * the duration of the call, so the stats pass + every refinement pass
+    * share ONE source read instead of re-decoding parquet per pass — the
+    * 3-4× constant factor the r11 bench flagged on a11_winsorize. Cached
+    * batches keep min/max stats, so narrowed passes still prune in-memory
+    * partitions the way the uncached arm prunes row groups. Set it false
+    * when the column exceeds the cluster's cache budget (the extreme-scale
+    * arm — then each pass's range conjunct reaches the parquet reader and
+    * row-group stats do the pruning; QuantilesSpec audits that path).
     */
   def percentiles(df: DataFrame, value: String, ps: Seq[Double],
-      bins: Int = 4096, leafLimit: Long = 1L << 16): Seq[Double] = {
+      bins: Int = 4096, leafLimit: Long = 1L << 16,
+      reuse: Boolean = true): Seq[Double] = {
     require(ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
     require(bins >= 2 && bins <= (1 << 20),
       "bins in [2, 2^20] (bin ids must stay exactly double-representable)")
-    val base = df.select(col(value).cast(DoubleType).as("__v"))
+    val base0 = df.select(col(value).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)
+    val base = if (reuse)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try percentilesOn(base, ps, bins, leafLimit)
+    finally if (reuse) base.unpersist(blocking = false)
+  }
+
+  private def percentilesOn(base: DataFrame, ps: Seq[Double],
+      bins: Int, leafLimit: Long): Seq[Double] = {
     val st = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
     val n = st.getLong(0)
     require(n > 0, "percentile of empty input")
@@ -103,7 +123,7 @@ object Quantiles {
     // already disagree on them), and both would poison the bracket
     // arithmetic — reject loudly instead of returning garbage.
     require(!mx.isNaN && !mn.isInfinity && !mx.isInfinity,
-      s"percentiles: non-finite values in '$value' (min=$mn, max=$mx) — " +
+      s"percentiles: non-finite values in the column (min=$mn, max=$mx) — " +
         "filter NaN/Inf out first; their ordering is engine-specific")
     val ranks = ps.flatMap { p =>
       val pos = p * (n - 1)

@@ -596,28 +596,11 @@ object Relational {
     // column scans with O(bins) executor memory, and embed as literals;
     // clipping + tallies stay one narrow pass over the fact table.
     ("a11_winsorize",
-      (s, d) => {
-        val cuts = graft.operators.Quantiles
-          .percentiles(lineitem(s, d), "l_extendedprice", Seq(0.01, 0.99))
-          .map(graft.operators.Quantiles.round6)
-        val (p01, p99) = (lit(cuts(0)), lit(cuts(1)))
-        lineitem(s, d)
-          .select(p01.as("p01"), p99.as("p99"),
-            when(col("l_extendedprice") < p01, 1).otherwise(0)
-              .as("lo"),
-            when(col("l_extendedprice") > p99, 1).otherwise(0)
-              .as("hi"),
-            greatest(least(col("l_extendedprice"), p99), p01)
-              .as("clipped"))
-          .groupBy("p01", "p99")
-          .agg(sum(col("lo")).cast(LongType).as("n_clipped_low"),
-            sum(col("hi")).cast(LongType).as("n_clipped_high"),
-            // 1e-6 snap, not the usual dec2: a clipped row can carry the
-            // 6-decimal cutoff itself, and prices' 2 decimals embed
-            // exactly in the finer grid — the sum stays order-exact
-            sum(col("clipped").cast(DecimalType(28, 6)))
-              .cast(DoubleType).as("sum_clipped"))
-      },
+      // the fused two-pass operator (log-bucket rank location + one
+      // leaf/clip scan with driver-side exact decimal assembly); its
+      // dense-bracket fallback is the old percentiles + clip-scan shape
+      (s, d) => graft.operators.Winsorize.winsorizedStats(
+        s, lineitem(s, d), "l_extendedprice", 0.01, 0.99),
       Some("""WITH cuts AS (
                 SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
                        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99

@@ -240,18 +240,37 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("winsorize never sorts, joins, or value-buffers the fact table") {
-    // the cutoffs come from the histogram-bracket selection and embed as
-    // literals: the final plan must be scan → narrow map → aggregate.
-    // A Sort would mean quantile-by-sort; a Percentile aggregate would
-    // mean the linear-memory buffer is back; a Join would mean the old
-    // crossJoin-the-cutoffs shape returned.
-    val p = plan("a11_winsorize")
-    assert(!p.linesIterator.exists(l =>
-      l.contains("Sort ") && l.contains("l_extendedprice")),
-      s"a11 sorts the fact table:\n$p")
-    assert(!p.toLowerCase.contains("percentile"),
-      s"a11 buffers values in a percentile aggregate again:\n$p")
-    assert(!p.contains("Join"), s"a11 re-grew a cutoff join:\n$p")
+    // the fused operator runs its passes eagerly at build time, so audit
+    // EVERY plan it executes (listener capture, the QuantilesSpec
+    // pattern): a Sort on the values would mean quantile-by-sort; a
+    // Percentile aggregate would mean the linear-memory buffer is back;
+    // a Join would mean the old crossJoin-the-cutoffs shape returned.
+    import org.apache.spark.sql.execution.QueryExecution
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("a11_winsorize")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.currentTimeMillis + 15000
+      while (plans.synchronized(plans.size) < 2 &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      val got = plans.synchronized(plans.toList)
+      assert(got.size >= 2, s"expected 2 winsorize passes, saw ${got.size}")
+      for (p <- got) {
+        assert(!p.linesIterator.exists(ln =>
+          ln.contains("Sort ") && (ln.contains("l_extendedprice") ||
+            ln.contains("__v"))),
+          s"a11 sorts the fact values:\n$p")
+        assert(!p.toLowerCase.contains("percentile"),
+          s"a11 buffers values in a percentile aggregate again:\n$p")
+        assert(!p.contains("Join"), s"a11 re-grew a cutoff join:\n$p")
+      }
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("w29_ema never buffers a key's history in an aggregation buffer") {

@@ -111,8 +111,10 @@ class QuantilesSpec extends SparkSpec {
     try {
       val df = graft.Tables.lineitem(spark, sfDir)
         .select(col("l_extendedprice").cast(DoubleType).as("p"))
+      // reuse=false exercises the extreme-scale arm (column too big to
+      // cache): each pass's range conjunct must reach the parquet reader
       Quantiles.percentiles(df, "p", Seq(0.25, 0.75),
-        bins = 8, leafLimit = 32)
+        bins = 8, leafLimit = 32, reuse = false)
       def pushed = plans.synchronized {
         plans.exists(p => p.contains("PushedFilters") &&
           p.contains("GreaterThanOrEqual(l_extendedprice"))
@@ -127,6 +129,39 @@ class QuantilesSpec extends SparkSpec {
         }
         s"no refinement scan pushed its range conjunct; saw ${plans.size} plans; scans:\n$scans"
       })
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("default percentiles decodes the source once, passes read the cache") {
+    // the reuse arm (default): stats pass + refinement passes all read
+    // the persisted single-column projection — a plan that reaches
+    // parquet WITHOUT going through InMemoryTableScan means a pass paid
+    // a fresh source decode (the a11 3-4x constant factor from r11)
+    import org.apache.spark.sql.execution.QueryExecution
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_extendedprice").cast(DoubleType).as("p"))
+      Quantiles.percentiles(df, "p", Seq(0.25, 0.75),
+        bins = 8, leafLimit = 32)
+      val deadline = System.currentTimeMillis + 15000
+      def snap = plans.synchronized { plans.toList }
+      while (snap.size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(100) // listener events post asynchronously
+      val got = snap
+      assert(got.size >= 2, s"expected stats + refinement passes, saw ${got.size}")
+      val uncachedReads = got.filter(p =>
+        p.contains("FileScan parquet") && !p.contains("InMemoryTableScan"))
+      assert(uncachedReads.isEmpty,
+        s"a pass re-decoded parquet instead of the cache:\n${uncachedReads.mkString("\n---\n")}")
+      assert(got.exists(_.contains("InMemoryTableScan")),
+        "no pass read the cached projection at all")
     } finally spark.listenerManager.unregister(l)
   }
 
