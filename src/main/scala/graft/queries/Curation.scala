@@ -636,6 +636,79 @@ object Curation {
               FROM h JOIN k USING (h)
               GROUP BY h.doc_id""")),
 
+    // EXACT-SUBSTRING dedup (the ExactSubstr move of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // arbitrary-OFFSET exact repeats ≥ L tokens across documents, the
+    // dedup family member spans (stride 25) and winnowing (min-of-window
+    // sampling) only approximate — a 12-token verbatim quote at any
+    // position is caught here and missed there. Every position's L-token
+    // window keys by md5 (positions and hashes shuffle, NEVER the text —
+    // the llm_span_dedup rule), windows seen in ≥2 distinct documents
+    // mark their positions as duplicated, and per document the covered
+    // positions merge into MAXIMAL spans by the running-max island rule
+    // (a seed at p covers [p, p+L-1]; overlapping/adjacent covers fuse),
+    // which is exactly the "extend the match maximally" step of the
+    // suffix-array formulation, done declaratively. Emits (doc, span)
+    // drop-list rows like llm_span_dedup. Shape at 100 TB: one
+    // repartition(doc_id) fan-out, dedupe-first distinct before the
+    // count (no count-DISTINCT Expand), the dup-set join reuses the
+    // groupBy(h) partitioning, and the island windows + final span
+    // aggregation share one doc_id exchange.
+    ("llm_exact_substr",
+      (s, d) => {
+        val L = 12
+        val windows = documents(s, d)
+          .transform(pinnedRepartition(_, col("doc_id")))
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= L)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(1, size(l) - ${L - 1})")).as("p"),
+            col("l"))
+          .select(col("doc_id"), col("p"),
+            md5(expr(s"concat_ws(' ', slice(l, p, $L))")).as("h"))
+        val dup = windows.select(col("h"), col("doc_id")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("p")
+        windows.join(dup, Seq("h"))
+          .select(col("doc_id"), col("p"))
+          .withColumn("pe", max(col("p") + (L - 1)).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("pe").isNull || col("p") > col("pe"), 1).otherwise(0))
+          .withColumn("g", sum(col("brk")).over(byDoc))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(min(col("p")).cast(LongType).as("span_start"),
+            (max(col("p")) + (L - 1)).cast(LongType).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, i AS p,
+                       md5(array_to_string(l[i : i+11], ' ')) AS h
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1, len(l) - 11)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l
+                            FROM documents) x
+                      WHERE len(l) >= 12) t),
+              dup AS (SELECT h
+                      FROM (SELECT DISTINCT h, doc_id FROM w) u
+                      GROUP BY h HAVING count(*) >= 2),
+              c AS (SELECT doc_id, p FROM w JOIN dup USING (h)),
+              m AS (SELECT doc_id, p,
+                           CASE WHEN p > coalesce(
+                                  max(p + 11) OVER (
+                                    PARTITION BY doc_id ORDER BY p
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS brk
+                    FROM c),
+              g AS (SELECT doc_id, p,
+                           SUM(brk) OVER (PARTITION BY doc_id ORDER BY p)
+                             AS grp
+                    FROM m)
+              SELECT doc_id, MIN(p) AS span_start, MAX(p) + 11 AS span_end
+              FROM g GROUP BY doc_id, grp""")),
+
     // CURATION pipeline e2e — the composition the per-operator oracles
     // never see, as one registered query (the pipeline_*_e2e pattern from
     // the energy side): normalize → token-count quality gate → exact dedup
@@ -1040,6 +1113,11 @@ object Curation {
       (s, d) => {
         val (kc, vc) = lmModelArrays(s, d, lit(true))
         val (kt, vt) = lmModelArrays(s, d, col("lang") === "en")
+        // an empty target domain would broadcast an empty model and
+        // silently exclude EVERY document via the matched-set filter —
+        // raise instead (VERDICT r11 4c)
+        require(kt.nonEmpty,
+          "DSIR target domain is empty: no 'en' documents with bigrams")
         documents(s, d)
           .select(col("doc_id"), col("lang"),
             call_function("bigram_lm_stats", col("text"),

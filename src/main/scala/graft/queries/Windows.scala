@@ -905,5 +905,57 @@ object Windows {
                      round(r.ema, 6) AS ema_last
               FROM r JOIN n ON r.user_id = n.user_id
                            AND r.rn = n.n_events"""))
+  ,
+
+    // W33 — TTL-chain dedup, the BATCH TWIN of the streaming
+    // transformWithState TTL dedup (graft.streaming.StreamDedup.dedupTtl)
+    // with the processor's wall clock replayed as the event timestamp:
+    // walking each key's rows in time order, a row is EMITTED iff it is
+    // the key's first sighting or arrives >= TTL (30 min) after the last
+    // EMITTED row — exactly the state machine the TTL store implements
+    // (emit -> state alive ttl -> expire -> next arrival re-admits).
+    // Same scale shape as w29: secondary-sorted shuffle + O(1)-state
+    // streaming fold, never a per-key buffer. This row is the hash gate
+    // VERDICT r11 asked for: a full RocksDB e2e is environment-documented
+    // out (no Hadoop native lib -> one forked chmod per store file per
+    // commit), so the SEMANTICS gate runs here and the processor contract
+    // is spec-tested against a stub store (StreamDedupSpec).
+    ("w33_ttl_dedup",
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tm"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("tm"), col("event_id")) { (uid, it) =>
+            var last = Long.MinValue
+            it.flatMap { r =>
+              if (last == Long.MinValue || r._2 - last >= 1800000000L) {
+                last = r._2
+                Iterator.single((uid, r._3))
+              } else Iterator.empty
+            }
+          }
+          .toDF("user_id", "event_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+                       event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+              r AS (
+                SELECT user_id, tm, event_id, rn, tm AS last_emit,
+                       TRUE AS emitted
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.tm, s.event_id, s.rn,
+                       CASE WHEN s.tm - r.last_emit >= 1800000000
+                            THEN s.tm ELSE r.last_emit END,
+                       s.tm - r.last_emit >= 1800000000
+                FROM s JOIN r ON s.user_id = r.user_id
+                             AND s.rn = r.rn + 1)
+              SELECT user_id, event_id FROM r WHERE emitted"""))
   )
 }

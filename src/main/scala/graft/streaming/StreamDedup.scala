@@ -49,8 +49,11 @@ object StreamDedup {
     * an event-time/sequence field and determinism is restored.
     *
     * Testing note: the processor logic is spec-tested against a stub
-    * ValueState. A full RocksDB micro-batch e2e is deliberately NOT in
-    * the suite: ProcessingTime time mode schedules micro-batches
+    * ValueState, and the TTL state machine itself is ORACLE-gated through
+    * its batch twin `w33_ttl_dedup` (queries/Windows.scala — the same
+    * emit-iff-first-or-past-TTL chain as a sorted per-key fold, checked
+    * against a recursive-CTE oracle). A full RocksDB micro-batch e2e is
+    * deliberately NOT in the suite: ProcessingTime time mode schedules micro-batches
     * continuously (TTL/timers must fire without input), and on a
     * container without the Hadoop native library every store commit
     * forks one `chmod` process per RocksDB file (~8 s/batch observed) —

@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("llm_minhash_dedup", "llm_ann_lsh", "llm_embed_neardup",
         "llm_ngram_jaccard", "llm_simhash_neardup", "j11_range_join",
         "j10_asof_join", "llm_decontaminate", "llm_span_dedup",
-        "llm_incremental_dedup")) {
+        "llm_incremental_dedup", "llm_exact_substr")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

@@ -69,6 +69,39 @@ class TextOpsDifferentialSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("llm_exact_substr matches a sequential reference on the real corpus") {
+    // reference groups by the WINDOW STRING itself (not the md5 the
+    // distributed shape ships) — agreement also proves no md5 collision
+    // perturbed the duplicate set on this corpus
+    val L = 12
+    val windows = docs.flatMap { case (id, text) =>
+      val l = text.split(" ", -1)
+      if (l.length < L) Seq()
+      else (1 to l.length - L + 1).map(p =>
+        (id, p, l.slice(p - 1, p - 1 + L).mkString(" ")))
+    }
+    val dup = windows.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = windows.filter(w => dup(w._3))
+      .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+        // island merge: covers [p, p+L-1]; a seed starting INSIDE the
+        // running coverage fuses, one starting just past it breaks (the
+        // distributed brk rule: p > max(prev p + L - 1))
+        val ps = ws.map(_._2).sorted
+        val spans = ps.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (s, e) :: rest if p <= e =>
+              (s, math.max(e, p + L - 1)) :: rest
+            case _ => (p, p + L - 1) :: acc
+          }
+        }.reverse
+        spans.map { case (s0, e0) => (id, s0.toLong, e0.toLong) }
+      }.toSet
+    val got = SparkEntry.queries("llm_exact_substr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("w29_ema matches the sequential per-key fold on the real events") {
     val series = Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "value").collect()
