@@ -33,3 +33,28 @@ for name, d, s in rows:
     r = f"{s/d:7.1f}" if d and s and s > 0 else "      -"
     print(f"{name:28s} {ds} {ss} {r}")
 print(f"\nTOTAL duckdb={tot_d:.1f}s spark={tot_s:.1f}s ratio={tot_s/tot_d:.2f}x")
+
+# family sub-aggregates (mirrors Bench.scala's split): the query family
+# is the plan-quality number; the two e2e families are fixture/stream
+# startup floors
+def family(n):
+    if "stream" in n: return "streaming_e2e"
+    if n.endswith("_e2e"): return "fixture_e2e"
+    return "query"
+fams = {}
+for name, d, s in rows:
+    f = fams.setdefault(family(name), [0.0, 0.0])
+    if d is not None: f[0] += d
+    if s is not None and s >= 0: f[1] += s
+print("\nfamily sub-aggregates:")
+for fam in sorted(fams):
+    d, s = fams[fam]
+    r = f"{s/d:.2f}x" if d > 0 else "-"
+    print(f"  {fam:14s} duckdb={d:6.1f}s spark={s:6.1f}s ratio={r}")
+# real-work cut: queries where DuckDB has measurable work
+rw = [(d, s) for _, d, s in rows
+      if d is not None and d >= 0.1 and s is not None and s >= 0]
+if rw:
+    dsum = sum(d for d, _ in rw); ssum = sum(s for _, s in rw)
+    print(f"  real-work ({len(rw)} queries with duckdb>=0.1s): "
+          f"duckdb={dsum:.1f}s spark={ssum:.1f}s ratio={ssum/dsum:.2f}x")
