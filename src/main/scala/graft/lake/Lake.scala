@@ -78,18 +78,34 @@ object Lake {
     * append-only (the `continuo`/MIC rule, processed_file_utils.py:65-67).
     */
   /** Physical parquet layout approximating the reference's writer settings
-    * (processed_file_utils.py:25,349-357): zstd + data-page v2 with 64 KiB
-    * pages are exact; the reference's row_group_size=122880 ROWS has no
-    * Spark equivalent — parquet.block.size is BYTES — so 16 MiB targets
-    * ~122880 rows at ~128 B/encoded row for these narrow fact schemas.
-    * Wider rows get proportionally fewer rows per group, which is the right
-    * scaling for scan memory anyway; the 16 MiB floor keeps groups large
-    * enough that footer metadata stays negligible.
+    * (processed_file_utils.py:25,349-357): zstd + 64 KiB pages are exact;
+    * the reference's row_group_size=122880 ROWS has no Spark equivalent —
+    * parquet.block.size is BYTES — so 16 MiB targets ~122880 rows at
+    * ~128 B/encoded row for these narrow fact schemas. Wider rows get
+    * proportionally fewer rows per group, which is the right scaling for
+    * scan memory anyway; the 16 MiB floor keeps groups large enough that
+    * footer metadata stays negligible.
+    *
+    * DELIBERATE DEVIATION: the reference writes data-page V2 (pyarrow
+    * `data_page_version="2.0"`); we write V1. Spark's vectorized reader
+    * SILENTLY TEARS ROWS on V2 pages when parquet column-index filtering
+    * prunes to mid-page row ranges: filter columns decode from the right
+    * offset while non-filter columns mis-skip, pairing row N's keys with
+    * row N±k's payload. Reproduced deterministically on the o6 z-order
+    * round trip (sf1 orders, page.size=2048 + page.row.count.limit=333,
+    * box filter on x/y → o_orderkey off by a few positions) and isolated
+    * by experiment matrix: torn with zstd, snappy AND uncompressed V2;
+    * clean with the row-by-row reader, with columnindex filtering off,
+    * and with V1 pages under the identical geometry (LakeLayoutSpec
+    * replays the matrix's fix arm). V1 + dictionary/RLE is the Spark
+    * production default and loses nothing material under zstd, so the
+    * lake must never emit V2 until the upstream skip path is trustworthy
+    * — this is a 100 TB silent-corruption class, not a perf trade.
     */
   private def layout[T](w: org.apache.spark.sql.DataFrameWriter[T]) = w
     .option("compression", "zstd")
     .option("parquet.block.size", 16L * 1024 * 1024)
-    .option("parquet.writer.version", "PARQUET_2_0")
+    .option("parquet.writer.version", "PARQUET_1_0")
     .option("parquet.page.size", 64 * 1024)
 
   /** Storage-agnostic existence check (HDFS/S3/local — wherever a 100 TB
