@@ -101,5 +101,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       exact("minhash_sig", 4)(c => MinhashSig(c(0), c(1), c(2), c(3)))))
+    // Exact fixed-point views of a double: the unscaled long of
+    // CAST(x AS DECIMAL(18,s)), computed allocation-free on the hot path
+    // (see graft.functions.FixedPointLong) — sum(DECIMAL) widens past the
+    // 18-digit compact representation and the decimal formulation of an
+    // exact money sum otherwise allocates BigDecimals per row in the
+    // aggregation loop (measured: 2-4x wall time + multi-second GC spikes
+    // on the a10 rollup at sf1). The unscaled long feeds a primitive sum;
+    // Tables.dsum2/dsum4 divide back.
+    def unscaled(name: String, scale: Int): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(
+          classOf[graft.functions.FixedPointLong].getName, name),
+        exact(name, 1)(c =>
+          graft.functions.FixedPointLong(c.head, scale))))
+    unscaled("unscaled2", 2)
+    unscaled("unscaled4", 4)
   }
 }

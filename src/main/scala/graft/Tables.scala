@@ -61,11 +61,21 @@ object Tables {
     * stays unboxed (cents < 2^53, no overflow at any realistic scale).
     */
   def dsum2(c: Column): Column =
-    sum((dec2(c) * 100).cast(LongType)) / 100.0
+    sum(unscaledCol(c, 2)) / 100.0
 
   /** Order-independent exact sum of a 4-decimal double, published as double. */
   def dsum4(c: Column): Column =
-    sum((dec4(c) * 10000).cast(LongType)) / 10000.0
+    sum(unscaledCol(c, 4)) / 10000.0
+
+  /** The fixed-point long built DIRECTLY (not via call_function): dsum is
+    * part of the library boundary (SparkEntry.entry), and the driver's
+    * bare spark-shell smoke runs in a session WITHOUT graft extensions
+    * where a registry lookup would fail to resolve.
+    */
+  def unscaledCol(c: Column, scale: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.FixedPointLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), scale))
 
   /** Numbered repartition pinned to `spark.sql.shuffle.partitions`.
     *

@@ -455,35 +455,58 @@ object Curation {
     // the standard banding trade.
     ("llm_fuzzy_match",
       (s, d) => {
+        // Dedupe-first: crawl corpora are copy-heavy (sf1's replication
+        // regime carries 10 verbatim copies per doc), and banding, length
+        // and the DP all depend only on TEXT — so band and Levenshtein
+        // once per distinct md5(text) (candidate count and DP work scale
+        // with distinct content, quadratically less in copy multiplicity),
+        // then expand text pairs back to doc pairs; copies of one text
+        // pair at lev 0 by construction. Identical output to the per-doc
+        // formulation: every candidate attribute is text-derived.
         val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-        val base = documents(s, d)
-          .select(col("doc_id"), substring(norm, 1, 48).as("head"),
-            length(norm).as("len"))
-          .localCheckpoint() // both sides of the band self-join
-        val banded = base.select(col("doc_id"), col("head"), col("len"),
+        // ONE checkpointed md5+normalize pass over the corpus; every
+        // downstream frame (dedup, band self-join, both expansions) reads
+        // the materialized 4-column projection, never the text again
+        val withH = documents(s, d).select(md5(col("text")).as("h"),
+          substring(norm, 1, 48).as("head"), length(norm).as("len"),
+          col("doc_id"))
+        val docsByH = withH.select(col("h"), col("doc_id"))
+        val baseH = withH.select(col("h"), col("head"), col("len"))
+          .dropDuplicates("h")
+        val banded = baseH.select(col("h"), col("len"),
           explode(array(expr("len div 16"), expr("len div 16 + 1")))
-            .as("lb"))
-          .select(col("doc_id"), col("head"), col("len"),
+            .as("lb"), col("head"))
+          .select(col("h"), col("len"),
             concat(col("lb").cast(StringType), lit(":"),
               substring(col("head"), 1, 2)).as("band"))
-        // id-only candidates through the dedup shuffle; heads re-join from
-        // the checkpointed base so the DP only ever runs once per distinct
-        // pair (the same id-only shape as the minhash pipelines)
-        val cand = banded.as("a").join(banded.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.doc_id") < col("b.doc_id") &&
+        // hash-only candidates through the dedup shuffle; heads re-join
+        // from the checkpointed base so the DP only ever runs once per
+        // distinct text pair (the same id-only shape as minhash)
+        val candH = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.h") < col("b.h") &&
               abs(col("a.len") - col("b.len")) <= 8)
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        broadcast(cand)
-          .join(base.select(col("doc_id").as("d1"), col("head").as("h1")),
-            "d1")
+          .select(col("a.h").as("h1"), col("b.h").as("h2")).distinct()
+        val crossH = broadcast(candH)
+          .join(baseH.select(col("h").as("h1"), col("head").as("hd1")), "h1")
           .hint("broadcast")
-          .join(base.select(col("doc_id").as("d2"), col("head").as("h2")),
-            "d2")
-          .withColumn("lev", levenshtein(col("h1"), col("h2")))
+          .join(baseH.select(col("h").as("h2"), col("head").as("hd2")), "h2")
+          .withColumn("lev", levenshtein(col("hd1"), col("hd2")))
           .filter(col("lev") <= 8)
-          .select(col("d1"), col("d2"), col("lev").cast(IntegerType).as("lev"))
+          .select(col("h1"), col("h2"), col("lev"))
+        val cross = broadcast(crossH)
+          .join(docsByH.select(col("h").as("h1"), col("doc_id").as("i")),
+            "h1")
+          .hint("broadcast")
+          .join(docsByH.select(col("h").as("h2"), col("doc_id").as("j")),
+            "h2")
+          .select(least(col("i"), col("j")).as("d1"),
+            greatest(col("i"), col("j")).as("d2"),
+            col("lev").cast(IntegerType).as("lev"))
+        val same = docsByH.as("x").join(docsByH.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            lit(0).cast(IntegerType).as("lev"))
+        cross.unionByName(same)
       },
       Some("""WITH base AS (
                 SELECT doc_id,

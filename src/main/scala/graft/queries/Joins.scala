@@ -110,7 +110,13 @@ object Joins {
         val p = new org.apache.hadoop.fs.Path(loc)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
-        graft.lake.Lake.writeBucketed(df, tbl, keys, 8, Some(loc))
+        // bucket count = the session's shuffle parallelism: a bucketed
+        // scan runs ONE task per bucket, so fewer buckets than cores
+        // throttles every zero-exchange query to the bucket count (the
+        // sf1 run measured the 8-bucket rollup at 8/32 cores). At 100 TB
+        // the same knob is sized from data volume per bucket instead.
+        val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+        graft.lake.Lake.writeBucketed(df, tbl, keys, nb, Some(loc))
         sys.addShutdownHook {
           try fs.delete(p, true) catch { case _: Exception => () }
         }
@@ -393,8 +399,12 @@ object Joins {
     // sheets (F4/F5's strict arm raises; the lenient arm carries NULL),
     // and reconciling two such feeds needs null-buckets to PAIR, not
     // vanish. Aggregated to per-key match counts so the result stays
-    // |keys|-sized; Spark plans <=> as a regular hash join on the
-    // null-safe-wrapped key — same shuffle shape as plain equality.
+    // |keys|-sized. Formulated as aggregate-pushdown-below-join: a
+    // many-to-many join aggregated per key never needs the pair fan-out
+    // (count(joined rows) = nL(k)·nR(k)), and the raw `<=>` plan hashes
+    // every NULL row to ONE partition — the sf1 run measured the
+    // null×null block as a single 18 s task. Pre-aggregating both sides
+    // leaves a |keys|-row null-safe join (broadcast), exact same result.
     ("j14_nullsafe_join",
       (s, d) => {
         def keyed(df: DataFrame) = df.select(
@@ -403,11 +413,13 @@ object Joins {
             .as("k"), col("event_id"))
         val l = keyed(events(s, d).filter(col("event_id") % 97 === 0))
           .withColumnRenamed("k", "lk").withColumnRenamed("event_id", "lid")
-        val r = keyed(events(s, d).filter(col("event_id") % 3 === 0))
-        l.join(r, col("lk") <=> col("k"))
           .groupBy(col("lk"))
-          .agg(count(lit(1)).as("n_matches"),
-            countDistinct(col("lid")).as("n_left"))
+          .agg(count(lit(1)).as("n_l"), countDistinct(col("lid")).as("n_left"))
+        val r = keyed(events(s, d).filter(col("event_id") % 3 === 0))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_r"))
+        l.join(broadcast(r), col("lk") <=> col("k"))
+          .select(col("lk"), (col("n_l") * col("n_r")).as("n_matches"),
+            col("n_left"))
       },
       Some("""WITH l AS (
                 SELECT CASE WHEN event_id % 7 = 0 THEN NULL

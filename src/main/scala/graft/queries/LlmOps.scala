@@ -1014,25 +1014,71 @@ object LlmOps {
     // of docs would otherwise emit quadratic pairs), then one pair count.
     ("llm_winnow",
       (s, d) => {
-        // one narrow codegen'd pass per doc (graft.functions.WinnowPrints)
-        // — bit-identical to the composed transform/md5/conv/array_min
-        // chain (asserted over the corpus in NarrowStatsSpec), ~3× cheaper
-        val fps = documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("l"))
+        // one narrow codegen'd pass per DISTINCT text (graft.functions.
+        // WinnowPrints) — bit-identical to the composed transform/md5/
+        // conv/array_min chain (asserted over the corpus in
+        // NarrowStatsSpec), ~3× cheaper than composing built-ins.
+        // Dedupe-first: crawl corpora are copy-heavy (the sf1 replication
+        // regime: 10 verbatim copies per doc), and identical texts have
+        // identical fingerprint sets, so fingerprint once per md5(text)
+        // and join the set back to doc ids — the expensive hash pass
+        // scales with DISTINCT content, not row count.
+        // The whole pipeline runs at DISTINCT-TEXT granularity (identical
+        // texts have identical fingerprint sets), then expands back to doc
+        // pairs at the end — candidate and pair-count work scales with
+        // distinct content, quadratically less in copy multiplicity. The
+        // hot-fingerprint cap stays DOC-level exact: buckets carry each
+        // text's copy count and the cap tests the copy-weighted size.
+        val hashed = documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val counts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+        val fpsByText = documents(s, d)
+          .select(md5(col("text")).as("h"), split(col("text"), " ").as("l"))
           .filter(size(col("l")) >= 8)
-          .select(col("doc_id"),
+          .dropDuplicates("h")
+          .select(col("h"),
             explode(call_function("winnow_prints", col("l"))).as("fp"))
-        val buckets = fps.groupBy("fp")
-          .agg(collect_list(col("doc_id")).as("ds"))
-          .filter(size(col("ds")).between(2, 50))
-        buckets
-          .select(col("fp"), explode(expr(
-            """flatten(transform(ds, a ->
-                 filter(transform(ds, b -> struct(a AS d1, b AS d2)),
-                        p -> p.d1 < p.d2)))""")).as("p"))
-          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        val buckets = fpsByText.join(counts, "h")
+          .groupBy("fp")
+          .agg(array_sort(collect_list(struct(col("h"), col("c")))).as("ds"),
+            sum(col("c")).as("ndocs"))
+          .filter(col("ndocs").between(2, 50))
+        // sorted bucket ⇒ positional i<j pairs are value-ordered: emit
+        // exactly the C(n,2) text pairs instead of the n² square
+        val crossT = buckets
+          .select(explode(expr(
+            // i runs to size(ds), not size-1: sequence(1, 0) DESCENDS in
+            // Spark, so a single-text bucket would index element 0; the
+            // last i just contributes an empty slice instead
+            """flatten(transform(sequence(1, size(ds)), i ->
+                 transform(slice(ds, i + 1, size(ds) - i),
+                           b -> struct(element_at(ds, i).h AS h1,
+                                       b.h AS h2))))""")).as("p"))
+          .groupBy(col("p.h1").as("h1"), col("p.h2").as("h2"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 3)
+        // every (copy of h1, copy of h2) doc pair shares exactly the text
+        // pair's fingerprints; copies of ONE text share all its capped fps
+        val cross = broadcast(crossT)
+          .join(hashed.select(col("h").as("h1"), col("doc_id").as("i")),
+            "h1")
+          .hint("broadcast")
+          .join(hashed.select(col("h").as("h2"), col("doc_id").as("j")),
+            "h2")
+          .select(least(col("i"), col("j")).as("d1"),
+            greatest(col("i"), col("j")).as("d2"), col("n_shared"))
+        val sameT = buckets
+          .select(explode(col("ds")).as("e"))
+          .filter(col("e.c") >= 2)
+          .groupBy(col("e.h").as("h"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+        val same = broadcast(sameT)
+          .join(hashed.as("x"), "h").hint("broadcast")
+          .join(hashed.select(col("h"), col("doc_id").as("j")).as("y"), "h")
+          .filter(col("doc_id") < col("j"))
+          .select(col("doc_id").as("d1"), col("j").as("d2"), col("n_shared"))
+        cross.unionByName(same)
       },
       Some("""WITH h AS (
                 SELECT doc_id, i,

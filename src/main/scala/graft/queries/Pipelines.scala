@@ -971,7 +971,7 @@ object Pipelines {
           date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"),
           col("o_totalprice"))
         def partial(df: DataFrame) = df.groupBy("prio", "mes")
-          .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType))
+          .agg(sum(graft.Tables.unscaledCol(col("o_totalprice"), 2))
             .as("cents"), count(lit(1)).as("n"))
         val id = java.util.UUID.randomUUID.toString.replace("-", "")
         val p1 = s"$tmpDir/graft_e2e_a16a_$id"

@@ -435,7 +435,7 @@ object Windows {
         lineitem(s, d)
           .transform(pinnedRepartition(_, col("l_suppkey")))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            (sum((dec2(col("l_quantity")) * 100).cast(LongType)).over(w)
+            (sum(graft.Tables.unscaledCol(col("l_quantity"), 2)).over(w)
               / lit(100.0) / count(lit(1)).over(w)).as("media24"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
