@@ -118,5 +118,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.FixedPointLong(c.head, scale))))
     unscaled("unscaled2", 2)
     unscaled("unscaled4", 4)
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[graft.functions.PiiScrub].getName,
+        "pii_scrub"),
+      exact("pii_scrub", 1)(c => graft.functions.PiiScrub(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_quant_stats"),
+      new ExpressionInfo(classOf[graft.functions.Int8QuantStats].getName,
+        "int8_quant_stats"),
+      exact("int8_quant_stats", 1)(c =>
+        graft.functions.Int8QuantStats(c.head))))
   }
 }

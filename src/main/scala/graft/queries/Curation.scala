@@ -177,9 +177,12 @@ object Curation {
 
     // PII REDACTION: deterministic synthetic PII is appended to a slice of
     // docs (the corpus itself is clean synthetic text), then scrubbed with
-    // the classic email/phone regex pass — counts + redacted-content hash
-    // published. Regexes stay in the Java-regex ∩ RE2 common dialect; a
-    // pure narrow map, no shuffle.
+    // the classic email/phone pass — counts + redacted-content hash
+    // published. Patterns stay in the Java-regex ∩ RE2 common dialect (the
+    // oracle runs them as regexes); the engine side runs them as ONE fused
+    // codegen'd scanner (graft.functions.PiiScrub) instead of four
+    // java.util.regex scans per document — bit-identical to the composed
+    // regex form (asserted in NarrowStatsSpec). Pure narrow map, no shuffle.
     ("llm_pii_redact",
       (s, d) => {
         val aug = concat(col("text"),
@@ -193,14 +196,11 @@ object Curation {
             .otherwise(lit("")))
         documents(s, d)
           .withColumn("aug", aug)
+          .select(col("doc_id"), call_function("pii_scrub", col("aug")).as("p"))
           .select(col("doc_id"),
-            size(regexp_extract_all(col("aug"),
-              lit("[a-z0-9.]+@[a-z0-9.]+"), lit(0))).as("n_email"),
-            size(regexp_extract_all(col("aug"),
-              lit("[0-9]{3}-[0-9]{4}"), lit(0))).as("n_phone"),
-            md5(regexp_replace(
-              regexp_replace(col("aug"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
-              "[0-9]{3}-[0-9]{4}", "<PHONE>")).as("redacted_md5"))
+            col("p.n_email").as("n_email"),
+            col("p.n_phone").as("n_phone"),
+            md5(col("p.redacted")).as("redacted_md5"))
       },
       Some("""SELECT doc_id,
                      CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+'))
@@ -232,26 +232,18 @@ object Curation {
     // engines sum 64 doubles whose reorder noise is ~1e-18, twelve orders
     // below the rounding grain). Narrow map over the vector array; the
     // 4× memory cut is what makes billion-vector ANN shards fit executors.
+    // One fused codegen'd pass (graft.functions.Int8QuantStats) instead of
+    // four interpreted higher-order-function folds of the same array —
+    // bit-identical to the composed form (asserted in NarrowStatsSpec).
     ("llm_int8_quant",
       (s, d) => embeddings(s, d)
         .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("scale", expr(
-          "greatest(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"))
+          call_function("int8_quant_stats", col("embedding")).as("q"))
         .select(col("vec_id"),
-          round(col("scale"), 6).as("scale_r"),
-          expr("""aggregate(v, CAST(0 AS BIGINT),
-                    (a, x) -> a + CAST(round(x * 127 / scale, 0) AS BIGINT))""")
-            .as("code_sum"),
-          expr("""aggregate(v, 0,
-                    (a, x) -> a + CASE WHEN abs(CAST(round(x * 127 / scale, 0)
-                                                     AS BIGINT)) = 127
-                                       THEN 1 ELSE 0 END)""")
-            .cast(IntegerType).as("n_sat"),
-          expr("""round(aggregate(v, CAST(0 AS DOUBLE),
-                    (a, x) -> a + pow(x - CAST(round(x * 127 / scale, 0)
-                                               AS BIGINT) * scale / 127, 2)),
-                  6)""").as("recon_err_r")),
+          round(col("q.scale"), 6).as("scale_r"),
+          col("q.code_sum").as("code_sum"),
+          col("q.n_sat").as("n_sat"),
+          round(col("q.recon_err"), 6).as("recon_err_r")),
       Some("""WITH e AS (
                 SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
                 FROM (SELECT vec_id, embedding,

@@ -979,15 +979,22 @@ object LlmOps {
     // hash-aggregate per trigram (map-side partials bound each task's
     // output by |vocab|³), then TakeOrderedAndProject — per-partition
     // top-20 heaps merged on the driver, never a global sort of the
-    // aggregate stream.
+    // aggregate stream. Dedupe-first: gram extraction depends only on
+    // TEXT and crawl corpora are copy-heavy (the sf1 regime: 10 verbatim
+    // copies per doc), so the split+explode pass runs once per distinct
+    // text and each gram carries the text's copy count as its weight —
+    // Σ weights is exactly count(*), while the expensive fan-out scales
+    // with distinct content, not row count.
     ("llm_topk_ngrams",
       (s, d) => documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .groupBy(col("text")).agg(count(lit(1)).as("c"))
+        .select(split(col("text"), " ").as("l"), col("c"))
         .filter(size(col("l")) >= 3)
         .select(explode(expr(
           """transform(sequence(1, size(l) - 2),
-               i -> concat_ws(' ', slice(l, i, 3)))""")).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
+               i -> concat_ws(' ', slice(l, i, 3)))""")).as("gram"),
+          col("c"))
+        .groupBy("gram").agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20),
       Some("""SELECT gram, count(*) AS n

@@ -52,7 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-k lost the heap-merge operator:\n$p")
     assert(p.contains("partial_count"),
-      s"ngram counts lost map-side partials:\n$p")
+      s"distinct-text counts lost map-side partials:\n$p")
+    assert(p.contains("partial_sum"),
+      s"weighted gram counts lost map-side partials:\n$p")
   }
 
   test("llm_span_scrub shuffles ids and hashes, never a cartesian") {

@@ -186,6 +186,110 @@ class NarrowStatsSpec extends SparkSpec {
     assert(nl)
   }
 
+  test("pii_scrub matches the composed regex pipeline over the corpus") {
+    // the same augmentation the llm_pii_redact row applies, so the scanner
+    // is exercised on text that actually contains emails and phones
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com now")))
+          .when($"doc_id" % 7 === 3,
+            concat(lit(" call 555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(lit(""))).as("aug"))
+    val composed = docs.select($"doc_id",
+      size(regexp_extract_all($"aug",
+        lit("[a-z0-9.]+@[a-z0-9.]+"), lit(0))).as("n_email"),
+      size(regexp_extract_all($"aug",
+        lit("[0-9]{3}-[0-9]{4}"), lit(0))).as("n_phone"),
+      regexp_replace(
+        regexp_replace($"aug", "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+    val fused = docs.select($"doc_id",
+      call_function("pii_scrub", $"aug").as("p"))
+      .select($"doc_id", $"p.n_email".as("f_email"),
+        $"p.n_phone".as("f_phone"), $"p.redacted".as("f_red"))
+    val bad = composed.join(fused, "doc_id")
+      .filter($"n_email" =!= $"f_email" || $"n_phone" =!= $"f_phone" ||
+        $"redacted" =!= $"f_red").count()
+    assert(bad == 0, s"$bad docs diverge from the composed regex pipeline")
+    // hand cases: leftmost-greedy subtleties the corpus may not contain
+    val cases = Seq(
+      "a@b",                      // minimal email
+      "a..b@@c",                  // '@' not followed by a class char
+      "x@y@z nest",               // continue AFTER the matched region
+      "555-1234@x.com dial",      // email steals digits, phone counted not replaced
+      "1234-5678",                // phone match starts mid-digit-run
+      "123-45678 and 999-0000",   // trailing digits survive + second match
+      "UPPER@CASE.COM",           // class is lowercase-only: no match
+      "contact user7@example.com now call 555-0007 today",
+      "")
+    val got = cases.toDF("t")
+      .select(call_function("pii_scrub", $"t").as("p"))
+      .select($"p.n_email", $"p.n_phone", $"p.redacted")
+      .collect()
+    val ref = cases.toDF("t").select(
+      size(regexp_extract_all($"t", lit("[a-z0-9.]+@[a-z0-9.]+"), lit(0))),
+      size(regexp_extract_all($"t", lit("[0-9]{3}-[0-9]{4}"), lit(0))),
+      regexp_replace(
+        regexp_replace($"t", "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3}-[0-9]{4}", "<PHONE>")).collect()
+    for ((g, r) <- got.zip(ref))
+      assert(g == r, s"pii_scrub diverges: got $g want $r")
+    // null in → null out
+    val nl = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("pii_scrub", $"t").isNull).as[Boolean].head()
+    assert(nl)
+  }
+
+  test("int8_quant_stats is bit-identical to the composed four-fold form " +
+      "over the embeddings fixture") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val composed = emb
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale", expr(
+        "greatest(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"))
+      .select($"vec_id", $"scale",
+        expr("""aggregate(v, CAST(0 AS BIGINT),
+                  (a, x) -> a + CAST(round(x * 127 / scale, 0) AS BIGINT))""")
+          .as("code_sum"),
+        expr("""aggregate(v, 0,
+                  (a, x) -> a + CASE WHEN abs(CAST(round(x * 127 / scale, 0)
+                                                   AS BIGINT)) = 127
+                                     THEN 1 ELSE 0 END)""")
+          .cast("int").as("n_sat"),
+        expr("""aggregate(v, CAST(0 AS DOUBLE),
+                  (a, x) -> a + pow(x - CAST(round(x * 127 / scale, 0)
+                                             AS BIGINT) * scale / 127, 2))""")
+          .as("recon_err"))
+    val fused = emb.select($"vec_id",
+      call_function("int8_quant_stats", $"embedding").as("q"))
+      .select($"vec_id", $"q.scale".as("f_scale"),
+        $"q.code_sum".as("f_code_sum"), $"q.n_sat".as("f_n_sat"),
+        $"q.recon_err".as("f_recon_err"))
+    // exact equality, doubles included: the fused pass must reproduce the
+    // HOF fold's IEEE sequence bit for bit, not just within tolerance
+    val bad = composed.join(fused, "vec_id")
+      .filter($"scale" =!= $"f_scale" || $"code_sum" =!= $"f_code_sum" ||
+        $"n_sat" =!= $"f_n_sat" || $"recon_err" =!= $"f_recon_err")
+      .count()
+    assert(bad == 0, s"$bad vectors diverge from the composed HOF form")
+    // null vector in → null out
+    val nl = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS e")
+      .select(call_function("int8_quant_stats", $"e").isNull)
+      .as[Boolean].head()
+    assert(nl)
+    // all-zero vector: scale floors at 1e-12, zero codes, zero error
+    val z = Seq(Array(0f, 0f)).toDF("e")
+      .select(call_function("int8_quant_stats", $"e").as("q"))
+      .select($"q.scale", $"q.code_sum", $"q.n_sat", $"q.recon_err")
+      .head()
+    assert(z.getDouble(0) == 1e-12 && z.getLong(1) == 0L &&
+      z.getInt(2) == 0 && z.getDouble(3) == 0d)
+  }
+
   test("extension builders reject wrong arity at analysis (ADVICE r11)") {
     // pre-fix, extras were silently DROPPED — winnow_prints(l, 5) ran as
     // winnow_prints(l); the guard makes it an analysis error like builtins
@@ -213,5 +317,11 @@ class NarrowStatsSpec extends SparkSpec {
         l.toLowerCase.contains(fn.replace("_", "")) && l.trim.startsWith("*(")),
         s"$fn not codegen'd:\n$plan")
     }
+    val embPlan = graft.Tables.embeddings(spark, sfDir)
+      .select(call_function("int8_quant_stats", col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(embPlan.linesIterator.exists(l =>
+      l.toLowerCase.contains("int8quantstats") && l.trim.startsWith("*(")),
+      s"int8_quant_stats not codegen'd:\n$embPlan")
   }
 }
