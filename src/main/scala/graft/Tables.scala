@@ -169,6 +169,17 @@ object Tables {
     // of stopping at defaultParallelism — with 32 local cores and small
     // stages, per-task overhead otherwise dominates wall time
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // ...but size the target for THIS box, not a cluster: with the 64 MB
+    // default, a mid-size exchange (the ~100 MB order-grain aggregates at
+    // sf1) coalesces to 1-2 tasks and the whole reduce stage runs serial
+    // on a 32-core machine — measured 3-4x on f14/o8/a18 at sf1. 4 MB
+    // keeps sub-4MB interactive stages fully coalesced (the latency win
+    // parallelismFirst=false exists for) while giving ≥32-way parallelism
+    // to any exchange past ~128 MB. A real cluster run should raise it
+    // back (SPARK_GRAFT_ADVISORY=64m) where per-task overhead amortizes
+    // across executors.
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TypedImperativeAggregates (collect_bounded) run under
     // ObjectHashAggregateExec, whose sort-based fallback triggers at a

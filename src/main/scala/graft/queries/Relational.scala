@@ -536,15 +536,22 @@ object Relational {
     // per-row rule is a conditional sum carried by the same
     // groupBy(l_orderkey) aggregation; duplicate line identity falls out
     // of the same pass as n − |distinct linenumbers| per order (line
-    // numbers only collide within their own order, and the per-order set
-    // is bounded by the lines-per-order domain, ~7 — never corpus-sized);
-    // the FK rule anti-joins the already-order-grain frame, so the fact
-    // rows never shuffle a second time (the orders key column is the
-    // only thing exchanged). Map-side partials collapse the fact rows to
-    // ~|orders| before the exchange because lineitem is clustered by
-    // orderkey. Counts are exact integers — engine-deterministic by
-    // construction. (Previous shape: 3 fact scans + 2 fact-sized
-    // exchanges; measured 3.7 s at sf1 vs 1 scan + 1 exchange here.)
+    // numbers only collide within their own order), with the distinct
+    // count held as a BIT MASK — bit_count(bit_or(1 << linenumber)) — so
+    // every aggregate in the pass stays fixed-width and the whole
+    // aggregation keeps Spark's vectorized hash map (a collect_set here
+    // trips ObjectHashAggregate's 128-key sort fallback and SORTS the
+    // fact table: measured 16 s at sf1 vs 2 s for this shape). The mask
+    // is exact for line numbers in [0, 63]; out-of-domain groups turn
+    // n_lines NULL, which nulls the published dup count — a LOUD failure
+    // the hash gate catches, never a silent wrong answer. The FK rule
+    // anti-joins the already-order-grain frame, so the fact rows never
+    // shuffle a second time (the orders key column is the only thing
+    // exchanged). Map-side partials collapse the fact rows to ~|orders|
+    // before the exchange because lineitem is clustered by orderkey.
+    // Counts are exact integers — engine-deterministic by construction.
+    // (Previous shape: 3 fact scans + 2 fact-sized exchanges, 3.7 s at
+    // sf1.)
     ("f14_quality_asserts",
       (s, d) => {
         val li = lineitem(s, d)
@@ -556,25 +563,39 @@ object Relational {
             .otherwise(0)).as("d_bad"),
           sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
             .as("r_bad"),
-          // distinct line numbers per order; a null linenumber is one
-          // distinct grouping value in the pair-grain formulation, and
-          // collect_set drops nulls, so add it back explicitly
-          (size(collect_set(col("l_linenumber"))) +
-            max(when(col("l_linenumber").isNull, 1).otherwise(0)))
-            .as("n_lines"))
-        val perRow = g.agg(
-          coalesce(sum(when(col("l_orderkey").isNull, col("n"))
-            .otherwise(0L)), lit(0L)).as("null_orderkey"),
-          coalesce(sum(col("q_bad")), lit(0L)).as("quantity_range"),
-          coalesce(sum(col("d_bad")), lit(0L)).as("discount_range"),
-          coalesce(sum(col("r_bad")), lit(0L)).as("returnflag_domain"),
-          coalesce(sum(col("n") - col("n_lines")), lit(0L))
-            .as("dup_line_identity"))
-        val orphans = g
-          .join(orders(s, d).select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left_anti")
-          .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_orderkey"))
-        perRow.crossJoin(orphans)
+          expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(l_linenumber AS INT))))").as("nl_mask"),
+          min(col("l_linenumber")).as("ln_min"),
+          max(col("l_linenumber")).as("ln_max"),
+          // a null linenumber is one distinct grouping value in the
+          // pair-grain formulation; aggregates skip nulls, so add it back
+          max(when(col("l_linenumber").isNull, 1).otherwise(0)).as("ln_null"))
+        val nLines =
+          when(col("ln_min") >= 0 && col("ln_max") <= 63,
+            col("nl_mask") + col("ln_null"))
+            .when(col("ln_min").isNull, col("ln_null")) // all-null lines
+        // LEFT join (not anti) so the order-grain frame is consumed ONCE:
+        // a separate anti-join branch would recompute the whole scan +
+        // aggregation for the FK rule. The key side dedupes first (NOT
+        // EXISTS semantics: a duplicated order key must not fan g out).
+        // g comes out of its aggregation hash-partitioned on the join
+        // key, so only the orders key column exchanges; shuffle_hash
+        // skips the sort-merge sorts.
+        val tot = g.withColumn("n_lines", nLines)
+          .join(orders(s, d).select(col("o_orderkey")).distinct()
+            .hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(
+            coalesce(sum(when(col("l_orderkey").isNull, col("n"))
+              .otherwise(0L)), lit(0L)).as("null_orderkey"),
+            coalesce(sum(col("q_bad")), lit(0L)).as("quantity_range"),
+            coalesce(sum(col("d_bad")), lit(0L)).as("discount_range"),
+            coalesce(sum(col("r_bad")), lit(0L)).as("returnflag_domain"),
+            coalesce(sum(col("n") - col("n_lines")), lit(0L))
+              .as("dup_line_identity"),
+            coalesce(sum(when(col("o_orderkey").isNull, col("n"))
+              .otherwise(0L)), lit(0L)).as("orphan_orderkey"))
+        tot
           .selectExpr("stack(6, " +
             "'null_orderkey', null_orderkey, " +
             "'quantity_range', quantity_range, " +
