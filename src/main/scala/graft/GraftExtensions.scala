@@ -119,6 +119,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unscaled("unscaled2", 2)
     unscaled("unscaled4", 4)
     ext.injectFunction((
+      new FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WindowHashes].getName,
+        "window_hashes"),
+      exact("window_hashes", 2)(c => c(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(w: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.functions.WindowHashes(c(0), w)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"window_hashes width must be an integer literal, got $other"))
+      })))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[graft.functions.PiiScrub].getName,
         "pii_scrub"),

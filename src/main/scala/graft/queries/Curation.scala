@@ -664,37 +664,53 @@ object Curation {
     // (a seed at p covers [p, p+L-1]; overlapping/adjacent covers fuse),
     // which is exactly the "extend the match maximally" step of the
     // suffix-array formulation, done declaratively. Emits (doc, span)
-    // drop-list rows like llm_span_dedup. Shape at 100 TB: one
-    // repartition(doc_id) fan-out, dedupe-first distinct before the
-    // count (no count-DISTINCT Expand), the dup-set join reuses the
-    // groupBy(h) partitioning, and the island windows + final span
-    // aggregation share one doc_id exchange.
+    // drop-list rows like llm_span_dedup. Shape at 100 TB:
+    //  - Window hashing is ONE O(T) rolling-hash pass per distinct text
+    //    (graft.functions.WindowHashes) — the composed per-position
+    //    md5(concat_ws(slice)) costs O(T·L) character copies + a string
+    //    per window, measured 3x the whole operator at sf0.1. The hash is
+    //    internal plumbing (the output is positions, not hashes), so md5
+    //    parity with the oracle is not required — only that identical
+    //    windows collide, which the differential spec asserts by
+    //    comparing final span sets against the composed formulation.
+    //  - Dedupe-first: hashes depend only on TEXT, so the pass runs per
+    //    distinct text; a window's document count is the COPY-WEIGHTED
+    //    text count (Σ copies over texts containing it), and per-text
+    //    spans fan back to doc ids at the end — all heavy work scales
+    //    with distinct content.
+    //  - 8-byte hashes shuffle, never window text; the island windows +
+    //    final span aggregation share one text-hash exchange.
     ("llm_exact_substr",
       (s, d) => {
         val L = 12
+        val docsH = documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("th"))
+        val copies = docsH.groupBy("th").agg(count(lit(1)).as("c"))
         val windows = documents(s, d)
-          .transform(pinnedRepartition(_, col("doc_id")))
-          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .select(md5(col("text")).as("th"), split(col("text"), " ").as("l"))
           .filter(size(col("l")) >= L)
-          .select(col("doc_id"),
-            explode(expr(s"sequence(1, size(l) - ${L - 1})")).as("p"),
-            col("l"))
-          .select(col("doc_id"), col("p"),
-            md5(expr(s"concat_ws(' ', slice(l, p, $L))")).as("h"))
-        val dup = windows.select(col("h"), col("doc_id")).distinct()
-          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .dropDuplicates("th")
+          .join(copies, "th")
+          .transform(pinnedRepartition(_, col("th")))
+          .select(col("th"), col("c"),
+            posexplode(call_function("window_hashes", col("l"), lit(L))))
+          .select(col("th"), col("c"), (col("pos") + 1).as("p"),
+            col("col").as("h"))
+        val dup = windows.select(col("h"), col("th"), col("c")).distinct()
+          .groupBy("h").agg(sum(col("c")).as("nd"))
           .filter(col("nd") >= 2).select(col("h"))
-        val byDoc = Window.partitionBy("doc_id").orderBy("p")
-        windows.join(dup, Seq("h"))
-          .select(col("doc_id"), col("p"))
+        val byText = Window.partitionBy("th").orderBy("p")
+        val spans = windows.join(dup, Seq("h"))
+          .select(col("th"), col("p"))
           .withColumn("pe", max(col("p") + (L - 1)).over(
-            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+            byText.rowsBetween(Window.unboundedPreceding, -1)))
           .withColumn("brk",
             when(col("pe").isNull || col("p") > col("pe"), 1).otherwise(0))
-          .withColumn("g", sum(col("brk")).over(byDoc))
-          .groupBy(col("doc_id"), col("g"))
+          .withColumn("g", sum(col("brk")).over(byText))
+          .groupBy(col("th"), col("g"))
           .agg(min(col("p")).cast(LongType).as("span_start"),
             (max(col("p")) + (L - 1)).cast(LongType).as("span_end"))
+        spans.join(docsH, "th")
           .select(col("doc_id"), col("span_start"), col("span_end"))
       },
       Some("""WITH w AS (

@@ -186,6 +186,50 @@ class NarrowStatsSpec extends SparkSpec {
     assert(nl)
   }
 
+  test("window_hashes: rolling equals direct, boundaries, width guard") {
+    // rolling recurrence must equal a direct per-window polynomial — the
+    // collision-freedom claim rests on the roll-off term being exact
+    val toks = (0 until 40).map(i => s"t${i % 11}")
+    val got = Seq(Tuple1(toks)).toDF("l")
+      .select(call_function("window_hashes", $"l", lit(5)).as("hs"))
+      .as[Seq[Long]].head()
+    assert(got.length == 36)
+    // direct recompute of a few windows via single-window calls
+    for (p <- Seq(0, 17, 35)) {
+      val w = toks.slice(p, p + 5)
+      val direct = Seq(Tuple1(w)).toDF("l")
+        .select(call_function("window_hashes", $"l", lit(5)).as("hs"))
+        .as[Seq[Long]].head()
+      assert(direct.length == 1 && direct.head == got(p),
+        s"rolling hash at $p diverges from direct")
+    }
+    // identical windows collide wherever they appear
+    assert(got(0) == got(11) && got(11) == got(22)) // period-11 tokens
+    // shorter than the window → empty
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("l")
+      .select(size(call_function("window_hashes", $"l", lit(5))))
+      .as[Int].head()
+    assert(short == 0)
+    // null array → null; null token hashes distinctly from empty string
+    val nl = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("window_hashes", split($"t", " "), lit(3)).isNull)
+      .as[Boolean].head()
+    assert(nl)
+    val nullTok = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("l")
+      .select(call_function("window_hashes", $"l", lit(3)).as("hs"))
+      .as[Seq[Long]].head()
+    val emptyTok = Seq(Tuple1(Seq("a", "", "b"))).toDF("l")
+      .select(call_function("window_hashes", $"l", lit(3)).as("hs"))
+      .as[Seq[Long]].head()
+    assert(nullTok.head != emptyTok.head)
+    // width must be a literal
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq("a"))).toDF("l")
+        .select(call_function("window_hashes", $"l", $"l")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("window_hashes"))
+  }
+
   test("pii_scrub matches the composed regex pipeline over the corpus") {
     // the same augmentation the llm_pii_redact row applies, so the scanner
     // is exercised on text that actually contains emails and phones
