@@ -57,8 +57,13 @@ object Bench {
       // don't pile up
       def clear(): Unit = {
         spark.catalog.clearCache()
+        // blocking: async removal of a big query's checkpoint blocks is a
+        // BlockManager removal STORM that otherwise overlaps the NEXT timed
+        // run — measured as 2-8x swings on the localCheckpoint-heavy rows
+        // (j3, corpus_report, dedup_apply) across same-code boards at sf1.
+        // Cleanup cost belongs between measurements, not inside them.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         // ContextCleaner frees dead shuffle files/broadcasts only when the
         // driver GC collects their references; across 100+ queries in one
         // JVM they otherwise pile up in spark.local.dir (tmpfs here — RAM)

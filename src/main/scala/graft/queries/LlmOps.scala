@@ -422,6 +422,83 @@ object LlmOps {
             szs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
             SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1""")),
 
+    // LEAKAGE-SAFE train/val/test split — the content-hash split
+    // (llm_train_split) leaks when a val/test doc has a NEAR-duplicate in
+    // train (the within-corpus form of benchmark contamination; Lee et al.
+    // 2022 measure the inflation it causes). Assign every document the
+    // md5 bucket of its near-dup COMPONENT KEEPER (docs in no component
+    // keep their own id), so whole clusters land in one split by
+    // construction. The split is still content-deterministic and
+    // reshuffle-stable. Output: per-split doc/cluster counts plus the
+    // leakage gate recomputed FROM THE DATA (every cluster must touch
+    // exactly one split), so a regression in the component labels or the
+    // bucketing turns the row red rather than silently leaking. Scale
+    // shape: component labels come from the banded-LSH pipeline (never
+    // all-pairs), the split tag is a narrow map, and the gate + counts
+    // are cluster-grain aggregations.
+    ("llm_leakage_safe_split",
+      (s, d) => {
+        val lab = documents(s, d).select(col("doc_id"))
+          .join(dedupClusters(s, d), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val b = expr(
+          """(instr('0123456789abcdef',
+                    substr(md5(CAST(cluster AS STRING)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef',
+                     substr(md5(CAST(cluster AS STRING)), 2, 1)) - 1""")
+        val perCluster = lab
+          .withColumn("split",
+            when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs_c"),
+            min(col("split")).as("smin"), max(col("split")).as("smax"))
+        val gate = perCluster.agg(
+          min(when(col("smin") === col("smax"), 1).otherwise(0)).as("okint"))
+        perCluster.groupBy(col("smin").as("split"))
+          .agg(sum(col("n_docs_c")).cast(LongType).as("n_docs"),
+            count(lit(1)).as("n_clusters"))
+          .crossJoin(broadcast(gate))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            (col("okint") === 1).as("no_leakage"))
+      },
+      Some("WITH RECURSIVE " + minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+            comp AS (SELECT v AS doc_id, min(u) AS cluster
+                     FROM reach GROUP BY v),
+            lab AS (SELECT d.doc_id,
+                           coalesce(c.cluster, d.doc_id) AS cluster
+                    FROM documents d LEFT JOIN comp c USING (doc_id)),
+            tagged AS (
+              SELECT cluster,
+                     CASE WHEN b < 205 THEN 'train'
+                          WHEN b < 230 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT cluster,
+                           (strpos('0123456789abcdef',
+                                   substr(md5(CAST(cluster AS VARCHAR)), 1, 1))
+                            - 1) * 16
+                           + strpos('0123456789abcdef',
+                                    substr(md5(CAST(cluster AS VARCHAR)), 2, 1))
+                           - 1 AS b
+                    FROM lab) t),
+            pc AS (SELECT cluster, count(*) AS n_docs_c,
+                          min(split) AS smin, max(split) AS smax
+                   FROM tagged GROUP BY 1),
+            gate AS (SELECT min(CASE WHEN smin = smax THEN 1 ELSE 0 END)
+                              AS okint FROM pc)
+            SELECT smin AS split, CAST(SUM(n_docs_c) AS BIGINT) AS n_docs,
+                   count(*) AS n_clusters,
+                   (SELECT okint FROM gate) = 1 AS no_leakage
+            FROM pc GROUP BY smin""")),
+
     // Dedup APPLY — the survivor selection the clustering feeds: every doc
     // whose cluster keeper (the component's min doc_id) is a DIFFERENT doc
     // is dropped; everything else (incl. docs in no near-dup pair at all)
