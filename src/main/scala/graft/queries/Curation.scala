@@ -226,6 +226,92 @@ object Curation {
                                   ELSE '' END) AS aug
                     FROM documents) t""")),
 
+    // URL / DOMAIN statistics — the domain-mix report behind web-corpus
+    // curation (CCNet/RefinedWeb-style domain filtering starts from
+    // exactly this table: which registrable domains contribute how many
+    // documents/URLs, so blocklists and per-domain caps have something to
+    // act on). The corpus is synthetic clean text, so deterministic URLs
+    // are injected the llm_pii_redact way; extraction is one regex pass,
+    // domain normalization strips the subdomain to the registrable pair,
+    // and the report is a domain-grain hash aggregation — narrow map +
+    // one vocabulary-bounded exchange, no shuffle carries document text.
+    ("llm_url_domain_stats",
+      (s, d) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://www.site"), col("doc_id") % 50,
+              lit(".host"), col("doc_id") % 5, lit(".org/p/"),
+              col("doc_id")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit(" via http://cdn"), col("doc_id") % 20,
+                lit(".assets"), col("doc_id") % 4, lit(".net/x"),
+                when(col("doc_id") % 6 === 1,
+                  concat(lit(" and https://mirror"), col("doc_id") % 7,
+                    lit(".host"), col("doc_id") % 5, lit(".org/y")))
+                  .otherwise(lit(""))))
+            .otherwise(lit("")))
+        documents(s, d)
+          .withColumn("aug", aug)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("aug"),
+              lit("https?://[a-z0-9.-]+(/[a-z0-9/._-]*)?"), lit(0)))
+              .as("url"))
+          .select(col("doc_id"),
+            regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+          .select(col("doc_id"),
+            concat_ws(".",
+              element_at(split(col("host"), "\\."), -2),
+              element_at(split(col("host"), "\\."), -1)).as("domain"))
+          // dedupe-first two-level aggregation: mixing count(*) with
+          // count(DISTINCT doc_id) would plan an Expand (the a18 lesson)
+          .groupBy(col("domain"), col("doc_id"))
+          .agg(count(lit(1)).as("nu"))
+          .groupBy(col("domain"))
+          .agg(sum(col("nu")).as("n_urls"), count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH aug AS (
+                SELECT doc_id,
+                       concat(text,
+                         CASE WHEN doc_id % 3 = 0
+                              THEN concat(' see https://www.site',
+                                          CAST(doc_id % 50 AS VARCHAR),
+                                          '.host',
+                                          CAST(doc_id % 5 AS VARCHAR),
+                                          '.org/p/',
+                                          CAST(doc_id AS VARCHAR))
+                              WHEN doc_id % 3 = 1
+                              THEN concat(' via http://cdn',
+                                          CAST(doc_id % 20 AS VARCHAR),
+                                          '.assets',
+                                          CAST(doc_id % 4 AS VARCHAR),
+                                          '.net/x',
+                                          CASE WHEN doc_id % 6 = 1
+                                               THEN concat(' and https://mirror',
+                                                           CAST(doc_id % 7 AS VARCHAR),
+                                                           '.host',
+                                                           CAST(doc_id % 5 AS VARCHAR),
+                                                           '.org/y')
+                                               ELSE '' END)
+                              ELSE '' END) AS aug
+                FROM documents),
+              urls AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(aug,
+                         'https?://[a-z0-9.-]+(/[a-z0-9/._-]*)?')) AS url
+                FROM aug),
+              hosts AS (
+                SELECT doc_id,
+                       regexp_extract(url, '^https?://([^/]+)', 1) AS host
+                FROM urls),
+              doms AS (
+                SELECT doc_id,
+                       concat(parts[-2], '.', parts[-1]) AS domain
+                FROM (SELECT doc_id, string_split(host, '.') AS parts
+                      FROM hosts) t)
+              SELECT domain, count(*) AS n_urls,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM doms GROUP BY domain""")),
+
     // int8 scalar QUANTIZATION of the embedding column: per-vector max-abs
     // scale, symmetric round-to-nearest codes, published as the code
     // checksum + saturation count + reconstruction error (rounded — both
