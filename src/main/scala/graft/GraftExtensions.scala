@@ -132,6 +132,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"window_hashes width must be an integer literal, got $other"))
       })))
     ext.injectFunction((
+      new FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[graft.functions.GopherStats].getName,
+        "gopher_stats"),
+      exact("gopher_stats", 1)(c => graft.functions.GopherStats(c.head))))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[graft.functions.PiiScrub].getName,
         "pii_scrub"),

@@ -1031,16 +1031,17 @@ object Curation {
     // llm_quality_score precedent), so no rounding is needed.
     ("llm_gopher_gate",
       (s, d) => {
-        def n(p: String) =
-          size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        // ONE fused codegen'd walk (graft.functions.GopherStats) instead
+        // of seven regex scans per document — bit-identical to the
+        // composed regex battery (asserted in NarrowStatsSpec)
         documents(s, d)
-          .withColumn("n_words", n("[^ ]+"))
-          .withColumn("n_alpha", n("[^ ]*[a-zA-Z][^ ]*"))
-          .withColumn("n_sym", n("[#{}<>|]"))
-          .withColumn("n_stop", n(" the | and | that | with "))
+          .withColumn("g", call_function("gopher_stats", col("text")))
+          .withColumn("n_words", col("g.n_words"))
+          .withColumn("n_alpha", col("g.n_alpha"))
+          .withColumn("n_sym", col("g.n_sym"))
+          .withColumn("n_stop", col("g.n_stop"))
           .withColumn("mwl",
-            length(regexp_replace(col("text"), " ", ""))
-              .cast(DoubleType) / col("n_words"))
+            col("g.n_nosp").cast(DoubleType) / col("n_words"))
           .withColumn("r_count",
             col("n_words").between(50, 100000).cast(IntegerType))
           .withColumn("r_mwl",
@@ -1051,8 +1052,7 @@ object Curation {
             (col("n_alpha").cast(DoubleType) / col("n_words") >= 0.7)
               .cast(IntegerType))
           .withColumn("r_stop", (col("n_stop") >= 2).cast(IntegerType))
-          .withColumn("r_term",
-            col("text").rlike("[.!?] *$").cast(IntegerType))
+          .withColumn("r_term", col("g.r_term"))
           .withColumn("n_pass",
             col("r_count") + col("r_mwl") + col("r_sym") + col("r_alpha")
               + col("r_stop") + col("r_term"))

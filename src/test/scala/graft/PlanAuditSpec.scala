@@ -79,9 +79,31 @@ class PlanAuditSpec extends SparkSpec {
       s"fingerprinting not below the first exchange:\n$p")
   }
 
+  test("f14 rule battery: one fact exchange, hash join, no object agg") {
+    // 3 exchanges total: the order-grain fact aggregation, the deduped
+    // orders key column, and the final single-partition global agg — a
+    // 4th means the fact frame got recomputed or reshuffled (the r12
+    // pre-fix shape paid 2 fact-sized exchanges + 3 scans)
+    val p = plan("f14_quality_asserts")
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 3, s"f14 pays $exchanges exchanges:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"f14 FK join regressed to sort-merge:\n$p")
+    // the dup rule must stay a fixed-width bitmask aggregate: collect_set
+    // would push the whole battery into ObjectHashAggregate
+    assert(p.contains("bit_or"), s"f14 lost the linenumber bitmask:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"f14 left the vectorized hash map:\n$p")
+  }
+
   test("a18/a19 approx gates stay single-aggregation shapes") {
     val p18 = plan("a18_approx_distinct")
     assert(p18.contains("partial_"), s"a18 lost partial aggregation:\n$p18")
+    // the dedup key is a single encoded long → exactly 2 exchanges
+    // (pk-grain dedup, flag-grain final) and a long-keyed first agg
+    val ex18 = p18.linesIterator.count(_.contains("Exchange "))
+    assert(ex18 == 2, s"a18 pays $ex18 exchanges:\n$p18")
+    assert(p18.contains("keys=[pk"), s"a18 lost the encoded long key:\n$p18")
     val p19 = plan("a19_approx_quantile_gate")
     assert(p19.contains("PushedFilters") || p19.contains("HashAggregate"),
       s"a19 degenerate plan:\n$p19")

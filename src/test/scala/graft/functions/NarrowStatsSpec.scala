@@ -230,6 +230,49 @@ class NarrowStatsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("window_hashes"))
   }
 
+  test("gopher_stats matches the composed regex battery over the corpus") {
+    def composedCols(c: org.apache.spark.sql.Column) = Seq(
+      size(regexp_extract_all(c, lit("[^ ]+"), lit(0))),
+      size(regexp_extract_all(c, lit("[^ ]*[a-zA-Z][^ ]*"), lit(0))),
+      size(regexp_extract_all(c, lit("[#{}<>|]"), lit(0))),
+      size(regexp_extract_all(c, lit(" the | and | that | with "), lit(0))),
+      length(regexp_replace(c, " ", "")),
+      c.rlike("[.!?] *$").cast("int"))
+    def fusedCols(c: org.apache.spark.sql.Column) = {
+      val g = call_function("gopher_stats", c)
+      Seq(g.getField("n_words"), g.getField("n_alpha"), g.getField("n_sym"),
+        g.getField("n_stop"), g.getField("n_nosp"), g.getField("r_term"))
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bad = docs.select((composedCols(col("text"))
+        .zip(fusedCols(col("text"))).map { case (a, b) => a =!= b }
+        .reduce(_ || _)).as("diff"))
+      .filter(col("diff")).count()
+    assert(bad == 0, s"$bad docs diverge from the composed regex battery")
+    // hand cases the corpus may not contain
+    val cases = Seq(
+      " the and that with ",      // back-to-back stopwords: consumed spaces
+      " the the ",                // trailing space of a match is spent
+      "a#b{c}<d>|e",              // symbol class inside one run
+      "x9 42 a1b",                // alpha counts runs WITH a letter only
+      "ends well.",               // r_term plain
+      "ends well.   ",            // r_term through trailing spaces
+      "ends well. \n",            // $ before a final newline
+      "no end\nhere",             // newline mid-text does not anchor
+      "half? ",                   // '?' terminator
+      "😀 wide",        // surrogate pair: length counts code points
+      "")
+    val df = cases.toDF("t")
+    val got = df.select(fusedCols(col("t")): _*).collect()
+    val ref = df.select(composedCols(col("t")): _*).collect()
+    for (((g, r), c) <- got.zip(ref).zip(cases))
+      assert(g == r, s"gopher_stats diverges on <$c>: got $g want $r")
+    // null in -> null out
+    val nl = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("gopher_stats", $"t").isNull).as[Boolean].head()
+    assert(nl)
+  }
+
   test("pii_scrub matches the composed regex pipeline over the corpus") {
     // the same augmentation the llm_pii_redact row applies, so the scanner
     // is exercised on text that actually contains emails and phones
