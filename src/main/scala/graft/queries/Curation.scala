@@ -743,7 +743,7 @@ object Curation {
     // dedup family member spans (stride 25) and winnowing (min-of-window
     // sampling) only approximate — a 12-token verbatim quote at any
     // position is caught here and missed there. Every position's L-token
-    // window keys by md5 (positions and hashes shuffle, NEVER the text —
+    // window keys by hash (positions and hashes shuffle, NEVER the text —
     // the llm_span_dedup rule), windows seen in ≥2 distinct documents
     // mark their positions as duplicated, and per document the covered
     // positions merge into MAXIMAL spans by the running-max island rule
@@ -759,13 +759,17 @@ object Curation {
     //    parity with the oracle is not required — only that identical
     //    windows collide, which the differential spec asserts by
     //    comparing final span sets against the composed formulation.
+    //    The key is a 128-bit PAIR (two independent rolling lanes): a
+    //    64-bit key hits the birthday bound near 2^32 windows — a real
+    //    false-positive-span risk at the 100 TB target; the pair pushes
+    //    it to ~2^64 at the cost of 8 extra shuffled bytes (ADVICE r12).
     //  - Dedupe-first: hashes depend only on TEXT, so the pass runs per
     //    distinct text; a window's document count is the COPY-WEIGHTED
     //    text count (Σ copies over texts containing it), and per-text
     //    spans fan back to doc ids at the end — all heavy work scales
     //    with distinct content.
-    //  - 8-byte hashes shuffle, never window text; the island windows +
-    //    final span aggregation share one text-hash exchange.
+    //  - 16-byte hash pairs shuffle, never window text; the island windows
+    //    + final span aggregation share one text-hash exchange.
     ("llm_exact_substr",
       (s, d) => {
         val L = 12

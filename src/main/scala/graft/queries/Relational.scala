@@ -352,19 +352,23 @@ object Relational {
         // takes Spark's vectorized fast hash map in both aggregation
         // phases and shuffles 8-byte keys instead of (string, long)
         // UnsafeRows; the flag letter and partkey decode exactly after
-        // the dedup, so the HLL sees the identical partkey values.
+        // the dedup, so the HLL sees the identical partkey values. An
+        // out-of-domain flag (incl. NULL) takes the 4th code and decodes
+        // to a NULL flag GROUP in this row's own output — never silently
+        // merged into 'R' (ADVICE r12); f14's domain rule then names it.
         .select(((col("l_partkey").cast(LongType) * 4) +
           when(col("l_returnflag") === "A", 0)
             .when(col("l_returnflag") === "N", 1)
-            .otherwise(2)).as("pk"))
+            .when(col("l_returnflag") === "R", 2)
+            .otherwise(3)).as("pk"))
         .groupBy(col("pk")).agg(lit(1))
         .select((col("pk") % 4).cast(IntegerType).as("f"),
           expr("pk div 4").as("l_partkey"))
         .groupBy(col("f"))
         .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("est"))
-        .select(element_at(array(lit("A"), lit("N"), lit("R")),
-            col("f") + 1).as("l_returnflag"),
+        .select(when(col("f") === 0, "A").when(col("f") === 1, "N")
+            .when(col("f") === 2, "R").as("l_returnflag"),
           col("exact_parts"),
           (abs(col("est") - col("exact_parts"))
             <= col("exact_parts") * 0.05).as("hll_within_5pct")),
@@ -543,7 +547,10 @@ object Relational {
     // trips ObjectHashAggregate's 128-key sort fallback and SORTS the
     // fact table: measured 16 s at sf1 vs 2 s for this shape). The mask
     // is exact for line numbers in [0, 63]; out-of-domain groups turn
-    // n_lines NULL, which nulls the published dup count — a LOUD failure
+    // n_lines NULL, and the published dup count is GUARDED on that: any
+    // NULL n_lines nulls the whole dup_line_identity output (a bare
+    // sum(n - n_lines) would SKIP the null groups — Spark's sum ignores
+    // null inputs — and silently undercount; ADVICE r12). A LOUD failure
     // the hash gate catches, never a silent wrong answer. The FK rule
     // anti-joins the already-order-grain frame, so the fact rows never
     // shuffle a second time (the orders key column is the only thing
@@ -591,7 +598,11 @@ object Relational {
             coalesce(sum(col("q_bad")), lit(0L)).as("quantity_range"),
             coalesce(sum(col("d_bad")), lit(0L)).as("discount_range"),
             coalesce(sum(col("r_bad")), lit(0L)).as("returnflag_domain"),
-            coalesce(sum(col("n") - col("n_lines")), lit(0L))
+            // guard BEFORE summing: null n_lines (out-of-domain line
+            // numbers) must null the published count, not be skipped
+            when(coalesce(max(when(col("n_lines").isNull, 1).otherwise(0)),
+                lit(0)) === 0,
+              coalesce(sum(col("n") - col("n_lines")), lit(0L)))
               .as("dup_line_identity"),
             coalesce(sum(when(col("o_orderkey").isNull, col("n"))
               .otherwise(0L)), lit(0L)).as("orphan_orderkey"))

@@ -148,6 +148,41 @@ class QueriesSpec extends SparkSpec {
       assert(m(rule) == 0L, s"$rule: ${m(rule)} violations")
   }
 
+  test("f14 nulls the dup count loudly on out-of-domain line numbers; " +
+      "a18 surfaces out-of-domain flags as their own group") {
+    // doctored mini-lake: the bitmask dup rule is exact only for
+    // l_linenumber in [0, 63] — an out-of-domain group must NULL the
+    // published dup_line_identity (a bare sum would skip the group and
+    // silently undercount), and an unknown returnflag must appear in
+    // a18's own output as a NULL-flag group, not merge into 'R'
+    val dir = java.nio.file.Files.createTempDirectory("graft_domain").toString
+    val li = Tables.lineitem(spark, sfDir).limit(8)
+    li.withColumn("l_linenumber", lit(99))
+      .unionByName(li)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables.orders(spark, sfDir).limit(50)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val m = SparkEntry.queries("f14_quality_asserts")(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        Option(r.getAs[java.lang.Long]("violations"))).toMap
+    assert(m("dup_line_identity").isEmpty,
+      s"out-of-domain line number must NULL the dup count, " +
+        s"got ${m("dup_line_identity")}")
+    assert(m("quantity_range").isDefined, "other rules must still publish")
+
+    val li2 = Tables.lineitem(spark, sfDir).limit(8)
+    li2.withColumn("l_returnflag", lit("X"))
+      .unionByName(li2)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val a = SparkEntry.queries("a18_approx_distinct")(spark, dir).collect()
+    val nullGroup = a.filter(_.isNullAt(0))
+    assert(nullGroup.length == 1,
+      s"unknown flag must surface as its own NULL group: ${a.mkString(";")}")
+    assert(nullGroup.head.getAs[Long]("exact_parts") > 0)
+    assert(!a.filter(!_.isNullAt(0))
+      .exists(r => !Set("A", "N", "R")(r.getString(0))))
+  }
+
   test("both sessionize arms agree on the fixture") {
     // the lag/running-sum arm and the native session_window arm differ
     // only at an exact-30-min gap (strict > vs end-exclusive >=); the

@@ -188,23 +188,29 @@ class NarrowStatsSpec extends SparkSpec {
 
   test("window_hashes: rolling equals direct, boundaries, width guard") {
     // rolling recurrence must equal a direct per-window polynomial — the
-    // collision-freedom claim rests on the roll-off term being exact
+    // collision-freedom claim rests on the roll-off term being exact.
+    // Both 64-bit lanes of the 128-bit pair are asserted independently.
     val toks = (0 until 40).map(i => s"t${i % 11}")
     val got = Seq(Tuple1(toks)).toDF("l")
       .select(call_function("window_hashes", $"l", lit(5)).as("hs"))
-      .as[Seq[Long]].head()
+      .as[Seq[(Long, Long)]].head()
     assert(got.length == 36)
     // direct recompute of a few windows via single-window calls
     for (p <- Seq(0, 17, 35)) {
       val w = toks.slice(p, p + 5)
       val direct = Seq(Tuple1(w)).toDF("l")
         .select(call_function("window_hashes", $"l", lit(5)).as("hs"))
-        .as[Seq[Long]].head()
+        .as[Seq[(Long, Long)]].head()
       assert(direct.length == 1 && direct.head == got(p),
         s"rolling hash at $p diverges from direct")
     }
-    // identical windows collide wherever they appear
+    // identical windows collide wherever they appear (both lanes)
     assert(got(0) == got(11) && got(11) == got(22)) // period-11 tokens
+    // the two lanes are not the same function: distinct windows whose
+    // lane-1 values differ must not have h1 == h2 systematically, and
+    // adjacent distinct windows differ in BOTH lanes
+    assert(got(0)._1 != got(1)._1 && got(0)._2 != got(1)._2)
+    assert(got.map(_._1) != got.map(_._2))
     // shorter than the window → empty
     val short = Seq(Tuple1(Seq("a", "b"))).toDF("l")
       .select(size(call_function("window_hashes", $"l", lit(5))))
@@ -217,10 +223,10 @@ class NarrowStatsSpec extends SparkSpec {
     assert(nl)
     val nullTok = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("l")
       .select(call_function("window_hashes", $"l", lit(3)).as("hs"))
-      .as[Seq[Long]].head()
+      .as[Seq[(Long, Long)]].head()
     val emptyTok = Seq(Tuple1(Seq("a", "", "b"))).toDF("l")
       .select(call_function("window_hashes", $"l", lit(3)).as("hs"))
-      .as[Seq[Long]].head()
+      .as[Seq[(Long, Long)]].head()
     assert(nullTok.head != emptyTok.head)
     // width must be a literal
     val e = intercept[org.apache.spark.sql.AnalysisException] {
