@@ -137,6 +137,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "gopher_stats"),
       exact("gopher_stats", 1)(c => graft.functions.GopherStats(c.head))))
     ext.injectFunction((
+      new FunctionIdentifier("marker_counts"),
+      new ExpressionInfo(classOf[graft.functions.MarkerCounts].getName,
+        "marker_counts"),
+      exact("marker_counts", 2)(c => c(1) match {
+        // the marker set is part of the scan program — a foldable string
+        // array only (array(lit(...)) / typedLit), never a per-row column
+        case e if e.foldable && e.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] =>
+          val a = e.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val markers = (0 until a.numElements())
+            .map(i => a.getUTF8String(i).toString)
+          graft.functions.MarkerCounts(c(0), markers)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"marker_counts markers must be a literal string array, got $other"))
+      })))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[graft.functions.PiiScrub].getName,
         "pii_scrub"),

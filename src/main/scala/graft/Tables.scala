@@ -180,6 +180,18 @@ object Tables {
     // across executors.
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+    // File-split sizing for CPU-heavy narrow ops over SMALL files: split
+    // width is min(maxPartitionBytes, max(openCostInBytes, bytes/cores)),
+    // so with the 4 MB openCost default a 4 MB parquet file is ONE task —
+    // sc6's 1M-row JSON parse ran single-core and measured 3.3× the
+    // oracle at sf1 (r13 probe: 2.0 s serial, 0.3 s split 32 ways). 128 KB
+    // keeps every table wider than ~4 MB split across all local cores
+    // while the bytes/cores floor still bounds tiny files to ≤|cores|
+    // tasks. A many-small-files cluster lake should raise it back
+    // (SPARK_GRAFT_OPENCOST) — there the knob guards against task
+    // explosions, a local[32] single-file scan has no such risk.
+    .config("spark.sql.files.openCostInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "131072"))
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TypedImperativeAggregates (collect_bounded) run under
     // ObjectHashAggregateExec, whose sort-based fallback triggers at a

@@ -99,20 +99,41 @@ object Quantiles {
   def percentiles(df: DataFrame, value: String, ps: Seq[Double],
       bins: Int = 4096, leafLimit: Long = 1L << 16,
       reuse: Boolean = true): Seq[Double] = {
-    require(ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
-    require(bins >= 2 && bins <= (1 << 20),
-      "bins in [2, 2^20] (bin ids must stay exactly double-representable)")
-    val base0 = df.select(col(value).cast(DoubleType).as("__v"))
-      .filter(col("__v").isNotNull)
+    val base0 = projected(df, value)
     val base = if (reuse)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0
-    try percentilesOn(base, ps, bins, leafLimit)
+    try percentilesPrepared(base, ps, bins, leafLimit)
     finally if (reuse) base.unpersist(blocking = false)
   }
 
-  private def percentilesOn(base: DataFrame, ps: Seq[Double],
-      bins: Int, leafLimit: Long): Seq[Double] = {
+  /** The single-double-column projection every pass of the machinery
+    * scans: callers composing SEVERAL quantile rounds over one column
+    * (MAD, winsorize, spike thresholds, approx-vs-exact gates) should
+    * `prepared(...)` this ONCE and hand it to [[percentilesPrepared]] /
+    * [[statsOf]] — otherwise each round re-decodes the source parquet,
+    * the 3-4× constant factor the r12 sf1 bench measured on a14/a19.
+    */
+  def projected(df: DataFrame, value: String): DataFrame =
+    df.select(col(value).cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+
+  /** [[projected]], persisted for cross-round reuse. The caller owns the
+    * unpersist (or leaves it to the harness's between-query cleanup when
+    * the RETURNED frame still references the cache).
+    */
+  def prepared(df: DataFrame, value: String): DataFrame =
+    projected(df, value)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** One (count, min, max) pass over a [[projected]] frame — the stats
+    * that seed the bracket machinery. Exposed so multi-round callers can
+    * DERIVE the next round's bounds instead of paying a fresh stats scan:
+    * |x − med| over x ∈ [mn, mx] is bounded by [0, max(mx−med, med−mn)]
+    * (IEEE subtraction is monotone), and the row count is unchanged by a
+    * null-free narrow map.
+    */
+  def statsOf(base: DataFrame): (Long, Double, Double) = {
     val st = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
     val n = st.getLong(0)
     require(n > 0, "percentile of empty input")
@@ -125,6 +146,40 @@ object Quantiles {
     require(!mx.isNaN && !mn.isInfinity && !mx.isInfinity,
       s"percentiles: non-finite values in the column (min=$mn, max=$mx) — " +
         "filter NaN/Inf out first; their ordering is engine-specific")
+    (n, mn, mx)
+  }
+
+  /** Exact interpolated quantiles over a [[projected]] (ideally
+    * [[prepared]]) frame, minimum job count: the 2-job log-bucket arm
+    * ([[Winsorize.exactQuantiles]] — stats-free histogram + one tagged
+    * leaf scan) whenever the data allows, else the refine-until-leafLimit
+    * machinery below. Bit-identical results in both arms (same order
+    * statistics, same interpolation expression).
+    */
+  def exact(base: DataFrame, ps: Seq[Double]): Seq[Double] =
+    Winsorize.exactQuantiles(base, ps).map(_._1)
+      .getOrElse(percentilesPrepared(base, ps))
+
+  /** [[exact]] over a named column. No persist: at two scans, building
+    * the in-memory columnar cache measures ~2× the cost of the second
+    * pruned-column decode (r13 probe at sf1).
+    */
+  def exactCol(df: DataFrame, value: String, ps: Seq[Double]): Seq[Double] =
+    exact(projected(df, value), ps)
+
+  /** Exact interpolated quantiles over a [[projected]] (ideally
+    * [[prepared]]) frame. `known` short-circuits the stats pass with
+    * bounds the caller already holds — they need NOT be tight (loose
+    * bounds only waste empty histogram bins), but must contain every
+    * value, count exactly, and be finite.
+    */
+  def percentilesPrepared(base: DataFrame, ps: Seq[Double],
+      bins: Int = 4096, leafLimit: Long = 1L << 16,
+      known: Option[(Long, Double, Double)] = None): Seq[Double] = {
+    require(ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
+    require(bins >= 2 && bins <= (1 << 20),
+      "bins in [2, 2^20] (bin ids must stay exactly double-representable)")
+    val (n, mn, mx) = known.getOrElse(statsOf(base))
     val ranks = ps.flatMap { p =>
       val pos = p * (n - 1)
       Seq(math.floor(pos).toLong, math.ceil(pos).toLong)

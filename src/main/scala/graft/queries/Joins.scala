@@ -116,7 +116,13 @@ object Joins {
         // sf1 run measured the 8-bucket rollup at 8/32 cores). At 100 TB
         // the same knob is sized from data volume per bucket instead.
         val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-        graft.lake.Lake.writeBucketed(df, tbl, keys, nb, Some(loc))
+        // repartition on the bucket key first so each bucket is ONE file:
+        // an unpartitioned CTAS writes a file per (write task × bucket),
+        // and a multi-file bucket forfeits the sortBy order at read time
+        // (Spark re-sorts both sides — measured as most of the bucketed
+        // join's 3.4× at sf1)
+        graft.lake.Lake.writeBucketed(
+          df.repartition(nb, keys.map(col): _*), tbl, keys, nb, Some(loc))
         sys.addShutdownHook {
           try fs.delete(p, true) catch { case _: Exception => () }
         }
@@ -127,10 +133,15 @@ object Joins {
     build(orT, Seq("o_orderkey"))(orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_orderdate")))
+    // shuffle_hash: buckets co-locate the keys, so the hash join runs
+    // bucket-to-bucket with NO exchange and NO sort — a sort-merge here
+    // would re-sort both sides whenever bucket file layout (or a
+    // mid-plan projection) hides the written sort order
     s.table(liT)
       .join(s.table(orT).select(col("o_orderkey"),
         col("o_orderpriority"),
-        date_trunc("month", col("o_orderdate")).cast(DateType).as("mes")),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mes"))
+        .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
   }
 
@@ -518,21 +529,28 @@ object Joins {
 
     // A10 over the BUCKETED fact layout — grouping sets reuse the
     // exchange-free join (natlanguage_duckdb_queries.py:242 prescribes
-    // ROLLUP in the same SQL surface as the j9 join). The rollup's Expand
-    // sits ABOVE the zero-exchange bucketed join; the only shuffle in the
-    // plan is the final aggregation of the already-partially-aggregated
-    // (priority, month, grouping_id) rows — group-count-sized, not
-    // fact-sized, at any scale. PlanAuditSpec asserts the join keys never
-    // reshuffle here exactly as for j9_fact_join_bucketed.
+    // ROLLUP in the same SQL surface as the j9 join). The rollup runs
+    // ABOVE a plain (priority, month) aggregation, not above the fact
+    // rows: Expand replicates its input once per grouping set, and
+    // 3 × |fact| partial rows were the whole cost of this row at sf1
+    // (r13: 2.3× the oracle). SUM re-aggregates exactly — the inner agg
+    // keeps the fixed-point UNSCALED long, subtotals sum those longs,
+    // and the final /10⁴ reproduces dsum4 bit-for-bit — so the Expand
+    // touches group-count-sized rows at any scale. The only fact-sized
+    // work left is the zero-exchange join + one partial aggregation.
     ("a10_rollup_bucketed",
       (s, d) => bucketedJ9Join(s, d)
         // the month key rolls up as an ISO STRING: subtotal rows carry a
         // NULL month, and a null DATE is representation-ambiguous across
         // engines' dataframe bridges (None vs NaT) — string nulls compare
         // cleanly, exactly like a10_rollup's string grouping keys
-        .rollup(col("o_orderpriority"), col("mes").cast(StringType).as("mes"))
-        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"), count(lit(1)).as("n")),
+        .groupBy(col("o_orderpriority"), col("mes").cast(StringType).as("mes"))
+        .agg(sum(unscaledCol(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("rev_u"), count(lit(1)).as("n0"))
+        .rollup(col("o_orderpriority"), col("mes"))
+        .agg((sum(col("rev_u")) / 10000.0).as("revenue"),
+          sum(col("n0")).as("n")),
       Some("""SELECT o_orderpriority, mes,
                      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -986,15 +986,20 @@ object LlmOps {
                            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
                     FROM documents) t""")),
 
-    // Language ID: marker-token scoring with deterministic priority tiebreak
+    // Language ID: marker-token scoring with deterministic priority
+    // tiebreak. The four \b-delimited marker counts come from ONE
+    // codegen'd text walk (functions.MarkerCounts — bit-equality vs the
+    // composed regexp battery asserted in NarrowStatsSpec); the r12 shape
+    // ran 4 regex scans per document and measured 3.4× the oracle at sf1.
     ("llm_langid",
       (s, d) => {
-        def cnt(p: String) = size(regexp_extract_all(col("text"), lit(p), lit(0)))
         documents(s, d)
-          .withColumn("c_en", cnt("\\bthe\\b"))
-          .withColumn("c_es", cnt("\\bsort\\b"))
-          .withColumn("c_de", cnt("\\bmerge\\b"))
-          .withColumn("c_fr", cnt("\\bjoin\\b"))
+          .withColumn("mc", call_function("marker_counts", col("text"),
+            array(lit("the"), lit("sort"), lit("merge"), lit("join"))))
+          .withColumn("c_en", col("mc")(0))
+          .withColumn("c_es", col("mc")(1))
+          .withColumn("c_de", col("mc")(2))
+          .withColumn("c_fr", col("mc")(3))
           .withColumn("lang_pred",
             when(col("c_en") >= greatest(col("c_es"), col("c_de"), col("c_fr"))
               && col("c_en") > 0, "en")

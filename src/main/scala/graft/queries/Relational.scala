@@ -385,18 +385,34 @@ object Relational {
     // buffer), so both arms scale.
     ("a19_approx_quantile_gate",
       (s, d) => {
-        val df = lineitem(s, d)
-        val apx = df.stat.approxQuantile("l_extendedprice",
-          Array(0.5), 0.01)(0)
-        val exact = graft.operators.Quantiles.round6(
-          graft.operators.Quantiles.percentiles(df, "l_extendedprice",
-            Seq(0.5)).head)
-        df.agg(count(lit(1)).as("n"),
-            sum(when(col("l_extendedprice") <= apx, 1L).otherwise(0L))
-              .as("rank_apx"))
-          .select(lit(exact).as("exact_p50"),
-            (abs(col("rank_apx") - col("n") * 0.5)
-              <= col("n") * 0.011 + 1).as("gk_rank_ok"))
+        // FUSED (r13): THREE jobs on one persisted projection — the GK
+        // sketch, then the 2-job exact arm whose probe support computes
+        // rank(apx) = count(v <= apx) inside the SAME tagged leaf scan
+        // that resolves the exact median (the r12 shape decoded the fact
+        // parquet once per arm + a dedicated rank scan — 7.5× vs the
+        // oracle, nearly all job floors). The fallback arm keeps the old
+        // scan-per-piece shape for dense/non-finite data.
+        import graft.operators.{Quantiles, Winsorize}
+        val base = Quantiles.projected(lineitem(s, d), "l_extendedprice")
+        val apx = base.stat.approxQuantile("__v", Array(0.5), 0.01)(0)
+        Winsorize.exactQuantiles(base, Seq(0.5), probes = Seq(apx)) match {
+          case Some((qs, ranks, n)) =>
+            val exact = Quantiles.round6(qs.head)
+            val gkOk =
+              math.abs(ranks.head - n * 0.5) <= n * 0.011 + 1
+            s.range(1).select(lit(exact).as("exact_p50"),
+              lit(gkOk).as("gk_rank_ok"))
+          case None =>
+            val b = Quantiles.prepared(lineitem(s, d), "l_extendedprice")
+            val st @ (n, _, _) = Quantiles.statsOf(b)
+            val exact = Quantiles.round6(Quantiles
+              .percentilesPrepared(b, Seq(0.5), known = Some(st)).head)
+            b.agg(sum(when(col("__v") <= apx, 1L).otherwise(0L))
+                .as("rank_apx"))
+              .select(lit(exact).as("exact_p50"),
+                (abs(col("rank_apx") - lit(n) * 0.5)
+                  <= lit(n) * 0.011 + 1).as("gk_rank_ok"))
+        }
       },
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.5), 6)
                        AS exact_p50,
@@ -697,16 +713,17 @@ object Relational {
               FROM lineitem GROUP BY 1""")),
 
     // A13 — EXACT multi-quantile profile (the distribution summary every
-    // curation report opens with), via the same histogram-bracket
-    // selection as A11: quartiles of an unbounded double column with
-    // O(bins) executor memory and O(bins) driver traffic per refinement
-    // pass, where percentile() would buffer a value→count map of the
-    // whole column. The three brackets share scans (one stats pass + one
-    // joint histogram pass resolves all of them on uniform-ish data).
+    // curation report opens with), via the same bounded-memory machinery
+    // as A11/A14: quartiles of an unbounded double column with O(buckets)
+    // executor memory and driver traffic, where percentile() would buffer
+    // a value→count map of the whole column. All three quartiles resolve
+    // from ONE histogram + ONE tagged leaf scan (the 2-job arm; the
+    // refine machinery stays as the dense-bracket fallback inside
+    // Quantiles.exact).
     ("a13_exact_quantiles",
       (s, d) => {
         val qs = graft.operators.Quantiles
-          .percentiles(lineitem(s, d), "l_extendedprice",
+          .exactCol(lineitem(s, d), "l_extendedprice",
             Seq(0.25, 0.5, 0.75))
           .map(graft.operators.Quantiles.round6)
         s.range(1).select(lit(qs(0)).as("q25"), lit(qs(1)).as("q50"),
@@ -728,13 +745,27 @@ object Relational {
     // this is 2× the quantile cost, never a buffer of the column.
     ("a14_mad",
       (s, d) => {
-        val med = graft.operators.Quantiles.round6(
-          graft.operators.Quantiles
-            .percentiles(lineitem(s, d), "l_extendedprice", Seq(0.5)).head)
-        val dev = lineitem(s, d)
-          .select(abs(col("l_extendedprice") - med).as("dev"))
-        val mad = graft.operators.Quantiles.round6(
-          graft.operators.Quantiles.percentiles(dev, "dev", Seq(0.5)).head)
+        // FUSED two-phase shape (r13): THREE jobs — one log-bucket
+        // histogram, one leaf scan per round; the deviation round's
+        // histogram derives driver-side from the x-space buckets
+        // (Winsorize.medianAndMad), so round 2 pays only its leaf scan.
+        // The r12 shape paid ~7 jobs + two parquet decodes and measured
+        // 3.5× vs the oracle at sf1.
+        import graft.operators.{Quantiles, Winsorize}
+        val base = Quantiles.projected(lineitem(s, d), "l_extendedprice")
+        val (med, mad) = Winsorize.medianAndMad(base, Quantiles.round6)
+          .map { case (m, md) => (m, Quantiles.round6(md)) }
+          .getOrElse {
+            // dense-bracket / non-finite fallback: the refine machinery
+            // over one persisted projection
+            val b = Quantiles.prepared(lineitem(s, d), "l_extendedprice")
+            try {
+              val m = Quantiles.round6(Quantiles.exact(b, Seq(0.5)).head)
+              val md = Quantiles.round6(Quantiles.exact(
+                b.select(abs(col("__v") - m).as("__v")), Seq(0.5)).head)
+              (m, md)
+            } finally b.unpersist(blocking = false)
+          }
         s.range(1).select(lit(med).as("median"), lit(mad).as("mad"))
       },
       Some("""WITH m AS (
@@ -755,12 +786,24 @@ object Relational {
     // batch drag its own threshold; MAD is what holds on dirty feeds.
     ("a15_spike_flags",
       (s, d) => {
-        import graft.operators.Quantiles.{percentiles, round6}
+        // same fused 3-job shape as a14 (histogram + two leaf scans, the
+        // deviation histogram derived driver-side), then one flag scan
+        import graft.operators.{Quantiles, Winsorize}
+        import graft.operators.Quantiles.round6
         val ev = events(s, d).select(col("event_type"),
           col("value").cast(DoubleType).as("v"))
-        val med = round6(percentiles(ev, "v", Seq(0.5)).head)
-        val mad = round6(percentiles(
-          ev.select(abs(col("v") - med).as("dev")), "dev", Seq(0.5)).head)
+        val base = Quantiles.projected(ev, "v")
+        val (med, mad) = Winsorize.medianAndMad(base, round6)
+          .map { case (m, md) => (m, round6(md)) }
+          .getOrElse {
+            val b = Quantiles.prepared(ev, "v")
+            try {
+              val m = round6(Quantiles.exact(b, Seq(0.5)).head)
+              val md = round6(Quantiles.exact(
+                b.select(abs(col("__v") - m).as("__v")), Seq(0.5)).head)
+              (m, md)
+            } finally b.unpersist(blocking = false)
+          }
         ev.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum(when(abs(col("v") - med) > 3.0 * mad, 1).otherwise(0))

@@ -236,6 +236,51 @@ class NarrowStatsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("window_hashes"))
   }
 
+  test("marker_counts matches the composed \\b regex battery") {
+    val markers = Seq("the", "sort", "merge", "join")
+    def composed(c: org.apache.spark.sql.Column) = markers.map(m =>
+      size(regexp_extract_all(c, lit("\\b" + m + "\\b"), lit(0))))
+    def fused(c: org.apache.spark.sql.Column) = {
+      val mc = call_function("marker_counts", c,
+        array(markers.map(lit): _*))
+      markers.indices.map(mc(_))
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bad = docs.select((composed(col("text")).zip(fused(col("text")))
+        .map { case (a, b) => a =!= b }.reduce(_ || _)).as("diff"))
+      .filter(col("diff")).count()
+    assert(bad == 0, s"$bad docs diverge from the composed \\b battery")
+    // boundary semantics the corpus may not exercise: containment is not
+    // a match (them), \w includes digits/underscore (the1, the_), leading
+    // /trailing markers bound on string edges, punctuation is a boundary
+    val cases = Seq("the", "them", "the1 the_ the", "the,the;the",
+      " the THE tHe the ", "sortsort sort-sort sort_sort",
+      "join.join!join", "", "a", "merge\nmerge\tmerge")
+    val diffs = cases.toDF("t")
+      .select((composed(col("t")).zip(fused(col("t")))
+        .map { case (a, b) => a =!= b }.reduce(_ || _)).as("diff"))
+      .collect().map(_.getBoolean(0))
+    assert(!diffs.exists(identity), s"hand cases diverge: ${
+      cases.zip(diffs).filter(_._2).map(_._1).mkString("; ")}")
+    // null text -> null counts
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(call_function("marker_counts", $"t",
+        array(lit("the"))).isNull).as[Boolean].head())
+    // non-literal marker array is an analysis-time error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("t", "m")
+        .select(call_function("marker_counts", $"t", array($"m"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("marker_counts"))
+    // non-\w marker literals are rejected (they'd need the regex engine)
+    val e2 = intercept[Exception] {
+      Seq(Tuple1("x")).toDF("t")
+        .select(call_function("marker_counts", $"t",
+          array(lit("a b")))).collect()
+    }
+    assert(e2.getMessage.contains("marker"))
+  }
+
   test("gopher_stats matches the composed regex battery over the corpus") {
     def composedCols(c: org.apache.spark.sql.Column) = Seq(
       size(regexp_extract_all(c, lit("[^ ]+"), lit(0))),

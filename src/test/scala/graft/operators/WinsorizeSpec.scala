@@ -72,11 +72,78 @@ class WinsorizeSpec extends SparkSpec {
     assert(run(Seq(1.0, 2.0), 0.25, 0.75) == ref(Seq(1.0, 2.0), 0.25, 0.75))
   }
 
-  test("dense brackets route to the fallback arm and stay exact") {
+  test("dense brackets narrow with one histogram pass and stay exact") {
     val rnd = new scala.util.Random(7)
     val vals = Seq.fill(3000)(rnd.nextDouble() * 10)
-    // leafLimit=4 forces every bracket over the gate -> fallback path
+    // leafLimit=4 forces every bucket-span over the gate; the 4096-bin
+    // narrowing pass shrinks each span to a few rows, so the fused arm
+    // still runs (r13 — the r12 shape fell back whenever the data was
+    // denser than the leaf gate, which sf1 l_extendedprice is at p99)
     assert(run(vals, 0.05, 0.95, leafLimit = 4) == ref(vals, 0.05, 0.95))
+  }
+
+  test("still-dense narrowed spans route to the fallback arm, exact") {
+    // two distinct values 1e-9 apart: the narrowing bins cannot split the
+    // 2000-row pile under leafLimit=4, so the fused arm must bail to the
+    // refine machinery (which leafs lo==hi brackets as constants)
+    val vals = Seq.fill(2000)(1.0) ++ Seq.fill(2000)(1.0 + 1e-9) ++
+      Seq.fill(100)(5.0)
+    assert(run(vals, 0.25, 0.75, leafLimit = 4) == ref(vals, 0.25, 0.75))
+  }
+
+  test("medianAndMad matches the sequential reference (incl. narrowing)") {
+    import spark.implicits._
+    def refMad(vals: Seq[Double]): (Double, Double) = {
+      val s = vals.sorted.toArray
+      val n = s.length
+      def q(xs: Array[Double], p: Double): Double = {
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        if (lo == hi) xs(lo) else (hi - pos) * xs(lo) + (pos - lo) * xs(hi)
+      }
+      val med = Quantiles.round6(q(s, 0.5))
+      val dev = s.map(v => math.abs(v - med)).sorted
+      (med, Quantiles.round6(q(dev, 0.5)))
+    }
+    val rnd = new scala.util.Random(19)
+    val shapes: Seq[Seq[Double]] = Seq(
+      Seq.fill(2001)(rnd.nextDouble() * 200 - 100),
+      Seq.fill(2000)((rnd.nextInt(5) - 2).toDouble), // heavy ties
+      Seq.fill(1999)(math.exp(rnd.nextGaussian() * 4)),
+      Seq(42.0), Seq(1.0, 2.0))
+    for ((vals, i) <- shapes.zipWithIndex;
+        limit <- Seq(1L << 16, 8L)) { // 8 forces the narrowing pass
+      val base = Quantiles.projected(
+        vals.toDF("v").repartition(5), "v")
+      val got = Winsorize.medianAndMad(base, Quantiles.round6,
+        leafLimit = limit).map { case (m, md) => (m, Quantiles.round6(md)) }
+      val want = refMad(vals)
+      // None (dense even after narrowing) is allowed only at the tiny
+      // limit; when the arm answers, it must answer exactly
+      assert(got.forall(_ == want), s"shape $i limit $limit: $got vs $want")
+      if (limit == (1L << 16))
+        assert(got.contains(want), s"shape $i took the fallback unexpectedly")
+    }
+  }
+
+  test("exactQuantiles: quantiles and probe ranks are exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(3001)(math.rint(rnd.nextDouble() * 1000) / 4)
+    val s = vals.sorted.toArray
+    def q(p: Double): Double = {
+      val pos = p * (s.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) s(lo) else (hi - pos) * s(lo) + (pos - lo) * s(hi)
+    }
+    val probes = Seq(s(1500), -5.0, 2000.0, s(0), s.last, 333.333)
+    val base = Quantiles.projected(vals.toDF("v").repartition(5), "v")
+    val Some((qs, ranks, n)) = Winsorize.exactQuantiles(
+      base, Seq(0.01, 0.5, 0.99), probes)
+    assert(n == vals.length)
+    assert(qs == Seq(q(0.01), q(0.5), q(0.99)))
+    assert(ranks == probes.map(x => vals.count(_ <= x).toLong),
+      "probe ranks must equal exact count(v <= x)")
   }
 
   test("non-finite values are rejected loudly") {
