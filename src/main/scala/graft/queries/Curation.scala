@@ -891,6 +891,163 @@ object Curation {
                      CAST(SUM(n_tok) AS BIGINT) AS n_tok
               FROM tagged GROUP BY split""")),
 
+    // FULL-curation composition e2e — the corpus build a real pretraining
+    // pipeline runs, as ONE oracled row (r12 VERDICT item 7): Gopher
+    // quality gate → exact dedup (min-id keeper) → near-dup dedup apply
+    // (banded-minhash connected components; keeper = min SURVIVING doc
+    // per cluster, so a gated-out corpus keeper never kills its cluster)
+    // → decontamination (drop the eval docs and any doc whose shingle
+    // overlap with the eval vocabulary exceeds 20%) → leakage-safe
+    // cluster-granular train/val/test split → token pack-bins per
+    // (split, shard). Emits the per-document packing assignment — the
+    // strongest hashable artifact of the whole chain. Every stage is an
+    // individually-green construct (llm_gopher_gate, llm_exact_dedup,
+    // llm_dedup_apply, llm_decontaminate, llm_leakage_safe_split,
+    // llm_pack_bins); this row gates their COMPOSITION, which no
+    // per-operator oracle sees. Scale shape: cluster labels and the
+    // contamination profile are computed once corpus-wide (band-bucketed
+    // candidates, broadcast eval vocabulary); every stage after the gate
+    // is id-sized joins + one window over the survivor set.
+    ("pipeline_curation_full_e2e",
+      (s, d) => {
+        val g = call_function("gopher_stats", col("text"))
+        val mwl = col("g.n_nosp").cast(DoubleType) / col("g.n_words")
+        val nPass =
+          col("g.n_words").between(50, 100000).cast(IntegerType) +
+            (mwl >= 3 && mwl <= 10).cast(IntegerType) +
+            (col("g.n_sym").cast(DoubleType) / col("g.n_words") <= 0.1)
+              .cast(IntegerType) +
+            (col("g.n_alpha").cast(DoubleType) / col("g.n_words") >= 0.7)
+              .cast(IntegerType) +
+            (col("g.n_stop") >= 2).cast(IntegerType) + col("g.r_term")
+        val gated = documents(s, d)
+          .withColumn("g", g)
+          .filter(nPass >= 5)
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        val exk = gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")))
+          .filter(col("rn") === 1).select("doc_id", "n_tok")
+        val lab = exk
+          .join(LlmOps.dedupClusters(s, d), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        val keepers = lab.groupBy("cluster")
+          .agg(min(col("doc_id")).as("keeper"))
+        val nd = lab.join(keepers, "cluster")
+          .filter(col("doc_id") === col("keeper"))
+        val codes = LlmOps.shingleProfile(s, d, withSignature = false)
+        val benchVocab = codes.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("hs")).as("x")).distinct()
+        val contaminated = codes.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("c"), explode(col("hs")).as("x"))
+          .join(broadcast(benchVocab), "x")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("n_hits"))
+          .filter(col("n_hits").cast(DoubleType) / col("c") > 0.2)
+          .select("doc_id")
+        val clean = nd.filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val b = expr(
+          """(instr('0123456789abcdef',
+                    substr(md5(CAST(cluster AS STRING)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef',
+                     substr(md5(CAST(cluster AS STRING)), 2, 1)) - 1""")
+        val tagged = clean
+          .withColumn("split",
+            when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+          .withColumn("shard", col("doc_id") % 16)
+        val w = Window.partitionBy("split", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tagged
+          .withColumn("tok_start",
+            coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("split"), col("shard"), col("n_tok"),
+            (col("tok_start") / 512).cast(LongType).as("bin"))
+      },
+      Some("WITH RECURSIVE " + LlmOps.minhashPairsSql + """,
+            edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                      UNION ALL
+                      SELECT d2, d1 FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach(v, u) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+            comp AS (SELECT v AS doc_id, min(u) AS cluster
+                     FROM reach GROUP BY v),
+            gq AS (SELECT doc_id, text,
+                          len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+                          len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*'))
+                            AS n_alpha,
+                          len(regexp_extract_all(text, '[#{}<>|]')) AS n_sym,
+                          len(regexp_extract_all(text,
+                              ' the | and | that | with ')) AS n_stop,
+                          length(regexp_replace(text, ' ', '', 'g'))
+                            AS n_nosp
+                   FROM documents),
+            gated AS (
+              SELECT doc_id, md5(text) AS h,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM gq
+              WHERE (CASE WHEN n_words BETWEEN 50 AND 100000
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(n_nosp AS DOUBLE) / n_words >= 3
+                           AND CAST(n_nosp AS DOUBLE) / n_words <= 10
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.7
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(text, '[.!?] *$')
+                          THEN 1 ELSE 0 END) >= 5),
+            exk AS (SELECT doc_id, n_tok FROM (
+                      SELECT doc_id, n_tok,
+                             row_number() OVER (PARTITION BY h
+                                                ORDER BY doc_id) AS rn
+                      FROM gated) t
+                    WHERE rn = 1),
+            lab AS (SELECT e.doc_id, e.n_tok,
+                           coalesce(c.cluster, e.doc_id) AS cluster
+                    FROM exk e LEFT JOIN comp c ON c.doc_id = e.doc_id),
+            keepers AS (SELECT cluster, min(doc_id) AS keeper
+                        FROM lab GROUP BY 1),
+            nd AS (SELECT l.doc_id, l.n_tok, l.cluster
+                   FROM lab l JOIN keepers k ON k.cluster = l.cluster
+                   WHERE l.doc_id = k.keeper),
+            bench AS (SELECT DISTINCT x FROM shh WHERE doc_id % 50 = 0),
+            contaminated AS (
+              SELECT s.doc_id
+              FROM shh s JOIN bench b ON s.x = b.x
+              JOIN cnt c ON c.doc_id = s.doc_id
+              WHERE s.doc_id % 50 <> 0
+              GROUP BY s.doc_id, c.c
+              HAVING CAST(count(*) AS DOUBLE) / c.c > 0.2),
+            clean AS (SELECT doc_id, n_tok, cluster FROM nd
+                      WHERE doc_id % 50 <> 0
+                        AND NOT EXISTS (SELECT 1 FROM contaminated x
+                                        WHERE x.doc_id = nd.doc_id)),
+            tagged AS (
+              SELECT doc_id, n_tok, doc_id % 16 AS shard,
+                     CASE WHEN b < 205 THEN 'train'
+                          WHEN b < 230 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, n_tok,
+                           (strpos('0123456789abcdef',
+                              substr(md5(CAST(cluster AS VARCHAR)), 1, 1))
+                            - 1) * 16
+                           + strpos('0123456789abcdef',
+                               substr(md5(CAST(cluster AS VARCHAR)), 2, 1))
+                           - 1 AS b
+                    FROM clean) t)
+            SELECT doc_id, split, shard, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                          PARTITION BY split, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) // 512 AS BIGINT)
+                     AS bin
+            FROM tagged""")),
+
     // CORPUS health report — the one-row dashboard a curation pipeline
     // publishes per snapshot: document/token totals, exact-duplicate count,
     // near-dup pair count (banded minhash), repeated-span count. Each

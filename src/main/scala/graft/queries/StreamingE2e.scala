@@ -586,6 +586,121 @@ object StreamingE2e {
                SELECT user_id, count(*) AS n,
                       CAST(SUM(CASE WHEN abs(amount - m.med) > 3 * md.mad
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
-               FROM arrived, m, md GROUP BY 1"""))
+               FROM arrived, m, md GROUP BY 1""")),
+
+    // W34 — transformWithState TTL dedup e2e under a REAL RocksDB state
+    // store (the last documented environment gap of r12; the batch twin
+    // `w33_ttl_dedup` gates the state-machine semantics, THIS row proves
+    // the actual `transformWithState` plan commits, expires and re-admits
+    // through the RocksDB provider). Two faces make wall-clock TTL
+    // hash-deterministic:
+    //  - long_ttl (1 h): nothing can expire inside the run, so the output
+    //    is exactly "first arrival per key" — batch-2 duplicates are
+    //    suppressed by live state;
+    //  - short_ttl (100 ms, with a 1.2 s pause between the two
+    //    MemoryStream batches): every key's state is expired by batch 2,
+    //    so batch 2 re-admits its own first-per-key.
+    // MemoryStream (not a file source) pins the micro-batch boundaries:
+    // addData is atomic, so each feed lands in ONE micro-batch and "first
+    // arrival" is the ord-least row of a known row set, never a file-order
+    // artifact. Drive/settle protocol, learned the hard way (r13):
+    // ProcessingTime-mode TWS schedules micro-batches CONTINUOUSLY (TTL
+    // and timers must be able to fire without input), so BOTH standard
+    // completion waits are unusable here — `processAllAvailable` never
+    // settles, and `Trigger.AvailableNow`'s MultiBatchExecutor keeps
+    // requesting maintenance batches (observed: 1100+ empty batches and
+    // counting). Instead the query free-runs and the harness POLLS the
+    // sink for the exact expected row count per phase (known a priori
+    // from the fed keys), with a deadline and a post-condition grace so a
+    // wrong extra emission still fails the gate. One shuffle partition
+    // bounds the per-batch RocksDB commit count; the provider conf is
+    // restored afterwards whatever happens.
+    ("w34_stream_ttl_dedup_e2e",
+      (s, d) => {
+        val enc = org.apache.spark.sql.Encoders.product[TtlE2eEvent]
+        val src = fixture(s, d).select(col("user_id"), col("event_id"))
+        // fixture-derived batches, collected driver-side (the MemoryStream
+        // feed is driver data by construction; bounded by the % 97 fixture)
+        val b1 = src.filter(col("event_id") % 2 === 0).as(enc).collect().toSeq
+        val b2 = src.filter(col("event_id") % 3 === 0).as(enc).collect().toSeq
+        val ord = Ordering.by((x: TtlE2eEvent) => x.event_id)
+        def face(policy: String, ttl: java.time.Duration,
+            sleepMs: Long): DataFrame = {
+          implicit val e: org.apache.spark.sql.Encoder[TtlE2eEvent] = enc
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+          val id = java.util.UUID.randomUUID.toString.replace("-", "")
+          val ckpt = s"$tmpDir/graft_w34_ckpt_$id"
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[TtlE2eEvent]
+          val deduped = graft.streaming.StreamDedup.dedupTtl(input.toDS(),
+            (ev: TtlE2eEvent) => ev.user_id.toString, ttl, ord)
+          val qn = s"graft_w34_${policy}_$id"
+          val q = deduped.writeStream.format("memory").queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+          def awaitCount(want: Long): Unit = {
+            val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+            while (s.table(qn).count() < want) {
+              q.exception.foreach(throw _)
+              if (System.nanoTime > deadline)
+                throw new IllegalStateException(
+                  s"$qn stalled at ${s.table(qn).count()} < $want rows")
+              Thread.sleep(50)
+            }
+          }
+          val u1 = b1.map(_.user_id).toSet
+          val u2 = b2.map(_.user_id).toSet
+          try {
+            input.addData(b1: _*)
+            awaitCount(u1.size.toLong)
+            if (sleepMs > 0) Thread.sleep(sleepMs)
+            input.addData(b2: _*)
+            val want2 = u1.size.toLong +
+              (if (policy == "short_ttl") u2.size.toLong
+               else (u2 -- u1).size.toLong)
+            awaitCount(want2)
+            Thread.sleep(300) // grace: a WRONG extra emission must land
+            q.stop()
+            q.awaitTermination()
+            s.table(qn).localCheckpoint()
+              .select(lit(policy).as("policy"), col("user_id"),
+                col("event_id"))
+          } finally {
+            try if (q.isActive) q.stop() catch { case _: Exception => () }
+            try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+            val hp = new org.apache.hadoop.fs.Path(ckpt)
+            hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(hp, true)
+          }
+        }
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+        try withFewPartitions(s) {
+          face("long_ttl", java.time.Duration.ofHours(1), 0)
+            .unionByName(
+              face("short_ttl", java.time.Duration.ofMillis(100), 1200))
+        } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      },
+      Some(s"""WITH src AS ($fixtureSql),
+               b1 AS (SELECT user_id, min(event_id) AS event_id
+                      FROM src WHERE event_id % 2 = 0 GROUP BY 1),
+               b2 AS (SELECT user_id, min(event_id) AS event_id
+                      FROM src WHERE event_id % 3 = 0 GROUP BY 1)
+               SELECT 'long_ttl' AS policy, user_id, event_id FROM b1
+               UNION ALL
+               SELECT 'long_ttl', user_id, event_id FROM b2
+               WHERE user_id NOT IN (SELECT user_id FROM b1)
+               UNION ALL
+               SELECT 'short_ttl', user_id, event_id FROM b1
+               UNION ALL
+               SELECT 'short_ttl', user_id, event_id FROM b2"""))
   )
 }
+
+/** w34's MemoryStream element — top-level so the product encoder resolves
+  * without an outer-scope capture.
+  */
+case class TtlE2eEvent(user_id: Long, event_id: Long)
