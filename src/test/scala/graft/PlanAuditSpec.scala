@@ -104,9 +104,15 @@ class PlanAuditSpec extends SparkSpec {
     val ex18 = p18.linesIterator.count(_.contains("Exchange "))
     assert(ex18 == 2, s"a18 pays $ex18 exchanges:\n$p18")
     assert(p18.contains("keys=[pk"), s"a18 lost the encoded long key:\n$p18")
+    // a19's PUBLISHED plan is a 1-row literal projection by design (r13):
+    // the GK sketch, the exact 2-job bracket arm and the probe-rank gate
+    // all run during construction (their value semantics are gated by
+    // WinsorizeSpec's exactQuantiles tests + the DuckDB hash row); the
+    // returned frame must stay degenerate — a data-sized subtree
+    // reappearing here means the fused arm silently fell back
     val p19 = plan("a19_approx_quantile_gate")
-    assert(p19.contains("PushedFilters") || p19.contains("HashAggregate"),
-      s"a19 degenerate plan:\n$p19")
+    assert(p19.contains("Range (0, 1") && p19.contains("exact_p50"),
+      s"a19 plan is no longer the driver-assembled literal row:\n$p19")
   }
 
   test("o4 top-k aggregate never window-sorts the fact rows") {
