@@ -192,4 +192,42 @@ class CurationSpec extends SparkSpec {
     assert(rows.length == docs.size)
     assert(rows.forall { case (id, n, s) => n == docs(id) - 1 && s <= 0 })
   }
+
+  test("full-curation pipeline invariants: gate, dedup, decontamination, " +
+      "leakage, packing") {
+    val out = SparkEntry.queries("pipeline_curation_full_e2e")(spark, sfDir)
+      .select($"doc_id", $"split", $"shard", $"n_tok", $"bin")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    assert(ids.size == out.length, "a document packed twice")
+    // eval docs must never reach the training corpus
+    assert(out.forall(_._1 % 50 != 0), "an eval doc leaked through")
+    // every survivor passes the quality gate (keep == 1 in the gate row)
+    val gate = SparkEntry.queries("llm_gopher_gate")(spark, sfDir)
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(ids.forall(gate(_) == 1), "an un-gated doc survived")
+    // near-dup leakage: a cluster's survivors must share one split, and
+    // each near-dup cluster may keep at most ONE member
+    val clusters = SparkEntry.queries("llm_dedup_clusters")(spark, sfDir)
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+    val bySplit = out.map(t => (clusters.getOrElse(t._1, t._1), t._2))
+    assert(bySplit.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      "a near-dup cluster spans two splits")
+    val clustered = out.map(_._1).filter(clusters.contains)
+    assert(clustered.map(clusters).distinct.length == clustered.length,
+      "two members of one near-dup cluster both survived")
+    // packing: per (split, shard), bins start at 0 and never decrease in
+    // doc_id order, and a bin boundary is only crossed past 512 tokens
+    for (((_, _), rows) <- out.groupBy(t => (t._2, t._3))) {
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.head._5 == 0, "first bin not 0")
+      val binSeq = sorted.map(_._5)
+      assert(binSeq.zip(binSeq.tail).forall { case (a, b) => b >= a },
+        "bins not monotone in doc order")
+      val cum = sorted.scanLeft(0L)(_ + _._4)
+      assert(sorted.zip(cum).forall { case ((_, _, _, _, b), start) =>
+        b == start / 512 }, "bin id != floor(tok_start / 512)")
+    }
+  }
 }
