@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build(children)
     }
 
+  /** User-facing analysis error for bad literal arguments to graft
+    * functions — `USER_RAISED_EXCEPTION` rather than `INTERNAL_ERROR`
+    * (ADVICE r13): the caller wrote the bad call, the engine did not break.
+    */
+  private def userError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> msg))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // tier-(c) surface: the as-of join as a first-class logical node,
     // lowered during analysis (see graft.plans.AsOfJoinPlan)
@@ -126,10 +135,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case org.apache.spark.sql.catalyst.expressions.Literal(w: Int,
             org.apache.spark.sql.types.IntegerType) =>
           graft.functions.WindowHashes(c(0), w)
-        case other => throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "INTERNAL_ERROR",
-          messageParameters = Map("message" ->
-            s"window_hashes width must be an integer literal, got $other"))
+        case other => throw userError(
+          s"window_hashes width must be an integer literal, got ${other.sql}")
       })))
     ext.injectFunction((
       new FunctionIdentifier("gopher_stats"),
@@ -141,19 +148,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MarkerCounts].getName,
         "marker_counts"),
       exact("marker_counts", 2)(c => c(1) match {
-        // the marker set is part of the scan program — a foldable string
+        // the marker set is part of the scan program — a foldable STRING
         // array only (array(lit(...)) / typedLit), never a per-row column
-        case e if e.foldable && e.dataType.isInstanceOf[
-            org.apache.spark.sql.types.ArrayType] =>
+        case e if e.foldable && (e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }) =>
           val a = e.eval()
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          val markers = (0 until a.numElements())
-            .map(i => a.getUTF8String(i).toString)
+          if (a == null) throw userError(
+            "marker_counts markers array must not be NULL")
+          val markers = (0 until a.numElements()).map { i =>
+            if (a.isNullAt(i)) throw userError(
+              s"marker_counts markers must not contain NULL (element $i)")
+            a.getUTF8String(i).toString
+          }
           graft.functions.MarkerCounts(c(0), markers)
-        case other => throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "INTERNAL_ERROR",
-          messageParameters = Map("message" ->
-            s"marker_counts markers must be a literal string array, got $other"))
+        case other => throw userError(
+          s"marker_counts markers must be a literal array<string>, got " +
+            s"${other.sql}: ${other.dataType.sql}")
       })))
     ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),

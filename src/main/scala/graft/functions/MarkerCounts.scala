@@ -16,19 +16,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[GopherStats]]).
   *
   * Exact `\b` semantics, asserted bit-for-bit against the composed regex
-  * form in NarrowStatsSpec: Java regex `\b` (ASCII `\w` = [A-Za-z0-9_]
-  * without UNICODE_CHARACTER_CLASS) splits the text into maximal word
-  * runs; a marker counts once per run that EQUALS it (a run merely
-  * containing the marker — "them" vs "the" — has no boundary inside, so
-  * the regex does not match there either). Markers are therefore required
-  * to be non-empty `\w`-only literals at registration; anything else
-  * would need the general regex engine and is rejected at analysis time.
+  * form in NarrowStatsSpec (including non-ASCII cases): Java regex `\b`
+  * is Unicode-aware even WITHOUT `UNICODE_CHARACTER_CLASS` — its
+  * `Pattern.Bound` word test is `ch == '_' || Character.isLetterOrDigit(ch)`
+  * over code points, NOT ASCII `\w` (so `\bthe\b` does not match inside
+  * "éthe" or "漢the": the é/漢 extend the word run). That test splits the
+  * text into maximal word runs; a marker counts once per run that EQUALS
+  * it (a run merely containing the marker — "them" vs "the" — has no
+  * boundary inside, so the regex does not match there either). Markers
+  * themselves are required to be non-empty ASCII `\w`-only literals at
+  * registration; anything else would need the general regex engine and is
+  * rejected at analysis time.
   */
 case class MarkerCounts(child: Expression, markers: Seq[String])
     extends UnaryExpression {
 
   require(markers.nonEmpty &&
-    markers.forall(m => m.nonEmpty && m.forall(MarkerCounts.isWordChar)),
+    markers.forall(m => m.nonEmpty && m.forall(MarkerCounts.isAsciiWordChar)),
     s"marker_counts markers must be non-empty \\w-only literals, got $markers")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -59,9 +63,16 @@ case class MarkerCounts(child: Expression, markers: Seq[String])
 
 object MarkerCounts {
 
-  @inline private[functions] def isWordChar(c: Char): Boolean =
+  @inline private[functions] def isAsciiWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
+
+  /** Java `Pattern.Bound`'s word test in default (non-UNICODE_CHARACTER_CLASS)
+    * mode — over full code points, so supplementary-plane letters extend
+    * word runs exactly as the regex engine sees them.
+    */
+  @inline private[functions] def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
 
   final class Scratch(markers: Array[String]) extends Serializable {
     def counts(s: UTF8String): GenericArrayData = {
@@ -70,9 +81,14 @@ object MarkerCounts {
       val out = new Array[Int](markers.length)
       var i = 0
       while (i < len) {
-        if (isWordChar(t.charAt(i))) {
-          var j = i + 1
-          while (j < len && isWordChar(t.charAt(j))) j += 1
+        val cp = t.codePointAt(i)
+        if (isWordCp(cp)) {
+          var j = i + Character.charCount(cp)
+          var inRun = true
+          while (inRun && j < len) {
+            val cj = t.codePointAt(j)
+            if (isWordCp(cj)) j += Character.charCount(cj) else inRun = false
+          }
           val runLen = j - i
           var k = 0
           while (k < markers.length) {
@@ -82,7 +98,7 @@ object MarkerCounts {
             k += 1
           }
           i = j
-        } else i += 1
+        } else i += Character.charCount(cp)
       }
       new GenericArrayData(out)
     }

@@ -756,13 +756,21 @@ object Relational {
         val (med, mad) = Winsorize.medianAndMad(base, Quantiles.round6)
           .map { case (m, md) => (m, Quantiles.round6(md)) }
           .getOrElse {
-            // dense-bracket / non-finite fallback: the refine machinery
-            // over one persisted projection
+            // dense-bracket / non-finite fallback: straight to the refine
+            // machinery over one persisted projection. NOT Quantiles.exact
+            // — that would re-attempt the SAME fused histogram arm that
+            // just returned None, re-paying a known-doomed 2-job probe
+            // (ADVICE r13). One stats scan seeds BOTH rounds: the
+            // deviation bounds derive driver-side (|x−m| ∈ [0,
+            // max(mx−m, m−mn)], count unchanged by a null-free map).
             val b = Quantiles.prepared(lineitem(s, d), "l_extendedprice")
             try {
-              val m = Quantiles.round6(Quantiles.exact(b, Seq(0.5)).head)
-              val md = Quantiles.round6(Quantiles.exact(
-                b.select(abs(col("__v") - m).as("__v")), Seq(0.5)).head)
+              val st @ (n, mn, mx) = Quantiles.statsOf(b)
+              val m = Quantiles.round6(Quantiles.percentilesPrepared(
+                b, Seq(0.5), known = Some(st)).head)
+              val md = Quantiles.round6(Quantiles.percentilesPrepared(
+                b.select(abs(col("__v") - m).as("__v")), Seq(0.5),
+                known = Some((n, 0.0, math.max(mx - m, m - mn)))).head)
               (m, md)
             } finally b.unpersist(blocking = false)
           }
@@ -796,11 +804,15 @@ object Relational {
         val (med, mad) = Winsorize.medianAndMad(base, round6)
           .map { case (m, md) => (m, round6(md)) }
           .getOrElse {
+            // same no-doomed-retry fallback shape as a14 (ADVICE r13)
             val b = Quantiles.prepared(ev, "v")
             try {
-              val m = round6(Quantiles.exact(b, Seq(0.5)).head)
-              val md = round6(Quantiles.exact(
-                b.select(abs(col("__v") - m).as("__v")), Seq(0.5)).head)
+              val st @ (n, mn, mx) = Quantiles.statsOf(b)
+              val m = round6(Quantiles.percentilesPrepared(
+                b, Seq(0.5), known = Some(st)).head)
+              val md = round6(Quantiles.percentilesPrepared(
+                b.select(abs(col("__v") - m).as("__v")), Seq(0.5),
+                known = Some((n, 0.0, math.max(mx - m, m - mn)))).head)
               (m, md)
             } finally b.unpersist(blocking = false)
           }

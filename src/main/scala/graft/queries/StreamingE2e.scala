@@ -660,7 +660,11 @@ object StreamingE2e {
               (if (policy == "short_ttl") u2.size.toLong
                else (u2 -- u1).size.toLong)
             awaitCount(want2)
-            Thread.sleep(300) // grace: a WRONG extra emission must land
+            Thread.sleep(300) // grace: a WRONG extra emission must land...
+            val settled = s.table(qn).count() // ...and is asserted on,
+            if (settled != want2)             // not just hoped to surface
+              throw new IllegalStateException(
+                s"$qn over-emitted: $settled rows after grace, want $want2")
             q.stop()
             q.awaitTermination()
             s.table(qn).localCheckpoint()

@@ -255,7 +255,17 @@ class NarrowStatsSpec extends SparkSpec {
     // /trailing markers bound on string edges, punctuation is a boundary
     val cases = Seq("the", "them", "the1 the_ the", "the,the;the",
       " the THE tHe the ", "sortsort sort-sort sort_sort",
-      "join.join!join", "", "a", "merge\nmerge\tmerge")
+      "join.join!join", "", "a", "merge\nmerge\tmerge",
+      // non-ASCII: Java \b is Unicode-aware even WITHOUT
+      // UNICODE_CHARACTER_CLASS (Pattern.Bound tests '_' ||
+      // isLetterOrDigit over code points) — adjacent non-ASCII letters
+      // EXTEND the word run and kill the match; non-letter symbols and
+      // emoji stay boundaries (ADVICE r13)
+      "éthe theé éthe", "漢the the漢 漢字 the",
+      "𝔸the the𝔸",   // 𝔸 supplementary-plane letter
+      "😀the the😀",   // 😀 non-letter: boundary holds
+      "१the the१",                         // Devanagari digit: word char
+      "¡the! «the» the…", "ñ-the-ñ the")
     val diffs = cases.toDF("t")
       .select((composed(col("t")).zip(fused(col("t")))
         .map { case (a, b) => a =!= b }.reduce(_ || _)).as("diff"))
@@ -279,6 +289,20 @@ class NarrowStatsSpec extends SparkSpec {
           array(lit("a b")))).collect()
     }
     assert(e2.getMessage.contains("marker"))
+    // a literal array of the WRONG element type and a NULL element are
+    // analysis-time AnalysisExceptions, not executor ClassCastException/
+    // NPE (ADVICE r13)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("x")).toDF("t")
+        .select(call_function("marker_counts", $"t", array(lit(1)))).collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("marker_counts"))
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("x")).toDF("t")
+        .select(call_function("marker_counts", $"t",
+          array(lit(null).cast("string")))).collect()
+    }
+    assert(e4.getMessage.toLowerCase.contains("null"))
   }
 
   test("gopher_stats matches the composed regex battery over the corpus") {
