@@ -42,6 +42,36 @@ object Bench {
         .select(col("g"), explode(col("mhs")))
         .write.format("noop").mode("overwrite").save()
     }
+    // NOISE SENTINEL (r14): two boards in a row needed post-hoc isolated
+    // re-measures because host-level neighbors inflated mid-board rows
+    // 2-8× (r12: j3/llm_tfidf_terms; r13: the sf1 a-board). The board now
+    // adjudicates ITSELF: a fixed CPU-bound probe (parallel sum over
+    // spark.range, all cores, no I/O, no state) is calibrated once after
+    // warm-up (min of 5), then bracket-measured around every query's timed
+    // window. A window whose sentinel drifts past the noise bar is host
+    // noise by construction — the probe's own cost is constant — so the
+    // query is re-measured (up to 2 extra attempts); a row that never gets
+    // a clean window keeps its MIN across attempts and is named in the
+    // JSON "noisy" list instead of in a human footnote.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 256L << 20, 1, spark.sparkContext.defaultParallelism)
+        .selectExpr("sum(id % 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinel0 = (1 to 5).map(_ => sentinel()).min
+    def quiet(s: Double): Boolean =
+      s <= math.max(sentinel0 * 1.5, sentinel0 + 0.05)
+    // a slow probe gets one settle-and-retry before it counts as drift:
+    // the heavy stateful rows (RocksDB e2e, localCheckpoint pipelines)
+    // leave decaying JVM residue (async GC finalization, store cleanup)
+    // that a 300 ms settle absorbs, while genuine host-noise windows last
+    // seconds-to-minutes and stay slow through the retry
+    def probe(): Double = {
+      val s = sentinel()
+      if (quiet(s)) s else { Thread.sleep(300); math.min(s, sentinel()) }
+    }
+    val noisy = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
@@ -83,13 +113,28 @@ object Bench {
         // mean: the floor is the reproducible cost of the plan; anything
         // above it is the JVM, not the query.
         once(); clear()
-        val t = (1 to 2).map { _ =>
+        def attempt(): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           once()
           val dt = (System.nanoTime() - t0) / 1e9
           clear(); dt
         }.min
-        name -> t
+        // bracket the timed window with the sentinel: clean before AND
+        // after → the window was quiet, accept; else re-measure (the min
+        // across attempts still stands if no attempt gets a quiet window)
+        var best = Double.MaxValue
+        var clean = false
+        var tries = 0
+        while (!clean && tries < 3) {
+          val s1 = probe()
+          val t = attempt()
+          val s2 = probe()
+          best = math.min(best, t)
+          clean = quiet(s1) && quiet(s2)
+          tries += 1
+        }
+        if (!clean) noisy += name
+        name -> best
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         name -> -1.0
@@ -118,7 +163,8 @@ object Bench {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (f, vs) => jq(f) + ":" + f"${vs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"sf":"$sfDir"}"""
+    val ns = noisy.map(jq).mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"sentinel":${f"$sentinel0%.3f"},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

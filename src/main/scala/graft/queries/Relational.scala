@@ -567,49 +567,67 @@ object Relational {
     // NULL n_lines nulls the whole dup_line_identity output (a bare
     // sum(n - n_lines) would SKIP the null groups — Spark's sum ignores
     // null inputs — and silently undercount; ADVICE r12). A LOUD failure
-    // the hash gate catches, never a silent wrong answer. The FK rule
-    // anti-joins the already-order-grain frame, so the fact rows never
-    // shuffle a second time (the orders key column is the only thing
-    // exchanged). Map-side partials collapse the fact rows to ~|orders|
-    // before the exchange because lineitem is clustered by orderkey.
+    // the hash gate catches, never a silent wrong answer. The FK rule is
+    // JOIN-FREE: the orders keys ride the same aggregation as marker
+    // rows (see below) — no second exchange, no hash build/probe.
+    // Map-side partials collapse the fact rows to ~|orders| before the
+    // exchange because lineitem is clustered by orderkey.
     // Counts are exact integers — engine-deterministic by construction.
-    // (Previous shape: 3 fact scans + 2 fact-sized exchanges, 3.7 s at
-    // sf1.)
+    // (r12 shape: 3 fact scans + 2 fact-sized exchanges, 3.7 s at sf1;
+    // r13 shape: 1 scan + agg + key-probe join, 0.91 s.)
     ("f14_quality_asserts",
       (s, d) => {
-        val li = lineitem(s, d)
-        val g = li.groupBy(col("l_orderkey")).agg(
-          count(lit(1)).as("n"),
-          sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)
-            .otherwise(0)).as("q_bad"),
-          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
-            .otherwise(0)).as("d_bad"),
-          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
-            .as("r_bad"),
-          expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), " +
-            "CAST(l_linenumber AS INT))))").as("nl_mask"),
-          min(col("l_linenumber")).as("ln_min"),
-          max(col("l_linenumber")).as("ln_max"),
+        // JOIN-FREE FK rule (r14): instead of aggregating lineitem to
+        // order grain and probing a deduped orders-key frame (two
+        // exchanges + a 1.5M-entry hash build/probe — 7.6× the oracle's
+        // single pass at sf1), the orders keys ride the SAME aggregation
+        // as MARKER rows: union the fact rows (is_ord=0) with one marker
+        // per order (is_ord=1, all rule columns zero, line number NULL so
+        // no aggregate sees it), group once on the key, and a group
+        // "matched" iff max(is_ord)=1 — NOT-EXISTS semantics exactly
+        // (duplicate order keys can't fan anything out, a max doesn't
+        // care). One exchange total; both sides' map-side partials
+        // collapse to ~|orders| rows (lineitem is clustered by orderkey,
+        // orders keys are unique). NULL marker keys are filtered: a join
+        // never matches NULL, but groupBy would unite them with the
+        // null-key fact group and fake a match.
+        val li = lineitem(s, d).select(
+          col("l_orderkey").as("k"), lit(1L).as("one"),
+          when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+            .otherwise(0L).as("qb"),
+          when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L).as("db"),
+          when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L).as("rb"),
+          col("l_linenumber").cast(IntegerType).as("ln"),
+          lit(0).as("is_ord"))
+        val marks = orders(s, d).filter(col("o_orderkey").isNotNull)
+          .select(col("o_orderkey").as("k"), lit(0L).as("one"),
+            lit(0L).as("qb"), lit(0L).as("db"), lit(0L).as("rb"),
+            lit(null).cast(IntegerType).as("ln"), lit(1).as("is_ord"))
+        val g = li.unionAll(marks).groupBy(col("k")).agg(
+          sum("one").as("n"),
+          sum("qb").as("q_bad"), sum("db").as("d_bad"),
+          sum("rb").as("r_bad"),
+          expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), ln)))")
+            .as("nl_mask"),
+          min(col("ln")).as("ln_min"),
+          max(col("ln")).as("ln_max"),
           // a null linenumber is one distinct grouping value in the
-          // pair-grain formulation; aggregates skip nulls, so add it back
-          max(when(col("l_linenumber").isNull, 1).otherwise(0)).as("ln_null"))
+          // pair-grain formulation; aggregates skip nulls, so add it
+          // back — FACT rows only (the marker's ln is null by design)
+          max(when(col("ln").isNull && col("is_ord") === 0, 1)
+            .otherwise(0)).as("ln_null"),
+          max(col("is_ord")).as("has_ord"))
         val nLines =
           when(col("ln_min") >= 0 && col("ln_max") <= 63,
             col("nl_mask") + col("ln_null"))
             .when(col("ln_min").isNull, col("ln_null")) // all-null lines
-        // LEFT join (not anti) so the order-grain frame is consumed ONCE:
-        // a separate anti-join branch would recompute the whole scan +
-        // aggregation for the FK rule. The key side dedupes first (NOT
-        // EXISTS semantics: a duplicated order key must not fan g out).
-        // g comes out of its aggregation hash-partitioned on the join
-        // key, so only the orders key column exchanges; shuffle_hash
-        // skips the sort-merge sorts.
+        // orders-only groups (order with no lineitems) contribute zero
+        // everywhere: n=0, rule sums 0, n_lines = ln_null = 0
         val tot = g.withColumn("n_lines", nLines)
-          .join(orders(s, d).select(col("o_orderkey")).distinct()
-            .hint("shuffle_hash"),
-            col("l_orderkey") === col("o_orderkey"), "left")
           .agg(
-            coalesce(sum(when(col("l_orderkey").isNull, col("n"))
+            coalesce(sum(when(col("k").isNull, col("n"))
               .otherwise(0L)), lit(0L)).as("null_orderkey"),
             coalesce(sum(col("q_bad")), lit(0L)).as("quantity_range"),
             coalesce(sum(col("d_bad")), lit(0L)).as("discount_range"),
@@ -620,7 +638,7 @@ object Relational {
                 lit(0)) === 0,
               coalesce(sum(col("n") - col("n_lines")), lit(0L)))
               .as("dup_line_identity"),
-            coalesce(sum(when(col("o_orderkey").isNull, col("n"))
+            coalesce(sum(when(col("has_ord") === 0, col("n"))
               .otherwise(0L)), lit(0L)).as("orphan_orderkey"))
         tot
           .selectExpr("stack(6, " +
@@ -937,23 +955,39 @@ object Relational {
     // bag semantics keep duplicate multiplicities (m−n / min(m,n) copies)
     // where the distinct forms above collapse them — the face that
     // matters when the rows ARE occurrences (re-delivered files, repeated
-    // trades). Spark plans both as aggregate+generate over counts: one
-    // exchange, no join.
+    // trades). Computed via the counts identity the built-in .exceptAll/
+    // .intersectAll plans lower to (aggregate + replicate — Spark's own
+    // lowering, asserted equal in QueriesSpec), but over ONE scan: both
+    // "sides" here are filters of the SAME table, so the per-side
+    // multiplicities m and n come out of a single pass + a single
+    // exchange where the built-in face scans the parquet twice and
+    // unions (r13 sf1: 3.4×/3.0× the oracle, nearly all second-scan +
+    // union-shuffle floor). Rows failing BOTH filters drop before the
+    // exchange. NULL keys group together — exactly the
+    // NULLs-compare-equal semantics SQL set ops prescribe.
     ("u4_except_all",
-      (s, d) => orders(s, d).filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_custkey").as("k"))
-        .exceptAll(orders(s, d).filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_custkey").as("k"))),
+      (s, d) => orders(s, d)
+        .select(col("o_custkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L).as("m3"),
+          when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L).as("m5"))
+        .filter(col("m3") === 1 || col("m5") === 1)
+        .groupBy("k").agg(sum("m3").as("m"), sum("m5").as("n"))
+        .select(explode(array_repeat(col("k"),
+          greatest(col("m") - col("n"), lit(0L)).cast(IntegerType))).as("k")),
       Some("""SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
               EXCEPT ALL
               SELECT o_custkey AS k FROM orders
               WHERE o_orderkey % 5 = 0""")),
 
     ("u5_intersect_all",
-      (s, d) => orders(s, d).filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_custkey").as("k"))
-        .intersectAll(orders(s, d).filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_custkey").as("k"))),
+      (s, d) => orders(s, d)
+        .select(col("o_custkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L).as("m3"),
+          when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L).as("m5"))
+        .filter(col("m3") === 1 || col("m5") === 1)
+        .groupBy("k").agg(sum("m3").as("m"), sum("m5").as("n"))
+        .select(explode(array_repeat(col("k"),
+          least(col("m"), col("n")).cast(IntegerType))).as("k")),
       Some("""SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
               INTERSECT ALL
               SELECT o_custkey AS k FROM orders
@@ -1117,13 +1151,22 @@ object Relational {
     // the arithmetic is free.
     ("o8_join_size",
       (s, d) => {
+        // Both counts frames leave their aggregations hash-partitioned on
+        // k, so the join needs no exchange; the shuffle_hash hint skips
+        // the sort-merge sorts a 1-1 key join doesn't need. This shape
+        // was re-validated against two r14 challengers at sf1 and kept:
+        // union-aggregate (tag rows, one exchange) measured 0.73 s — the
+        // marker rows double the exchange width; raw-orders-probe (skip
+        // the orders-side agg, dedup the join output) measured 0.92 s —
+        // the 1.5M-row post-join dedup out-costs the agg it saved. The
+        // two co-partitioning exchanges here are the minimum any
+        // distributed engine pays for exact per-key count composition;
+        // the residual vs the oracle is single-process vs serialized
+        // exchange, not plan fat (see bench_notes_r14.md).
         val a = lineitem(s, d).groupBy(col("l_orderkey").as("k"))
           .agg(count(lit(1)).as("na"))
         val b = orders(s, d).groupBy(col("o_orderkey").as("k"))
           .agg(count(lit(1)).as("nb"))
-        // both counts frames leave their aggregations hash-partitioned on
-        // k, so the join needs no exchange; the shuffle_hash hint skips
-        // the sort-merge sorts a 1-1 key join doesn't need
         a.join(b.hint("shuffle_hash"), "k")
           .agg(sum(col("na") * col("nb")).cast(LongType).as("join_rows"),
             count(lit(1)).cast(LongType).as("matched_keys"))

@@ -79,16 +79,17 @@ class PlanAuditSpec extends SparkSpec {
       s"fingerprinting not below the first exchange:\n$p")
   }
 
-  test("f14 rule battery: one fact exchange, hash join, no object agg") {
-    // 3 exchanges total: the order-grain fact aggregation, the deduped
-    // orders key column, and the final single-partition global agg — a
-    // 4th means the fact frame got recomputed or reshuffled (the r12
-    // pre-fix shape paid 2 fact-sized exchanges + 3 scans)
+  test("f14 rule battery: one exchange, join-free, no object agg") {
+    // r14 shape: the orders keys ride the fact aggregation as marker
+    // rows, so the whole battery is ONE keyed exchange (the order-grain
+    // union aggregation) + the final single-partition global agg — any
+    // join operator or a 3rd exchange means the FK rule regressed to the
+    // r13 probe-join (or worse, the r12 2-fact-exchange shape)
     val p = plan("f14_quality_asserts")
     val exchanges = p.linesIterator.count(_.contains("Exchange "))
-    assert(exchanges == 3, s"f14 pays $exchanges exchanges:\n$p")
-    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
-      s"f14 FK join regressed to sort-merge:\n$p")
+    assert(exchanges == 2, s"f14 pays $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), s"f14 FK rule regressed to a join:\n$p")
+    assert(p.contains("Union"), s"f14 lost the marker-row union:\n$p")
     // the dup rule must stay a fixed-width bitmask aggregate: collect_set
     // would push the whole battery into ObjectHashAggregate
     assert(p.contains("bit_or"), s"f14 lost the linenumber bitmask:\n$p")

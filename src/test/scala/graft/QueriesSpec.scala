@@ -292,6 +292,25 @@ class QueriesSpec extends SparkSpec {
     assert(ea + ia == a, s"$ea + $ia != $a")
   }
 
+  test("u4/u5 one-scan counts identity equals Spark's built-in bag faces") {
+    // the r14 rewrite computes EXCEPT ALL / INTERSECT ALL via the counts
+    // identity over ONE scan (both sides are filters of the same table);
+    // this pins it to the engine's own .exceptAll/.intersectAll lowering,
+    // multiplicities included (compare as (k, multiplicity) maps)
+    import org.apache.spark.sql.DataFrame
+    def bag(df: DataFrame): Map[Any, Long] =
+      df.groupBy("k").count().collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+    val l = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+    val r = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_custkey").as("k"))
+    assert(bag(SparkEntry.queries("u4_except_all")(spark, sfDir))
+      == bag(l.exceptAll(r)), "u4 diverges from .exceptAll")
+    assert(bag(SparkEntry.queries("u5_intersect_all")(spark, sfDir))
+      == bag(l.intersectAll(r)), "u5 diverges from .intersectAll")
+  }
+
   test("count-min estimates never underestimate (the CMS guarantee)") {
     // one-sided error is CMS's defining property: collisions only ADD.
     // The hash gate already pins exact values; this asserts the
