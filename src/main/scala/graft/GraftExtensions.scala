@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CollectBoundedLongs].getName, "collect_bounded"),
       exact("collect_bounded", 2)(c => CollectBoundedLongs(c(0), c(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapDistinctLong].getName, "bitmap_distinct"),
+      exact("bitmap_distinct", 1)(c =>
+        graft.functions.BitmapDistinctLong(c.head))))
+    ext.injectFunction((
       new FunctionIdentifier("topk_structs"),
       new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
       exact("topk_structs", 3)(c => TopKStructs(c(0), c(1), c(2)))))

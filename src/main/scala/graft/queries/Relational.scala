@@ -342,30 +342,27 @@ object Relational {
     // full key stream — and this row documents its contract.
     ("a18_approx_distinct",
       (s, d) => lineitem(s, d)
-        // dedupe first, then count — mixing count(DISTINCT) with another
-        // aggregate makes Catalyst plan an Expand (every row duplicated
-        // per aggregate family); HLL is idempotent on duplicates, so
-        // running it over the pre-distinct rows gives the identical
-        // estimate in one straight two-phase aggregation. The dedup key
-        // is ENCODED into one long (returnflag has a 3-letter domain —
-        // checked by f14 — so 2 bits suffice): a single-long group key
-        // takes Spark's vectorized fast hash map in both aggregation
-        // phases and shuffles 8-byte keys instead of (string, long)
-        // UnsafeRows; the flag letter and partkey decode exactly after
-        // the dedup, so the HLL sees the identical partkey values. An
-        // out-of-domain flag (incl. NULL) takes the 4th code and decodes
-        // to a NULL flag GROUP in this row's own output — never silently
-        // merged into 'R' (ADVICE r12); f14's domain rule then names it.
-        .select(((col("l_partkey").cast(LongType) * 4) +
+        // ONE aggregation pass, both arms (r14 — the r13 shape deduped
+        // first via groupBy(pk), but for a high-cardinality uniform key
+        // the pre-shuffle partial barely reduces: a partition holding
+        // 190k of 800k keys keeps ~170k groups, so the plan paid a
+        // near-full-input shuffle + two large hash-map builds, 8.9× the
+        // oracle at sf1. The EXACT arm is now `bitmap_distinct` (paged
+        // OR-able bitmap, functions/BitmapDistinct.scala): update = set
+        // bit, merge = OR — so the only exchange carries ≤4 groups of
+        // fixed-size mergeable state, the same property that makes the
+        // HLL arm scale. Flag codes 0..3 keep the 2-bit domain encode;
+        // an out-of-domain flag (incl. NULL) takes the 4th code and
+        // decodes to a NULL flag group in this row's own output — never
+        // silently merged into 'R' (ADVICE r12); f14's rule names it.
+        .select(col("l_partkey").cast(LongType).as("l_partkey"),
           when(col("l_returnflag") === "A", 0)
             .when(col("l_returnflag") === "N", 1)
             .when(col("l_returnflag") === "R", 2)
-            .otherwise(3)).as("pk"))
-        .groupBy(col("pk")).agg(lit(1))
-        .select((col("pk") % 4).cast(IntegerType).as("f"),
-          expr("pk div 4").as("l_partkey"))
+            .otherwise(3).as("f"))
         .groupBy(col("f"))
-        .agg(count(lit(1)).as("exact_parts"),
+        .agg(call_function("bitmap_distinct", col("l_partkey"))
+            .as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("est"))
         .select(when(col("f") === 0, "A").when(col("f") === 1, "N")
             .when(col("f") === 2, "R").as("l_returnflag"),

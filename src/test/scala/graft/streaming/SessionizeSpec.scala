@@ -9,7 +9,28 @@ class SessionizeSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("flatMapGroupsWithState closes sessions on 30-min gaps") {
+  /** transformWithState requires the RocksDB provider; set it (and one
+    * shuffle partition — each micro-batch commits one RocksDB store per
+    * partition, and without the native Hadoop lib each commit forks
+    * chmod processes per store file) around the streamed section only,
+    * restoring whatever the suite session had.
+    */
+  private def withTwsSession[T](body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val sk = "spark.sql.shuffle.partitions"
+    val prevP = spark.conf.getOption(pk)
+    val prevS = spark.conf.get(sk)
+    spark.conf.set(pk, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    spark.conf.set(sk, "1")
+    try body
+    finally {
+      prevP.fold(spark.conf.unset(pk))(v => spark.conf.set(pk, v))
+      spark.conf.set(sk, prevS)
+    }
+  }
+
+  test("transformWithState closes sessions on 30-min gaps")(withTwsSession {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Sessionize.Event]
@@ -24,18 +45,31 @@ class SessionizeSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     query.processAllAvailable()
+    // batch 2: advance the watermark past 12:30+30min+1h so the OPEN
+    // sessions (user 1's second, user 2's only) close via the event-time
+    // TIMER — the handleExpiredTimer path the gap-close never exercises
+    input.addData(Sessionize.Event(9L, 99L, ts("2024-01-01 15:00:00")))
+    query.processAllAvailable()
+    // one more batch so timers registered against the new watermark fire
+    input.addData(Sessionize.Event(9L, 100L, ts("2024-01-01 15:00:01")))
+    query.processAllAvailable()
     query.stop()
     val closed = spark.table("sessions")
       .as[Sessionize.SessionOut].collect()
-    // the first session of user 1 must be closed (gap emitted it)
-    val u1 = closed.filter(_.user_id == 1L)
-    assert(u1.length == 1)
+    // user 1: the gap emitted session 1; the timer emitted session 2
+    val u1 = closed.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(u1.length == 2, s"expected gap+timer closes, got ${u1.toSeq}")
     assert(u1.head.n_events == 2 && u1.head.first_event == 1L)
     assert(u1.head.session_start == ts("2024-01-01 10:00:00"))
     assert(u1.head.session_end == ts("2024-01-01 10:05:00"))
-  }
+    assert(u1(1).n_events == 1 && u1(1).first_event == 3L)
+    // user 2: single-event session closed by the timer alone
+    val u2 = closed.filter(_.user_id == 2L)
+    assert(u2.length == 1 && u2.head.n_events == 1)
+    assert(u2.head.session_end == ts("2024-01-01 10:00:00"))
+  })
 
-  test("late in-window event does not regress session end") {
+  test("late in-window event does not regress session end")(withTwsSession {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Sessionize.Event]
@@ -64,7 +98,7 @@ class SessionizeSpec extends SparkSpec {
     assert(closed.length == 1, s"session spuriously split: ${closed.toSeq}")
     assert(closed.head.n_events == 4)
     assert(closed.head.session_end == ts("2024-01-01 10:38:00"))
-  }
+  })
 
   test("watermarked windowed rollup emits finalized windows matching batch") {
     implicit val sqlCtx = spark.sqlContext

@@ -6,13 +6,15 @@ fan exactly as at sf0.1 while row counts scale 10x. Value columns are
 kept verbatim — duplicated documents/embeddings across copies are the
 re-crawl-duplicate regime the dedup family exists for.
 
-Usage: python3 tools/gen_sf1.py [outDir]   (default /tmp/graft_sf1)
+Usage: python3 tools/gen_sf1.py [outDir] [copies] [srcDir]
+       (defaults: /tmp/graft_sf1 10 /root/testdata/sf0.1 — sf10 is
+        `python3 tools/gen_sf1.py /tmp/graft_sf10 100`)
 """
 import sys, os, duckdb
 
-src = "/root/testdata/sf0.1"
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-copies = 10
+copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
