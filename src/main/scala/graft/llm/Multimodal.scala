@@ -10,14 +10,24 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction runs per partition in bounded batches so a
   * 100 TB corpus streams through executors without materializing more than
   * one batch of decoded media per task. Image payloads decode for REAL via
-  * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs); WAV
-  * audio decodes for REAL via `javax.sound.sampled` (PCM 8/16-bit, any
-  * channel count — also JDK-only); MJPEG-in-AVI video demuxes for REAL via
-  * a plain RIFF walk with ImageIO decoding each JPEG frame. Only
-  * compressed video codecs (H.264 etc.), which have no JDK decoder, fall
-  * back to `decodeStub`, a clearly-marked deterministic fake keeping the
-  * schema/batch contract identical — swap it for a JNI/codec call in
-  * production.
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK's built-in codecs); audio
+  * decodes for REAL via `javax.sound.sampled` (PCM 8/16-bit WAV — and the
+  * same `AudioSystem` path auto-detects AIFF/AU containers, any channel
+  * count); video demuxes for REAL via a plain RIFF walk for every
+  * JDK-reachable AVI frame encoding — MJPEG, PNG-codec, and uncompressed
+  * BI_RGB DIB rasters — plus animated GIF via the multi-frame ImageIO
+  * reader with full disposal compositing.
+  *
+  * The remaining stub boundary, verified against the JDK 17 API surface:
+  * every inter-frame-compressed video codec (H.264/HEVC/VP8/VP9/AV1,
+  * MPEG-1/2/4 ASP) and every perceptual audio codec (MP3/AAC/Vorbis/Opus)
+  * has NO decoder reachable from a stock JDK — `javax.imageio` ships
+  * exactly {JPEG, PNG, GIF, BMP, WBMP, TIFF} readers and
+  * `javax.sound.sampled` exactly {WAV, AIFF, AU} with linear-PCM/A-law/
+  * µ-law payloads (JMF, the one Sun-era codec framework, is dead and was
+  * never in the JDK). Those payloads fall back to `decodeStub`, a
+  * clearly-marked deterministic fake keeping the schema/batch contract
+  * identical — swap it for a JNI/codec call in production.
   */
 object Multimodal {
 
@@ -155,12 +165,19 @@ object Multimodal {
         math.round(fmt.getSampleRate), fmt.getChannels, feats)
     }
 
-  /** Demux an MJPEG-in-AVI payload into its raw JPEG frames — a plain
-    * RIFF walk (chunk ids + little-endian sizes), JDK-only: recurse into
-    * LIST chunks and collect `??dc` (compressed-video) chunks that start
-    * with the JPEG SOI marker. None for anything that is not a RIFF AVI
-    * holding at least one JPEG frame (compressed codecs like H.264 have
-    * no JDK decoder and stay on the stub path).
+  /** Demux an AVI payload into standalone ImageIO-decodable frames — a
+    * plain RIFF walk (chunk ids + little-endian sizes), JDK-only: recurse
+    * into LIST chunks and collect the JDK-reachable frame encodings:
+    *  - `??dc` chunks starting with the JPEG SOI marker (MJPEG),
+    *  - `??dc` chunks starting with the PNG signature (PNG codec),
+    *  - `??db` / BI_RGB `??dc` chunks holding UNCOMPRESSED bottom-up
+    *    BGR(X) DIB rasters (24/32-bit), whose geometry comes from the
+    *    `vids` stream's BITMAPINFOHEADER in the hdrl LIST (strh→strf
+    *    pairing; hdrl precedes movi in the container, so the format is
+    *    known before the first frame) — re-encoded standalone as PNG.
+    * None for anything that is not a RIFF AVI holding at least one
+    * decodable frame; inter-frame codecs (H.264 etc.) have no JDK
+    * decoder and stay on the stub path.
     */
   private[llm] def readAviFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
     try {
@@ -170,7 +187,13 @@ object Multimodal {
       else {
         def le32(off: Int) = java.nio.ByteBuffer.wrap(payload, off, 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        def le16(off: Int) = java.nio.ByteBuffer.wrap(payload, off, 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        // (width, height-as-signed, bitCount) of the first BI_RGB vids
+        // stream; None until (unless) the hdrl walk finds one
+        var dibFmt: Option[(Int, Int, Int)] = None
+        var strhWasVids = false
         def walk(start: Int, end: Int): Unit = {
           var off = start
           var ok = true
@@ -179,11 +202,29 @@ object Multimodal {
             val sz = le32(off + 4)
             if (sz < 0 || off + 8 + sz > end) ok = false
             else {
+              val data = off + 8
               if (id == "LIST") walk(off + 12, off + 8 + sz)
-              else if (id.endsWith("dc") && sz >= 2 &&
-                  (payload(off + 8) & 0xff) == 0xff &&
-                  (payload(off + 9) & 0xff) == 0xd8)
-                frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+              else if (id == "strh" && sz >= 4)
+                strhWasVids = fourcc(data) == "vids"
+              else if (id == "strf" && strhWasVids && sz >= 20) {
+                // BITMAPINFOHEADER: biWidth@4, biHeight@8, biBitCount@14,
+                // biCompression@16 (0 = BI_RGB)
+                if (dibFmt.isEmpty && le32(data + 16) == 0)
+                  dibFmt = Some((le32(data + 4), le32(data + 8), le16(data + 14)))
+                strhWasVids = false
+              } else if (id.endsWith("dc") && sz >= 2 &&
+                  (payload(data) & 0xff) == 0xff &&
+                  (payload(data + 1) & 0xff) == 0xd8)
+                frames += java.util.Arrays.copyOfRange(payload, data, data + sz)
+              else if (id.endsWith("dc") && sz >= 8 &&
+                  (payload(data) & 0xff) == 0x89 && payload(data + 1) == 'P' &&
+                  payload(data + 2) == 'N' && payload(data + 3) == 'G')
+                frames += java.util.Arrays.copyOfRange(payload, data, data + sz)
+              else if ((id.endsWith("db") || id.endsWith("dc")) && sz > 0)
+                dibFmt.flatMap { case (w, h, bpp) => dibToPng(
+                  java.util.Arrays.copyOfRange(payload, data, data + sz),
+                  w, h, bpp)
+                }.foreach(frames += _)
               off += 8 + sz + (sz & 1) // chunks are word-aligned
             }
           }
@@ -192,6 +233,43 @@ object Multimodal {
         if (frames.isEmpty) None else Some(frames.toSeq)
       }
     } catch { case _: Exception => None }
+
+  /** Decode one uncompressed BI_RGB DIB raster (the `??db` frame body) to
+    * a standalone PNG: bottom-up rows unless biHeight is negative
+    * (top-down), 4-byte-aligned row stride, BGR byte order (BGRX for
+    * 32-bit). Plain byte math + ImageIO — no codec involved, which is the
+    * point: raw-RGB AVI is JDK-reachable. None when the geometry doesn't
+    * fit the chunk (not a raster of this format).
+    */
+  private def dibToPng(data: Array[Byte], w: Int, h0: Int,
+      bpp: Int): Option[Array[Byte]] = {
+    val topDown = h0 < 0
+    val h = math.abs(h0)
+    val bytesPp = bpp / 8
+    val stride = ((w * bytesPp + 3) / 4) * 4
+    if (w <= 0 || h == 0 || (bpp != 24 && bpp != 32) ||
+        data.length < stride.toLong * h) None
+    else {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val off = srcRow * stride + x * bytesPp
+          val rgb = ((data(off + 2) & 0xff) << 16) |
+            ((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      Some(buf.toByteArray)
+    }
+  }
 
   /** Demux an animated GIF into FULL frames via the JDK's GIF ImageReader,
     * COMPOSITED onto the logical-screen canvas: optimized GIFs store only

@@ -356,6 +356,90 @@ class LlmSpec extends SparkSpec {
     assert(resampled(2L).payload.sameElements("not audio".getBytes("UTF-8")))
   }
 
+  test("real raw-RGB and PNG-codec AVI demux: no-codec frames decode") {
+    import spark.implicits._
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array
+    def le16(v: Int) = java.nio.ByteBuffer.allocate(2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    // BITMAPINFOHEADER for 8x2 BI_RGB 24-bit (biCompression = 0) — 8 wide
+    // so each of the 8 vertical luma bands holds exactly one column
+    val strf = le32(40) ++ le32(8) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ new Array[Byte](16)
+    val strh = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    // raw DIB frame: bottom-up BGR rows, 8*3 = 24 bytes = stride (already
+    // 4-aligned); bottom row solid gray g, top row solid gray g+60
+    def dib(g: Int): Array[Byte] = {
+      val out = new Array[Byte](48)
+      for (row <- 0 until 2; x <- 0 until 8; c <- 0 until 3)
+        out(row * 24 + x * 3 + c) = // row 0 (bottom) dark, row 1 (top) light
+          (if (row == 0) g else g + 60).toByte
+      out
+    }
+    // PNG-codec frame: a real ImageIO PNG in a 00dc chunk
+    def png(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, 8, 2)
+      gr.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      chunk("00db", dib(30)) ++ chunk("00db", dib(90)) ++
+        chunk("00dc", png(200)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val media = Seq(Multimodal.MediaRow(1L, avi, "video/x-msvideo")).toDS()
+    val sampled = Multimodal.sampleFramesAvi(media, 1)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    val decoded = sampled.map(f => Multimodal.decodeImage(
+      Multimodal.MediaRow(1L, f.payload, "image/png")).get)
+    assert(decoded.forall(d => d.width == 8 && d.height == 2))
+    // DIB frames: mean luma = (g + g+60)/2/255; PNG frame: 200/255
+    assert(math.abs(decoded(0).features.sum / 8 - 60.0 / 255) < 0.01)
+    assert(math.abs(decoded(1).features.sum / 8 - 120.0 / 255) < 0.01)
+    assert(math.abs(decoded(2).features.sum / 8 - 200.0 / 255) < 0.01)
+    // first-frame video decode rides the same demux
+    val feats = Multimodal.extractFeatures(media).collect().head
+    assert(feats.width == 8 && feats.height == 2)
+    // the DIB raster is bottom-up: top band must be the LIGHT row... the
+    // band signature is vertical, so instead check overall luma of frame 0
+    assert(math.abs(feats.features.sum / 8 - 60.0 / 255) < 0.01)
+  }
+
+  test("AIFF audio decodes through the same AudioSystem path as WAV") {
+    import spark.implicits._
+    // a real PCM16 mono AIFF @8 kHz (big-endian samples — the 16-bit
+    // branch follows the container's endianness): constant 0.25 amplitude
+    val rate = 8000
+    val n = 2000
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.BIG_ENDIAN)
+    for (_ <- 0 until n) bb.putShort((0.25 * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, buf)
+    val media = Seq(
+      Multimodal.MediaRow(1L, buf.toByteArray, "audio/aiff")).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().head
+    assert(feats.width == rate && feats.height == 1)
+    assert(feats.features.forall(f => f > 0.24f && f < 0.26f))
+  }
+
   test("chunking reconstructs each document; packing matches a sequential re-derivation") {
     val chunks = graft.SparkEntry.queries("llm_chunk")(spark, sfDir)
       .collect().groupBy(_.getLong(0))
