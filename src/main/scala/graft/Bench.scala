@@ -71,6 +71,14 @@ object Bench {
       val s = sentinel()
       if (quiet(s)) s else { Thread.sleep(300); math.min(s, sentinel()) }
     }
+    // SPARK_GRAFT_PASSES=1 is the scale-probe mode (sf10 pair-blowup
+    // rows, minutes per execution): no warm pass, no noise re-measures —
+    // one execution IS the artifact, and the JSON labels itself with
+    // "passes" so a single-pass board can never masquerade as a
+    // min-of-two canonical one. Default (2) keeps the warm + min-of-two
+    // + sentinel-re-measure protocol unchanged.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES")
+      .map(_.toInt).filter(_ > 0).getOrElse(2)
     val noisy = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -112,8 +120,8 @@ object Bench {
         // deopt/GC landing inside the single measured pass). Min, not
         // mean: the floor is the reproducible cost of the plan; anything
         // above it is the JVM, not the query.
-        once(); clear()
-        def attempt(): Double = (1 to 2).map { _ =>
+        if (passes >= 2) { once(); clear() }
+        def attempt(): Double = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           once()
           val dt = (System.nanoTime() - t0) / 1e9
@@ -121,11 +129,13 @@ object Bench {
         }.min
         // bracket the timed window with the sentinel: clean before AND
         // after → the window was quiet, accept; else re-measure (the min
-        // across attempts still stands if no attempt gets a quiet window)
+        // across attempts still stands if no attempt gets a quiet window).
+        // Single-pass mode brackets but never re-measures.
         var best = Double.MaxValue
         var clean = false
         var tries = 0
-        while (!clean && tries < 3) {
+        val maxTries = if (passes >= 2) 3 else 1
+        while (!clean && tries < maxTries) {
           val s1 = probe()
           val t = attempt()
           val s2 = probe()
@@ -164,7 +174,7 @@ object Bench {
       .map { case (f, vs) => jq(f) + ":" + f"${vs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
     val ns = noisy.map(jq).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"sentinel":${f"$sentinel0%.3f"},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"sentinel":${f"$sentinel0%.3f"},"passes":$passes,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -540,15 +540,20 @@ object Joins {
     // work left is the zero-exchange join + one partial aggregation.
     ("a10_rollup_bucketed",
       (s, d) => bucketedJ9Join(s, d)
-        // the month key rolls up as an ISO STRING: subtotal rows carry a
-        // NULL month, and a null DATE is representation-ambiguous across
-        // engines' dataframe bridges (None vs NaT) — string nulls compare
-        // cleanly, exactly like a10_rollup's string grouping keys
-        .groupBy(col("o_orderpriority"), col("mes").cast(StringType).as("mes"))
+        // first aggregation keys the NATIVE date (an int under the hood —
+        // no per-fact-row allocation; the r13 shape cast date→string
+        // before grouping, paying a UTF8String per joined row and the GC
+        // residue showed as 0.7-1.3 s run-to-run jitter at sf1)
+        .groupBy(col("o_orderpriority"), col("mes"))
         .agg(sum(unscaledCol(
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("rev_u"), count(lit(1)).as("n0"))
-        .rollup(col("o_orderpriority"), col("mes"))
+        // the month key rolls up as an ISO STRING (cast at GROUP grain,
+        // 1:1 with the date groups): subtotal rows carry a NULL month,
+        // and a null DATE is representation-ambiguous across engines'
+        // dataframe bridges (None vs NaT) — string nulls compare cleanly,
+        // exactly like a10_rollup's string grouping keys
+        .rollup(col("o_orderpriority"), col("mes").cast(StringType).as("mes"))
         .agg((sum(col("rev_u")) / 10000.0).as("revenue"),
           sum(col("n0")).as("n")),
       Some("""SELECT o_orderpriority, mes,
