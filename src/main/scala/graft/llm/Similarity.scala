@@ -226,31 +226,60 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, dims: Int, nBits: Int,
       nTables: Int, tau: Double, roundScale: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    // same id-only candidate shape as annTopK: vectors checkpointed once,
-    // re-joined by id after the pair dedup — the bucket self-join never
-    // shuffles the dims-double arrays
-    val e = embeddings.select(col("vec_id"),
+    // DISTINCT-VECTOR grain (r14, the sf10 finding): identical vectors
+    // share every LSH bucket, so bucketing VECTOR IDS makes each bucket
+    // group quadratic in duplicate multiplicity (a 100×-re-crawled corpus
+    // put C(100,2)·|vectors| pairs through the dedup and the vec_dot
+    // verification). Buckets, candidates and the cosine all run once per
+    // distinct vector value; the id-pair expansion is two bounded
+    // equi-joins. Same-vector pairs score round(dot/(nrm·nrm)) — the
+    // identical IEEE expression the oracle evaluates for an identical
+    // id pair — and always share buckets, exactly as at id grain.
+    val ids = embeddings.select(col("vec_id"),
+        md5(expr("cast(transform(embedding, x -> CAST(x AS DOUBLE)) AS STRING)"))
+          .as("vh"))
+      .localCheckpoint()
+    val reps = embeddings
+      .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("vh", md5(col("v").cast(StringType)))
+      .groupBy(col("vh"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("r"))
+      .select(col("vh"), col("r.vec_id").as("rid"), col("r.v").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .localCheckpoint()
     val buckets = array((0 until nTables).map(t =>
       concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
-    // eagerly materialized for the same reason as annTopK: self-join sides
-    val eb = e.select(col("vec_id"), explode(buckets).as("bucket"))
+    val eb = reps.select(col("vh"), col("rid"), explode(buckets).as("bucket"))
       .localCheckpoint()
-    val a = eb.select(col("vec_id").as("qid"), col("bucket"))
-    val b = eb.select(col("vec_id").as("cid"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("qid") < col("cid"))
-      .select("qid", "cid").dropDuplicates("qid", "cid")
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn")), "qid")
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cn")), "cid")
+    val candV = eb.as("a").join(eb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.rid") < col("b.rid"))
+      .select(col("a.vh").as("h1"), col("b.vh").as("h2"))
+      .dropDuplicates("h1", "h2")
+    val pairV = candV
+      .join(reps.select(col("vh").as("h1"), col("v").as("qv"),
+        col("nrm").as("qn")), "h1")
+      .join(reps.select(col("vh").as("h2"), col("v").as("cv"),
+        col("nrm").as("cn")), "h2")
       .withColumn("cos_r",
         round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), roundScale))
       .filter(col("cos_r") >= tau)
-      .select("qid", "cid", "cos_r")
+      .select("h1", "h2", "cos_r")
+    val cross = pairV
+      .join(ids.select(col("vh").as("h1"), col("vec_id").as("i")), "h1")
+      .join(ids.select(col("vh").as("h2"), col("vec_id").as("j")), "h2")
+      .select(least(col("i"), col("j")).as("qid"),
+        greatest(col("i"), col("j")).as("cid"), col("cos_r"))
+    val same = reps
+      .withColumn("cos_r",
+        round(expr("vec_dot(v, v)") / (col("nrm") * col("nrm")), roundScale))
+      .filter(col("cos_r") >= tau)
+      .select(col("vh"), col("cos_r"))
+      .join(ids.select(col("vh"), col("vec_id").as("i")), "vh")
+      .join(ids.select(col("vh"), col("vec_id").as("j")), "vh")
+      .filter(col("i") < col("j"))
+      .select(col("i").as("qid"), col("j").as("cid"), col("cos_r"))
+    cross.unionByName(same)
   }
 
   /** DuckDB oracle for nearDupPairs (same construction as annOracleSql). */
@@ -619,23 +648,52 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .localCheckpoint() // eager: the sample and the assignment read it
     val (_, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
-    // assignment materialized ONCE: both self-join sides read the
-    // checkpointed (vec_id, v, nrm, list_id) blocks instead of each
-    // re-running the nLists-way argmin fold over the full table
-    val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
+    // DISTINCT-VECTOR grain (r14, the sf10 finding): identical vectors
+    // land in the same cluster (assignment is a pure function of v), so
+    // the within-cluster self-join at ID grain pays multiplicity² cosine
+    // evaluations for pairs whose score is decided once per distinct
+    // value pair. Training stays on the FULL table (the oracle's Lloyd
+    // chain samples the full id space); assignment + join + cosine run
+    // per distinct vector, then two bounded equi-joins expand to the
+    // id-pair contract. Same-vector pairs score round(dot/(nrm·nrm)) —
+    // the identical IEEE expression the oracle evaluates for those ids.
+    val eh = e.withColumn("vh", md5(col("v").cast(StringType)))
+    val ids = eh.select(col("vec_id"), col("vh")).localCheckpoint()
+    val reps = eh.groupBy(col("vh"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("r"))
+      .select(col("vh"), col("r.vec_id").as("rid"), col("r.v").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("cl", cl).withColumn("cn2", cn2)
       .withColumn("list_id", argminFold(nLists)("i")).drop("cl", "cn2")
       .localCheckpoint()
     val cosR = round(expr("vec_dot(a.v, b.v)")
       / (col("a.nrm") * col("b.nrm")), roundScale)
-    assigned.as("a").join(assigned.as("b"),
+    val pairV = reps.as("a").join(reps.as("b"),
         col("a.list_id") === col("b.list_id") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.rid") < col("b.rid"))
       .withColumn("cos_r", cosR)
       .filter(col("cos_r") >= tau)
-      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        col("cos_r"),
+      .select(col("a.vh").as("h1"), col("b.vh").as("h2"), col("cos_r"),
         col("a.list_id").cast(org.apache.spark.sql.types.IntegerType)
           .as("list_id"))
+    val cross = pairV
+      .join(ids.select(col("vh").as("h1"), col("vec_id").as("i")), "h1")
+      .join(ids.select(col("vh").as("h2"), col("vec_id").as("j")), "h2")
+      .select(least(col("i"), col("j")).as("d1"),
+        greatest(col("i"), col("j")).as("d2"), col("cos_r"), col("list_id"))
+    val same = reps
+      .withColumn("cos_r",
+        round(expr("vec_dot(v, v)") / (col("nrm") * col("nrm")), roundScale))
+      .filter(col("cos_r") >= tau)
+      .select(col("vh"), col("cos_r"),
+        col("list_id").cast(org.apache.spark.sql.types.IntegerType)
+          .as("list_id"))
+      .join(ids.select(col("vh"), col("vec_id").as("i")), "vh")
+      .join(ids.select(col("vh"), col("vec_id").as("j")), "vh")
+      .filter(col("i") < col("j"))
+      .select(col("i").as("d1"), col("j").as("d2"), col("cos_r"),
+        col("list_id"))
+    cross.unionByName(same)
   }
 
   /** DuckDB oracle for semDedupPairs: shared Lloyd's chain, assignment,

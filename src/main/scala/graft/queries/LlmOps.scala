@@ -201,6 +201,78 @@ object LlmOps {
     prof.localCheckpoint()
   }
 
+  /** DISTINCT-TEXT-grain minhash LSH (r14 — the sf10 probe's finding):
+    * all copies of one text share `hs` and therefore `mhs`, so banding
+    * DOC ids makes every band bucket quadratic in duplicate multiplicity
+    * — a 100×-re-crawled corpus (sf10) put C(100,2)·|texts| id pairs
+    * through the candidate broadcast and broke the 8G HashedRelation
+    * bound. Candidates are generated and Jaccard-verified ONCE per
+    * distinct text pair; multiplicity never enters a join build or a
+    * label-propagation edge list — only the (contract-sized) doc-pair
+    * expansion. Returns
+    *  - docsT: (doc_id, th) — every profiled doc with its text hash,
+    *  - reps:  (th, rd, c, hs, mhs) — one representative per text
+    *    (min doc id; all copies' profiles are identical by construction),
+    *  - pairsT: (t1, t2, jac) — verified near-dup DISTINCT-text pairs.
+    * Text identity is md5 of the canonical shingle-set rendering (hs is
+    * sorted-distinct out of shingle_codes) — 128-bit, so colliding two
+    * different texts is out of reach at any corpus size, unlike a 64-bit
+    * key at 10^10 distinct docs.
+    */
+  private[queries] def minhashTextPairs(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None,
+      prof: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ds = prof.getOrElse(shingleProfile(s, d, toks = toks))
+    val withTh = ds.select(col("doc_id"), col("hs"), col("c"), col("mhs"),
+      md5(col("hs").cast(StringType)).as("th"))
+    val docsT = withTh.select(col("doc_id"), col("th"))
+    // ONE key-partitioned exchange of the profile (linear, the canonical
+    // scalable shape); the min-struct picks the lowest-doc representative
+    // and its profile in the same aggregation — doc_id leads the struct,
+    // so the comparison never reaches the arrays
+    val reps = withTh
+      .groupBy(col("th"))
+      .agg(min(struct(col("doc_id"), col("c"), col("hs"), col("mhs")))
+        .as("r"))
+      .select(col("th"), col("r.doc_id").as("rd"), col("r.c").as("c"),
+        col("r.hs").as("hs"), col("r.mhs").as("mhs"))
+      .localCheckpoint()
+    // band key straight from the signature array (b=6 bands × r=2): the
+    // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
+    // injective) — a numeric join key, no re-hash, no re-aggregation
+    // shuffle; text ids only into the join.
+    val bands = reps.select(col("th"), col("rd"), expr(
+      s"""explode(transform(sequence(0, 5),
+           b -> struct(b AS band,
+                       element_at(mhs, b*2 + 1) * ${MinhashP}L
+                         + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
+      .select(col("th"), col("rd"), col("x.band").as("band"),
+        col("x.bh").as("bh"))
+    val candT = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.rd") < col("b.rd"))
+      .select(col("a.th").as("t1"), col("b.th").as("t2")).distinct()
+    // exact Jaccard once per text pair: two hash joins back to the
+    // representative sets, then a narrow array_intersect. shuffle_hash
+    // with the PAIR side as build: per-task state is candidate-pairs /
+    // partitions — partition-bounded at any corpus size, where the r13
+    // broadcast of the whole pair set was driver-bounded and fell over
+    // exactly when duplicate multiplicity spiked.
+    val pairsT = candT.hint("shuffle_hash")
+      .join(reps.select(col("th").as("t1"), col("hs").as("hs1"),
+        col("c").as("ca")), "t1")
+      .hint("shuffle_hash")
+      .join(reps.select(col("th").as("t2"), col("hs").as("hs2"),
+        col("c").as("cb")), "t2")
+      .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
+      .select(col("t1"), col("t2"),
+        (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic")))
+          .as("jac"))
+      .filter(col("jac") >= 0.4)
+    (docsT, reps, pairsT)
+  }
+
   /** The full MinHash-LSH near-dup pair pipeline (shared by the pair query
     * and the clustering query).
     */
@@ -209,51 +281,78 @@ object LlmOps {
       pairPred: Option[(Column, Column) => Column] = None,
       smallSide: Option[Column => Column] = None,
       prof: Option[DataFrame] = None): DataFrame = {
+    smallSide match {
+      // ASYMMETRIC mode (incremental dedup): the caller names a BOUNDED
+      // doc subset (the daily batch) whose band keys broadcast; the
+      // corpus-sized side is probed in place — doc grain is correct here
+      // BY the boundedness contract, so this arm keeps the r13 shape.
+      case Some(_) =>
+        minhashPairsAsymmetric(s, d, toks, pairPred, smallSide.get, prof)
+      case None =>
+        val (docsT, _, pairsT) = minhashTextPairs(s, d, toks, prof)
+        // expand text pairs to the doc-grain contract: cross-text pairs
+        // carry the verified jac; same-text pairs are exact duplicates
+        // (identical shingle sets ⇒ jac ≡ 1.0, which the band join finds
+        // by construction — identical signatures share every band). Both
+        // are shuffled equi-joins on th: build sides are |corpus|-bounded
+        // per task, output is the row's own contract size.
+        val cross = pairsT
+          .join(docsT.select(col("th").as("t1"), col("doc_id").as("i")),
+            "t1")
+          .join(docsT.select(col("th").as("t2"), col("doc_id").as("j")),
+            "t2")
+          .select(least(col("i"), col("j")).as("d1"),
+            greatest(col("i"), col("j")).as("d2"), col("jac"))
+        val same = docsT.as("x").join(docsT.as("y"),
+            col("x.th") === col("y.th") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            lit(1.0).as("jac"))
+        val expanded = cross.unionByName(same)
+        // the id-only predicate commutes with expansion (it only prunes);
+        // applying it here keeps pruned pairs out of every consumer
+        pairPred.map(p => expanded.filter(p(col("d1"), col("d2"))))
+          .getOrElse(expanded)
+    }
+  }
+
+  /** The r13 doc-grain asymmetric arm (bounded-batch broadcast). */
+  private def minhashPairsAsymmetric(s: SparkSession, d: String,
+      toks: Option[DataFrame],
+      pairPred: Option[(Column, Column) => Column],
+      isSmall: Column => Column,
+      prof: Option[DataFrame]): DataFrame = {
     val ds = prof.getOrElse(shingleProfile(s, d, toks = toks))
-    // band key straight from the signature array (b=6 bands × r=2): the
-    // two row-values pack into ONE bigint (mh < p, so mh1·p + mh2 is
-    // injective) — a numeric join key, no re-hash, no re-aggregation
-    // shuffle; ids only into the join.
     val bands = ds.select(col("doc_id"), expr(
       s"""explode(transform(sequence(0, 5),
            b -> struct(b AS band,
                        element_at(mhs, b*2 + 1) * ${MinhashP}L
                          + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val cand = smallSide match {
-      // ASYMMETRIC mode (incremental dedup): the caller names a BOUNDED
-      // doc subset (the daily batch) whose band keys broadcast; the
-      // corpus-sized side is probed in place — no shuffle of the big
-      // side's band stream at all, the shape that holds when the corpus
-      // is 100 TB and the batch is one day's crawl. Cross-group pairs
-      // only, by construction — exactly pairPred's new≠old semantics —
-      // and least/greatest restores the d1 < d2 orientation the verify
-      // joins and the oracle share.
-      case Some(isSmall) =>
-        broadcast(bands.filter(isSmall(col("doc_id")))).as("a")
-          .join(bands.filter(!isSmall(col("doc_id"))).as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("d2")).distinct()
-      case None =>
-        // callers with an id-only pair predicate push it INTO the band
-        // join: pairs it would discard never reach the distinct or the
-        // verify joins. The predicate only reads the two ids, so filtering
-        // candidates commutes with the Jaccard verification — results are
-        // identical.
-        val pred = pairPred.map(p => p(col("a.doc_id"), col("b.doc_id")))
-          .getOrElse(lit(true))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id") && pred)
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    }
+    // the caller names a BOUNDED doc subset (the daily batch) whose band
+    // keys broadcast; the corpus-sized side is probed in place — no
+    // shuffle of the big side's band stream at all, the shape that holds
+    // when the corpus is 100 TB and the batch is one day's crawl.
+    // Cross-group pairs only, by construction — exactly pairPred's
+    // new≠old semantics — and least/greatest restores the d1 < d2
+    // orientation the verify joins and the oracle share.
+    val cand0 =
+      broadcast(bands.filter(isSmall(col("doc_id")))).as("a")
+        .join(bands.filter(!isSmall(col("doc_id"))).as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2")).distinct()
+    // the id-only predicate prunes candidates before the verify joins;
+    // it commutes with the Jaccard verification
+    val cand = pairPred.map(p => cand0.filter(p(col("d1"), col("d2"))))
+      .getOrElse(cand0)
     // exact Jaccard: two hash joins back to the checkpointed sets, then a
     // narrow array_intersect — no explode/groupBy over candidate shingles.
-    // The CANDIDATE side is the broadcast build side (id pairs, bounded by
-    // band selectivity ∝ true-dup rate): without the hint Catalyst builds
-    // on the profile side and ships every doc's full shingle SET through a
-    // driver collect + broadcast — the fat side must never move.
+    // The CANDIDATE side is the broadcast build side (id pairs, bounded
+    // HERE by the batch contract — batch × its near-dups): without the
+    // hint Catalyst builds on the profile side and ships every doc's full
+    // shingle SET through a driver collect + broadcast — the fat side
+    // must never move.
     broadcast(cand)
       .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
         col("c").as("ca")), "d1")
@@ -331,28 +430,61 @@ object LlmOps {
     // straight off a sampled shard.
     ("llm_minhash_recall",
       (s, d) => {
+        // TEXT-grain truth (r14, the sf10 finding): the exact all-pairs
+        // truth is computed once per DISTINCT-text pair over the
+        // representative profiles — the r13 doc-grain inverted-index join
+        // put multiplicity² rows per shared shingle through the
+        // intersection groupBy (billions at a 100×-re-crawl) for counts
+        // that are pure multiplicity arithmetic: a cross-text pair (A,B)
+        // contributes eA·eB doc pairs (e = the text's docs inside the
+        // %2 query subset; each unordered doc pair counts once) and a
+        // multi-copy text contributes C(e,2) exact-duplicate pairs, which
+        // both the truth and the LSH arm always contain (identical
+        // signatures share every band; identical sets verify at jac 1).
         val profFull = shingleProfile(s, d)
-        val sub = profFull.filter(col("doc_id") % 2 === 0)
-        val ex = sub.select(col("doc_id"), explode(col("hs")).as("x"))
+        val (docsT, reps, pairsT) = minhashTextPairs(s, d,
+          prof = Some(profFull))
+        val evens = docsT.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("th")).agg(count(lit(1)).as("e"))
+          .localCheckpoint()
+        val subReps = reps.join(evens, "th")
+        // exact text-grain truth: inverted-index intersection counts over
+        // representative shingle sets — group sizes scale with distinct
+        // CONTENT sharing a shingle, never with copy counts
+        val ex = subReps.select(col("th"), explode(col("hs")).as("x"))
         val inter = ex.as("a")
           .join(ex.as("b"), col("a.x") === col("b.x") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            col("a.th") < col("b.th"))
+          .groupBy(col("a.th").as("t1"), col("b.th").as("t2"))
           .agg(count(lit(1)).as("ic"))
-        val truth = inter
-          .join(sub.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
-          .join(sub.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+        val textTruth = inter
+          .join(subReps.select(col("th").as("t1"), col("c").as("ca"),
+            col("e").as("ea")), "t1")
+          .join(subReps.select(col("th").as("t2"), col("c").as("cb"),
+            col("e").as("eb")), "t2")
           .filter(col("ic").cast(DoubleType)
             / (col("ca") + col("cb") - col("ic")) >= 0.4)
-          .select("d1", "d2")
-        val lsh = minhashPairs(s, d, prof = Some(profFull),
-          pairPred = Some((x, y) => x % 2 === 0 && y % 2 === 0))
-          .select("d1", "d2")
-        val nt = truth.agg(count(lit(1)).as("n_truth"))
-        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
-        val nh = truth.join(lsh, Seq("d1", "d2"))
-          .agg(count(lit(1)).as("n_hit"))
-        nt.crossJoin(nl).crossJoin(nh)
+          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
+          .localCheckpoint()
+        // LSH arm at text grain, canonicalized to the truth's th order and
+        // weighted the same way (pairsT orients by representative doc id)
+        val textLsh = pairsT
+          .select(least(col("t1"), col("t2")).as("t1"),
+            greatest(col("t1"), col("t2")).as("t2"))
+          .join(evens.select(col("th").as("t1"), col("e").as("ea")), "t1")
+          .join(evens.select(col("th").as("t2"), col("e").as("eb")), "t2")
+          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
+          .localCheckpoint()
+        val sameW = evens.filter(col("e") >= 2)
+          .agg(coalesce(sum(expr("e * (e - 1) div 2")), lit(0L)).as("sw"))
+        val nt = textTruth.agg(coalesce(sum(col("w")), lit(0L)).as("tw"))
+        val nl = textLsh.agg(coalesce(sum(col("w")), lit(0L)).as("lw"))
+        val nh = textTruth.join(textLsh.select("t1", "t2"), Seq("t1", "t2"))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("hw"))
+        nt.crossJoin(nl).crossJoin(nh).crossJoin(sameW)
+          .select((col("tw") + col("sw")).as("n_truth"),
+            (col("lw") + col("sw")).as("n_lsh"),
+            (col("hw") + col("sw")).as("n_hit"))
           .select(col("n_truth"), col("n_lsh"), col("n_hit"),
             when(col("n_truth") === 0, lit(null).cast(DoubleType))
               .otherwise(col("n_hit").cast(DoubleType) / col("n_truth"))
@@ -577,12 +709,31 @@ object LlmOps {
     * query and the dedup-apply survivor selection.
     */
   private[queries] def dedupClusters(s: SparkSession, d: String): DataFrame = {
-        val p = minhashPairs(s, d).select("d1", "d2").localCheckpoint()
-        val edges = p.unionByName(
-          p.select(col("d2").as("d1"), col("d1").as("d2")))
-          .toDF("src", "dst").localCheckpoint()
-        var labels = edges.select(col("src").as("v")).distinct()
-          .withColumn("l", col("v")).localCheckpoint()
+        // TEXT-grain label propagation (r14, the sf10 finding): vertices
+        // are distinct TEXTS in any near-dup relation — cross-text
+        // (pairsT) or multi-copy (≥2 docs share the text, a clique in the
+        // doc graph). The r13 loop propagated over doc-grain edges, whose
+        // count is quadratic in duplicate multiplicity (a 100×-re-crawl
+        // means 100² edges per text pair, per iteration); the text graph
+        // is multiplicity-free and the docs join the converged component
+        // label once at the end. The result is IDENTICAL to the doc-grain
+        // components: same-text docs are glued by construction, and the
+        // component's min doc_id equals the min over member texts'
+        // min-doc representatives (labels init to the text's rd).
+        val (docsT0, reps, pairsT) = minhashTextPairs(s, d)
+        val docsT = docsT0.localCheckpoint()
+        val p = pairsT.select(col("t1"), col("t2")).localCheckpoint()
+        val multi = docsT.groupBy(col("th")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select(col("th"))
+        val verts = p.select(col("t1").as("th"))
+          .unionByName(p.select(col("t2").as("th")))
+          .unionByName(multi).distinct()
+        val edges = p.select(col("t1").as("src"), col("t2").as("dst"))
+          .unionByName(p.select(col("t2").as("src"), col("t1").as("dst")))
+          .localCheckpoint()
+        var labels = verts
+          .join(reps.select(col("th"), col("rd")), "th")
+          .select(col("th").as("v"), col("rd").as("l")).localCheckpoint()
         // coalesce: sum over an EMPTY vertex set (no near-dup pairs at all)
         // is NULL — the loop must see 0, not NPE on the unbox
         def labelSum(): Long = labels
@@ -606,7 +757,10 @@ object LlmOps {
         // a silent wrong answer would diverge from the recursive oracle
         require(sum == prevSum,
           s"label propagation did not converge in $maxRounds rounds")
-        labels.select(col("v").as("doc_id"), col("l").as("cluster"))
+        // every doc of a labeled text gets the component label (the only
+        // multiplicity-sized step, and it is one equi-join)
+        docsT.join(labels, docsT("th") === labels("v"))
+          .select(col("doc_id"), col("l").as("cluster"))
   }
 
   // def, not val: `all` initializes before this point in the object body
@@ -644,18 +798,38 @@ object LlmOps {
                            ELSE CAST(0 AS BIGINT) END),
                  CAST(0 AS BIGINT), (a, b) -> a + b)""").as("sig"))
           .localCheckpoint() // feeds both sides of the band self-join
-        val bands = sigs
+        // DISTINCT-SIGNATURE grain (r14, the sf10 finding): docs sharing a
+        // 32-bit signature share every band, so banding DOC ids is
+        // quadratic in duplicate multiplicity; banding distinct signature
+        // VALUES is multiplicity-free, and the doc-pair expansion is two
+        // bounded equi-joins. Same-signature doc pairs are hamming-0 by
+        // identity (always candidates in the doc-grain form too).
+        val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rd"))
+          .localCheckpoint()
+        val bands = reps
           .withColumn("b", explode(sequence(lit(0), lit(3))))
           .withColumn("bv", expr("(sig >> (8 * b)) & 255"))
-        val cand = bands.as("x").join(bands.as("y"),
+        val candS = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+              col("x.rd") < col("y.rd"))
+          .select(col("x.sig").as("s1"), col("y.sig").as("s2"))
+          .distinct()
+        val pairS = candS
+          .withColumn("ham", expr("bit_count(s1 ^ s2)").cast(IntegerType))
+          .filter(col("ham") <= 3)
+        val cross = pairS
+          .join(sigs.select(col("sig").as("s1"), col("doc_id").as("i")),
+            "s1")
+          .join(sigs.select(col("sig").as("s2"), col("doc_id").as("j")),
+            "s2")
+          .select(least(col("i"), col("j")).as("d1"),
+            greatest(col("i"), col("j")).as("d2"), col("ham"))
+        val same = sigs.as("x").join(sigs.as("y"),
+            col("x.sig") === col("y.sig") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-            col("x.sig").as("s1"), col("y.sig").as("s2"))
-          .distinct()
-        cand.withColumn("ham", expr("bit_count(s1 ^ s2)").cast(IntegerType))
-          .filter(col("ham") <= 3)
-          .select("d1", "d2", "ham")
+            lit(0).cast(IntegerType).as("ham"))
+        cross.unionByName(same)
       },
       Some("WITH " + simhashVotesSql + """,
               sig AS (
