@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Failures are recorded as -1 with an "errors" map —
   * a broken query must never masquerade as a fast one.
@@ -78,38 +80,40 @@ object Bench {
     // min-of-two canonical one. Default (2) keeps the warm + min-of-two
     // + sentinel-re-measure protocol unchanged.
     val passes = sys.env.get("SPARK_GRAFT_PASSES")
-      .map(_.toInt).filter(_ > 0).getOrElse(2)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(2)
     val noisy = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // intra-query materializations (LSH/minhash self-join sides) are
+    // measured inside each run; dropping them between passes keeps runs
+    // independent. clearCache() covers Dataset.cache(); the
+    // localCheckpoint blocks those queries use live in the BlockManager
+    // as persisted RDDs, which only ContextCleaner would free on a
+    // driver GC — unpersist them explicitly so 100+ queries' blocks
+    // don't pile up
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      // blocking: async removal of a big query's checkpoint blocks is a
+      // BlockManager removal STORM that otherwise overlaps the NEXT timed
+      // run — measured as 2-8x swings on the localCheckpoint-heavy rows
+      // (j3, corpus_report, dedup_apply) across same-code boards at sf1.
+      // Cleanup cost belongs between measurements, not inside them.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // ContextCleaner frees dead shuffle files/broadcasts only when the
+      // driver GC collects their references; across 100+ queries in one
+      // JVM they otherwise pile up in spark.local.dir (tmpfs here — RAM)
+      // and late queries inflate 2-4x vs isolated runs. One explicit GC
+      // per query (~10 ms under ParallelGC at this heap) keeps every
+      // measurement starting from the same clean slate.
+      System.gc()
+    }
+    val fnByName = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    fnByName.foreach { case (name, fn) =>
       def once(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // intra-query materializations (LSH/minhash self-join sides) are
-      // measured inside once(); dropping them between passes keeps runs
-      // independent. clearCache() covers Dataset.cache(); the
-      // localCheckpoint blocks those queries use live in the BlockManager
-      // as persisted RDDs, which only ContextCleaner would free on a
-      // driver GC — unpersist them explicitly so 100+ queries' blocks
-      // don't pile up
-      def clear(): Unit = {
-        spark.catalog.clearCache()
-        // blocking: async removal of a big query's checkpoint blocks is a
-        // BlockManager removal STORM that otherwise overlaps the NEXT timed
-        // run — measured as 2-8x swings on the localCheckpoint-heavy rows
-        // (j3, corpus_report, dedup_apply) across same-code boards at sf1.
-        // Cleanup cost belongs between measurements, not inside them.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        // ContextCleaner frees dead shuffle files/broadcasts only when the
-        // driver GC collects their references; across 100+ queries in one
-        // JVM they otherwise pile up in spark.local.dir (tmpfs here — RAM)
-        // and late queries inflate 2-4x vs isolated runs. One explicit GC
-        // per query (~10 ms under ParallelGC at this heap) keeps every
-        // measurement starting from the same clean slate.
-        System.gc()
-      }
       try {
         // per-query WARM pass, then MIN of two measured runs: the warm
         // pass absorbs per-query first-touch costs (parquet footer reads,
@@ -144,11 +148,47 @@ object Bench {
           tries += 1
         }
         if (!clean) noisy += name
-        name -> best
+        results(name) = best
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        name -> -1.0
+        results(name) = -1.0
       } finally clear()
+    }
+    // CROSS-REFERENCE RE-MEASURE (r15): the bracket sentinel has a blind
+    // spot — a host burst that spans the whole timed window but falls
+    // between the two probes passes as "quiet" (r14's a1_rollup: 3.08 s
+    // on two committed boards with noisy:[], real value 0.30 s). A prior
+    // board at the SAME sf sees what the bracket can't: any row now >3×
+    // its prior-round time (above an absolute floor, so micro-rows don't
+    // thrash) gets up to two fresh measured windows, the min stands, and
+    // a row whose regression SURVIVES re-measurement is named in a
+    // dedicated "regressed" JSON field — a stable slow value is a real
+    // regression to adjudicate, not noise, so it must not hide in
+    // "noisy". Single-pass scale-probe boards skip this (one execution
+    // IS the artifact).
+    val refBoard = if (passes >= 2) referenceBoard(sfDir) else Map.empty[String, Double]
+    val regressed = scala.collection.mutable.ArrayBuffer[String]()
+    if (refBoard.nonEmpty) {
+      val flagged = regressionFlags(
+        results.toMap.filter(_._2 >= 0), refBoard)
+      flagged.toSeq.sorted.foreach { name =>
+        val fn = fnByName.toMap.apply(name)
+        def once(): Unit =
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        var best = results(name)
+        var extra = 0
+        while (extra < 2 && regressionFlags(
+            Map(name -> best), refBoard).nonEmpty) {
+          val t0 = System.nanoTime()
+          once()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          clear()
+          extra += 1
+        }
+        results(name) = best
+        if (regressionFlags(Map(name -> best), refBoard).nonEmpty)
+          regressed += name
+      }
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
@@ -169,13 +209,70 @@ object Bench {
       if (n.contains("stream")) "streaming_e2e"
       else if (n.endsWith("_e2e")) "fixture_e2e"
       else "query"
-    val fams = results.collect { case (k, v) if v >= 0 => (family(k), v) }
+    // toSeq first: a pair-producing collect on a Map would collapse
+    // same-family entries to the last one instead of keeping all rows
+    val fams = results.toSeq.collect { case (k, v) if v >= 0 => (family(k), v) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (f, vs) => jq(f) + ":" + f"${vs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
     val ns = noisy.map(jq).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"sentinel":${f"$sentinel0%.3f"},"passes":$passes,"sf":"$sfDir"}"""
+    val rs = regressed.map(jq).mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},"passes":$passes,"sf":"$sfDir"}"""
   }
+
+  /** Rows whose current time is >`factor`× the reference board's time for
+    * the same query AND above an absolute floor (micro-rows jitter across
+    * boards without meaning anything). Pure — unit-tested with injected
+    * noise in ContractSpec.
+    */
+  private[graft] def regressionFlags(current: Map[String, Double],
+      reference: Map[String, Double], factor: Double = 3.0,
+      floorSec: Double = 0.25): Set[String] =
+    current.collect { case (n, t)
+        if t >= floorSec &&
+           reference.get(n).exists(r => r > 0 && t > r * factor) => n
+    }.toSet
+
+  /** Parse a prior board's queries map + sf tag out of our own one-line
+    * JSON shape (flat string keys to numbers inside "queries":{...} — a
+    * targeted regex, not a JSON lib, because the bench classpath is Spark
+    * plus nothing).
+    */
+  private[graft] def parseBoard(json: String): (Map[String, Double], String) = {
+    val body = """"queries"\s*:\s*\{(.*?)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val pair = """"((?:[^"\\]|\\.)+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+    val qs = pair.findAllMatchIn(body)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+    val sf = """"sf"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    (qs, sf)
+  }
+
+  /** The prior-round board to cross-reference: SPARK_GRAFT_REF_BENCH if
+    * set, else the newest BENCH_r*.json in the working directory (the
+    * driver runs from the repo root, so its own boards self-chain).
+    * Ignored unless the board's sf tag names the same sf directory —
+    * comparing an sf1 run against an sf0.1 board would flag everything.
+    */
+  private def referenceBoard(sfDir: String): Map[String, Double] =
+    try {
+      import java.nio.file.{Files, Paths}
+      val path = sys.env.get("SPARK_GRAFT_REF_BENCH").map(Paths.get(_))
+        .orElse {
+          val cwd = Paths.get(".").toAbsolutePath.normalize
+          val boards = Files.list(cwd).iterator().asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toSeq.sortBy(_.getFileName.toString)
+          boards.lastOption
+        }
+      path.filter(Files.isRegularFile(_)).map { p =>
+        val (qs, sf) = parseBoard(Files.readString(p))
+        val base = (s: String) => s.split('/').filter(_.nonEmpty).lastOption.getOrElse(s)
+        if (base(sf) == base(sfDir)) qs else Map.empty[String, Double]
+      }.getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

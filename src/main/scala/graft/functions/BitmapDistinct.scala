@@ -182,13 +182,23 @@ object BitmapDistinctLong {
       * a partially-filled tail page costs its live prefix only.
       */
     def toBytes: Array[Byte] = {
-      var size = 4
+      // Long accumulator: a pathologically sparse key domain (any long is
+      // accepted) can touch enough pages that the wire size overflows an
+      // Int, and ByteBuffer.allocate(negative) would fail with an opaque
+      // IllegalArgumentException deep in task serialization. Fail with a
+      // named, diagnosable error instead.
+      var size = 4L
       var i = 0
       while (i < pages.length) {
         if (pages(i) != null) size += 8 + 2 + 8 * liveWords(pages(i))
         i += 1
       }
-      val bb = java.nio.ByteBuffer.allocate(size)
+      if (size > Int.MaxValue - 16)
+        throw new IllegalStateException(
+          s"bitmap_distinct state too large to serialize ($size bytes): " +
+          "the key domain is too sparse for the paged-bitmap exact " +
+          "aggregate — use approx_count_distinct or densify the keys")
+      val bb = java.nio.ByteBuffer.allocate(size.toInt)
       bb.putInt(nPages)
       i = 0
       while (i < pages.length) {

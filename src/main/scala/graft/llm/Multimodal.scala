@@ -191,9 +191,17 @@ object Multimodal {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         // (width, height-as-signed, bitCount) of the first BI_RGB vids
-        // stream; None until (unless) the hdrl walk finds one
+        // stream; None until (unless) the hdrl walk finds one. The movi
+        // chunk ids carry the stream number as a two-digit decimal prefix
+        // ("00dc", "01wb", ...), so remember WHICH stream the BI_RGB
+        // format belongs to: in a mixed-stream AVI (raw stream 0 +
+        // compressed stream 1) a big enough foreign ??dc body would
+        // otherwise raster-decode as garbage instead of falling to the
+        // stub path. strh chunks appear once per stream, in stream order.
         var dibFmt: Option[(Int, Int, Int)] = None
+        var dibStreamId: String = null
         var strhWasVids = false
+        var streamIdx = -1
         def walk(start: Int, end: Int): Unit = {
           var off = start
           var ok = true
@@ -204,13 +212,16 @@ object Multimodal {
             else {
               val data = off + 8
               if (id == "LIST") walk(off + 12, off + 8 + sz)
-              else if (id == "strh" && sz >= 4)
+              else if (id == "strh" && sz >= 4) {
+                streamIdx += 1
                 strhWasVids = fourcc(data) == "vids"
-              else if (id == "strf" && strhWasVids && sz >= 20) {
+              } else if (id == "strf" && strhWasVids && sz >= 20) {
                 // BITMAPINFOHEADER: biWidth@4, biHeight@8, biBitCount@14,
                 // biCompression@16 (0 = BI_RGB)
-                if (dibFmt.isEmpty && le32(data + 16) == 0)
+                if (dibFmt.isEmpty && le32(data + 16) == 0) {
                   dibFmt = Some((le32(data + 4), le32(data + 8), le16(data + 14)))
+                  dibStreamId = f"$streamIdx%02d"
+                }
                 strhWasVids = false
               } else if (id.endsWith("dc") && sz >= 2 &&
                   (payload(data) & 0xff) == 0xff &&
@@ -220,7 +231,8 @@ object Multimodal {
                   (payload(data) & 0xff) == 0x89 && payload(data + 1) == 'P' &&
                   payload(data + 2) == 'N' && payload(data + 3) == 'G')
                 frames += java.util.Arrays.copyOfRange(payload, data, data + sz)
-              else if ((id.endsWith("db") || id.endsWith("dc")) && sz > 0)
+              else if ((id.endsWith("db") || id.endsWith("dc")) && sz > 0 &&
+                  dibStreamId != null && id.startsWith(dibStreamId))
                 dibFmt.flatMap { case (w, h, bpp) => dibToPng(
                   java.util.Arrays.copyOfRange(payload, data, data + sz),
                   w, h, bpp)

@@ -1010,12 +1010,25 @@ object Relational {
                        FROM orders WHERE o_orderkey % 20 = 0)
               ON h1, h2, h3 INTO NAME hora VALUE volumenes""")),
 
-    // U3 — intersect
+    // U3 — intersect, fused (r15). Spark's built-in Intersect lowers to
+    // Distinct + left-semi join with BOTH full sides exchanged (r14 sf1:
+    // 0.57 s / 5.7× — its siblings u4/u5 got their fusion a round
+    // earlier). Identity: A ∩ B (distinct) = distinct(A semi-join B).
+    // customer is the dimension side — broadcast it (duplicates on the
+    // build side don't matter to a semi join, so no pre-distinct), and
+    // the only exchange left is the distinct's partial-agg output:
+    // map-side combine collapses the ~10 orders/customer before the
+    // shuffle. <=> keeps the NULLs-compare-equal face INTERSECT
+    // prescribes. At dimension sizes past broadcast reach the same shape
+    // degrades to a shuffled semi join — still strictly less exchanged
+    // data than the built-in's two-sided distinct.
     // ref: p48_tecnologias_generacion.py:88
     ("u3_intersect",
       (s, d) => orders(s, d).select(col("o_custkey").as("k"))
-        .intersect(customer(s, d).filter(col("c_acctbal") > 0)
-          .select(col("c_custkey").as("k"))),
+        .join(broadcast(customer(s, d).filter(col("c_acctbal") > 0)
+            .select(col("c_custkey").as("ck"))),
+          col("k") <=> col("ck"), "left_semi")
+        .distinct(),
       Some("""SELECT o_custkey AS k FROM orders
               INTERSECT
               SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0""")),

@@ -66,8 +66,15 @@ object StreamingE2e {
     new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
   private def landOnce(key: String, d: String)(
       land: String => Unit): String =
+    // cache key carries an md5 of the RAW path alongside the sanitized
+    // name: two dirs differing only in punctuation (/data/sf-1 vs
+    // /data/sf_1) sanitize identically, and a collision would silently
+    // reuse the first dir's landed fixture as the second's stream input
     landedFixtures.computeIfAbsent(
-      s"${key}_${d.replaceAll("[^A-Za-z0-9]", "_")}", _ => {
+      s"${key}_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+      _ => {
         val id = java.util.UUID.randomUUID.toString.replace("-", "")
         val dir = s"$tmpDir/graft_fix_${key}_$id"
         land(dir)

@@ -102,4 +102,27 @@ class ContractSpec extends SparkSpec {
     val it = node.get("queries").elements()
     while (it.hasNext) assert(it.next().asDouble() >= 0)
   }
+
+  test("Bench cross-reference flags injected noise vs a prior board") {
+    // r14 blind spot: a host burst spanning a whole timed window (but
+    // falling between the bracket probes) inflated a1_rollup 10× on two
+    // committed boards with noisy:[]. The cross-reference check must
+    // catch exactly that shape: a row far above its prior-round time.
+    val prior = Map("a1_rollup" -> 0.30, "q_fast" -> 0.02, "q_zero" -> 0.0)
+    val current = Map(
+      "a1_rollup" -> 3.08, // the real r14 incident: flag
+      "q_fast" -> 0.10,    // 5× but under the absolute floor: ignore
+      "q_zero" -> 0.50,    // prior time 0 (unmeasurable ref): ignore
+      "q_new" -> 9.99)     // not on the prior board: ignore
+    assert(Bench.regressionFlags(current, prior) == Set("a1_rollup"))
+    // within-3× drift does not flag
+    assert(Bench.regressionFlags(Map("a1_rollup" -> 0.80), prior).isEmpty)
+  }
+
+  test("Bench.parseBoard reads queries + sf out of a board line") {
+    val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5,"b":1.0},"families":{"query":1.5},"errors":{},"noisy":[],"sf":"/root/testdata/sf0.1"}"""
+    val (qs, sf) = Bench.parseBoard(line)
+    assert(qs == Map("a" -> 0.5, "b" -> 1.0))
+    assert(sf == "/root/testdata/sf0.1")
+  }
 }

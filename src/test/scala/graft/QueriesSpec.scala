@@ -311,6 +311,19 @@ class QueriesSpec extends SparkSpec {
       == bag(l.intersectAll(r)), "u5 diverges from .intersectAll")
   }
 
+  test("u3 semi-join fusion equals Spark's built-in .intersect") {
+    // the r15 fusion replaces the built-in Intersect lowering (distinct +
+    // two-sided exchange) with broadcast-semi-join + distinct; pin the
+    // fused form to the engine's own .intersect, as sets of keys
+    val fused = SparkEntry.queries("u3_intersect")(spark, sfDir)
+      .collect().map(_.get(0)).toSet
+    val builtin = Tables.orders(spark, sfDir).select(col("o_custkey").as("k"))
+      .intersect(Tables.customer(spark, sfDir)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k")))
+      .collect().map(_.get(0)).toSet
+    assert(fused == builtin, "u3 fusion diverges from .intersect")
+  }
+
   test("count-min estimates never underestimate (the CMS guarantee)") {
     // one-sided error is CMS's defining property: collisions only ADD.
     // The hash gate already pins exact values; this asserts the
