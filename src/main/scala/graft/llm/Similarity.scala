@@ -224,8 +224,38 @@ object Similarity {
     * variant of annTopK — same bucket-shuffle cost shape.
     */
   def nearDupPairs(embeddings: DataFrame, dims: Int, nBits: Int,
-      nTables: Int, tau: Double, roundScale: Int): DataFrame = {
+      nTables: Int, tau: Double, roundScale: Int,
+      idGrain: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
+    if (idGrain) {
+      // DIRECT ID GRAIN (r15 adaptive — caller's multiplicity probe says
+      // duplicate vectors ≈ none, so bucket groups cannot go quadratic in
+      // copy count): bucket ids straight off the vectors, id-only
+      // candidate self-join, vectors re-joined by id for the cosine —
+      // the dims-double arrays never ride the bucket shuffle. Output
+      // identical to the content-grain arm (AdaptiveGrainSpec pins it).
+      val e = embeddings.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+        .localCheckpoint()
+      val buckets = array((0 until nTables).map(t =>
+        concat(lit(s"$t:"), lshSignature(spark, "v", dims, nBits, t))): _*)
+      val eb = e.select(col("vec_id"), explode(buckets).as("bucket"))
+        .localCheckpoint() // self-join sides, eagerly materialized
+      val a = eb.select(col("vec_id").as("qid"), col("bucket"))
+      val b = eb.select(col("vec_id").as("cid"), col("bucket"))
+      return a.join(b, Seq("bucket"))
+        .filter(col("qid") < col("cid"))
+        .select("qid", "cid").dropDuplicates("qid", "cid")
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")), "cid")
+        .withColumn("cos_r",
+          round(expr("vec_dot(qv, cv)") / (col("qn") * col("cn")), roundScale))
+        .filter(col("cos_r") >= tau)
+        .select("qid", "cid", "cos_r")
+    }
     // DISTINCT-VECTOR grain (r14, the sf10 finding): identical vectors
     // share every LSH bucket, so bucketing VECTOR IDS makes each bucket
     // group quadratic in duplicate multiplicity (a 100×-re-crawled corpus

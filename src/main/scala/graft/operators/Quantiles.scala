@@ -52,10 +52,28 @@ object Quantiles {
       ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length,
       "one output name per quantile")
+    groupedFromCounts(
+      df.filter(col(value).isNotNull)
+        .groupBy((keys.map(col) :+ col(value)): _*)
+        .agg(count(lit(1)).as("__cnt")),
+      keys, value, "__cnt", ps, names)
+  }
+
+  /** [[grouped]] over PRE-AGGREGATED value counts — one row per
+    * (keys, value) with its occurrence count in `cnt`. Callers that
+    * already hold the value-counts grain (e.g. a stats row computing
+    * count/mean AND quantiles from one groupBy) skip the second source
+    * scan this method would otherwise pay. NULL values must already be
+    * excluded.
+    */
+  def groupedFromCounts(counts: DataFrame, keys: Seq[String], value: String,
+      cnt: String, ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length,
+      "one output name per quantile")
     val v = col(value)
     val byKeys = Window.partitionBy(keys.map(col): _*)
-    val cum = df.filter(v.isNotNull)
-      .groupBy((keys.map(col) :+ v): _*).agg(count(lit(1)).as("__cnt"))
+    val cum = counts
+      .withColumn("__cnt", col(cnt))
       .withColumn("__n", sum(col("__cnt")).over(byKeys))
       .withColumn("__cum", sum(col("__cnt")).over(byKeys.orderBy(v)))
     // 0-indexed target rank r = p·(n−1); the distinct value whose

@@ -619,14 +619,25 @@ object Curation {
     // interpolation expression).
     ("llm_length_stats",
       (s, d) => {
-        val base = documents(s, d)
+        // ONE text scan (r15): the count/mean arm and the quantile arm
+        // both reduce to the (source, n_tok) value-counts grain, so
+        // aggregate to it once and derive both from the checkpointed
+        // counts (|sources|×|distinct lengths| rows — bounded). The mean
+        // rides the counts exactly: n_tok is integer-valued, so
+        // sum(n_tok·cnt)/sum(cnt) is the same IEEE value as avg over the
+        // raw rows (integer sums are exact below 2^53, in any order).
+        val counts = documents(s, d)
           .select(col("source"),
             size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
-        val stats = base.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            round(avg(col("n_tok")), 6).as("mean_tok"))
-        val q = graft.operators.Quantiles.grouped(base, Seq("source"),
-          "n_tok", Seq(0.5, 0.9), Seq("p50_raw", "p90_raw"))
+          .groupBy("source", "n_tok").agg(count(lit(1)).as("__cnt"))
+          .localCheckpoint()
+        val stats = counts.groupBy("source")
+          .agg(sum(col("__cnt")).as("n_docs"),
+            round(sum(col("n_tok") * col("__cnt")) / sum(col("__cnt")), 6)
+              .as("mean_tok"))
+        val q = graft.operators.Quantiles.groupedFromCounts(counts,
+          Seq("source"), "n_tok", "__cnt", Seq(0.5, 0.9),
+          Seq("p50_raw", "p90_raw"))
         stats.join(broadcast(q), Seq("source"))
           .select(col("source"), col("n_docs"), col("mean_tok"),
             round(col("p50_raw"), 6).as("p50_tok"),

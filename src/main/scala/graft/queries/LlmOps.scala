@@ -201,6 +201,61 @@ object LlmOps {
     prof.localCheckpoint()
   }
 
+  /** ADAPTIVE CANDIDATE GRAIN (r15). The r14 content-grain refactor made
+    * the dedup/ANN candidate generators multiplicity-proof (the sf10
+    * re-crawl-bomb regime), but where duplicate multiplicity ≈ 1 — an
+    * already-deduped or first-crawl corpus, which is also every test sf —
+    * the distinct-content indirection is pure overhead: a content-hash
+    * exchange of the full profiles, an extra checkpoint, two expansion
+    * joins, and a same-content self-join that finds nothing (measured
+    * 0.2–1.3 s per dedup row at sf0.1). One cheap aggregation over the
+    * corpus decides the grain per run: direct id grain iff
+    * distinct/total >= 0.97 AND no single value has more than 8 copies —
+    * the ratio alone is skew-blind (one text duplicated 10^7 times in a
+    * 10^9-doc corpus keeps the ratio at 0.99 while its band bucket goes
+    * quadratic), so the max-multiplicity guard rides the same
+    * aggregation. Both grains produce IDENTICAL output (pinned in
+    * AdaptiveGrainSpec): the probe selects a plan, never semantics.
+    * 64-bit probe-hash collisions only deflate the ratio, i.e. bias
+    * toward the safe content-grain path. Memoized per (table, sf dir) —
+    * the corpus shape is a property of the input, the same one-time
+    * corpus-product rule as cluster labels and the streaming fixtures —
+    * so Bench's warm pass absorbs it and measured passes read the cached
+    * decision.
+    */
+  private val grainProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The pure decision — unit-tested directly. */
+  private[graft] def idGrainDecision(values: Long, distinct: Long,
+      maxCopies: Long): Boolean =
+    values == 0L ||
+      (distinct.toDouble / values >= 0.97 && maxCopies <= 8L)
+
+  private[graft] def idGrainOk(df: => DataFrame, key: Column,
+      cacheKey: String): Boolean =
+    grainProbe.computeIfAbsent(cacheKey, _ => {
+      val r = df.groupBy(key.as("h")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("distinct"),
+          coalesce(sum(col("n")), lit(0L)).as("values"),
+          coalesce(max(col("n")), lit(0L)).as("maxn"))
+        .head()
+      java.lang.Boolean.valueOf(
+        idGrainDecision(r.getLong(1), r.getLong(0), r.getLong(2)))
+    })
+
+  /** Text-multiplicity probe: drives the minhash AND simhash grain (docs
+    * sharing a text share both signatures; a 32-bit simhash can collide
+    * across texts, but only text-level re-crawl multiplicity produces the
+    * quadratic bucket regime the content grain exists for).
+    */
+  private[graft] def textIdGrainOk(s: SparkSession, d: String): Boolean =
+    idGrainOk(documents(s, d), xxhash64(col("text")), s"text|$d")
+
+  /** Vector-multiplicity probe for the embedding-space generators. */
+  private[graft] def vecIdGrainOk(s: SparkSession, d: String): Boolean =
+    idGrainOk(embeddings(s, d), xxhash64(col("embedding")), s"vec|$d")
+
   /** DISTINCT-TEXT-grain minhash LSH (r14 — the sf10 probe's finding):
     * all copies of one text share `hs` and therefore `mhs`, so banding
     * DOC ids makes every band bucket quadratic in duplicate multiplicity
@@ -288,7 +343,24 @@ object LlmOps {
       // BY the boundedness contract, so this arm keeps the r13 shape.
       case Some(_) =>
         minhashPairsAsymmetric(s, d, toks, pairPred, smallSide.get, prof)
+      // SYMMETRIC at multiplicity ≈ 1 (r15 adaptive grain): band DOC ids
+      // directly — the content-hash exchange, the reps checkpoint and the
+      // id-pair expansion joins buy nothing when almost every text is
+      // unique. Output identical (AdaptiveGrainSpec pins both grains).
+      case None if textIdGrainOk(s, d) =>
+        minhashPairsIdGrain(s, d, toks, pairPred, prof)
       case None =>
+        minhashPairsContentGrain(s, d, toks, pairPred, prof)
+    }
+  }
+
+  /** Content-grain symmetric arm (r14) — candidates once per distinct
+    * text, expanded to the doc-pair contract by bounded equi-joins.
+    */
+  private[graft] def minhashPairsContentGrain(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None,
+      pairPred: Option[(Column, Column) => Column] = None,
+      prof: Option[DataFrame] = None): DataFrame = {
         val (docsT, _, pairsT) = minhashTextPairs(s, d, toks, prof)
         // expand text pairs to the doc-grain contract: cross-text pairs
         // carry the verified jac; same-text pairs are exact duplicates
@@ -313,7 +385,47 @@ object LlmOps {
         // applying it here keeps pruned pairs out of every consumer
         pairPred.map(p => expanded.filter(p(col("d1"), col("d2"))))
           .getOrElse(expanded)
-    }
+  }
+
+  /** Direct doc-grain symmetric arm — taken when the multiplicity probe
+    * says duplicate copies ≈ 1, so band buckets cannot go quadratic in
+    * copy count. Candidates come straight off the band self-join on doc
+    * ids; the candidate PAIR set (bounded by band selectivity ∝ true-dup
+    * rate, guarded by the probe) broadcasts as the build side of the two
+    * verify joins — the fat shingle-set side never moves.
+    */
+  private[graft] def minhashPairsIdGrain(s: SparkSession, d: String,
+      toks: Option[DataFrame] = None,
+      pairPred: Option[(Column, Column) => Column] = None,
+      prof: Option[DataFrame] = None): DataFrame = {
+    val ds = prof.getOrElse(shingleProfile(s, d, toks = toks))
+    val bands = ds.select(col("doc_id"), expr(
+      s"""explode(transform(sequence(0, 5),
+           b -> struct(b AS band,
+                       element_at(mhs, b*2 + 1) * ${MinhashP}L
+                         + element_at(mhs, b*2 + 2) AS bh)))""").as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    // callers with an id-only pair predicate push it INTO the band join:
+    // pairs it would discard never reach the distinct or the verify
+    // joins. The predicate only reads the two ids, so filtering
+    // candidates commutes with the Jaccard verification.
+    val pred = pairPred.map(p => p(col("a.doc_id"), col("b.doc_id")))
+      .getOrElse(lit(true))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id") && pred)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    broadcast(cand)
+      .join(ds.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("c").as("ca")), "d1")
+      .hint("broadcast")
+      .join(ds.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("c").as("cb")), "d2")
+      .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
+      .select(col("d1"), col("d2"),
+        (col("ic").cast(DoubleType) / (col("ca") + col("cb") - col("ic")))
+          .as("jac"))
+      .filter(col("jac") >= 0.4)
   }
 
   /** The r13 doc-grain asymmetric arm (bounded-batch broadcast). */
@@ -429,67 +541,8 @@ object LlmOps {
     // truth pairs, LSH pairs, hits, recall — the band-miss rate read
     // straight off a sampled shard.
     ("llm_minhash_recall",
-      (s, d) => {
-        // TEXT-grain truth (r14, the sf10 finding): the exact all-pairs
-        // truth is computed once per DISTINCT-text pair over the
-        // representative profiles — the r13 doc-grain inverted-index join
-        // put multiplicity² rows per shared shingle through the
-        // intersection groupBy (billions at a 100×-re-crawl) for counts
-        // that are pure multiplicity arithmetic: a cross-text pair (A,B)
-        // contributes eA·eB doc pairs (e = the text's docs inside the
-        // %2 query subset; each unordered doc pair counts once) and a
-        // multi-copy text contributes C(e,2) exact-duplicate pairs, which
-        // both the truth and the LSH arm always contain (identical
-        // signatures share every band; identical sets verify at jac 1).
-        val profFull = shingleProfile(s, d)
-        val (docsT, reps, pairsT) = minhashTextPairs(s, d,
-          prof = Some(profFull))
-        val evens = docsT.filter(col("doc_id") % 2 === 0)
-          .groupBy(col("th")).agg(count(lit(1)).as("e"))
-          .localCheckpoint()
-        val subReps = reps.join(evens, "th")
-        // exact text-grain truth: inverted-index intersection counts over
-        // representative shingle sets — group sizes scale with distinct
-        // CONTENT sharing a shingle, never with copy counts
-        val ex = subReps.select(col("th"), explode(col("hs")).as("x"))
-        val inter = ex.as("a")
-          .join(ex.as("b"), col("a.x") === col("b.x") &&
-            col("a.th") < col("b.th"))
-          .groupBy(col("a.th").as("t1"), col("b.th").as("t2"))
-          .agg(count(lit(1)).as("ic"))
-        val textTruth = inter
-          .join(subReps.select(col("th").as("t1"), col("c").as("ca"),
-            col("e").as("ea")), "t1")
-          .join(subReps.select(col("th").as("t2"), col("c").as("cb"),
-            col("e").as("eb")), "t2")
-          .filter(col("ic").cast(DoubleType)
-            / (col("ca") + col("cb") - col("ic")) >= 0.4)
-          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
-          .localCheckpoint()
-        // LSH arm at text grain, canonicalized to the truth's th order and
-        // weighted the same way (pairsT orients by representative doc id)
-        val textLsh = pairsT
-          .select(least(col("t1"), col("t2")).as("t1"),
-            greatest(col("t1"), col("t2")).as("t2"))
-          .join(evens.select(col("th").as("t1"), col("e").as("ea")), "t1")
-          .join(evens.select(col("th").as("t2"), col("e").as("eb")), "t2")
-          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
-          .localCheckpoint()
-        val sameW = evens.filter(col("e") >= 2)
-          .agg(coalesce(sum(expr("e * (e - 1) div 2")), lit(0L)).as("sw"))
-        val nt = textTruth.agg(coalesce(sum(col("w")), lit(0L)).as("tw"))
-        val nl = textLsh.agg(coalesce(sum(col("w")), lit(0L)).as("lw"))
-        val nh = textTruth.join(textLsh.select("t1", "t2"), Seq("t1", "t2"))
-          .agg(coalesce(sum(col("w")), lit(0L)).as("hw"))
-        nt.crossJoin(nl).crossJoin(nh).crossJoin(sameW)
-          .select((col("tw") + col("sw")).as("n_truth"),
-            (col("lw") + col("sw")).as("n_lsh"),
-            (col("hw") + col("sw")).as("n_hit"))
-          .select(col("n_truth"), col("n_lsh"), col("n_hit"),
-            when(col("n_truth") === 0, lit(null).cast(DoubleType))
-              .otherwise(col("n_hit").cast(DoubleType) / col("n_truth"))
-              .as("recall"))
-      },
+      (s, d) => if (textIdGrainOk(s, d)) minhashRecallIdGrain(s, d)
+                else minhashRecallTextGrain(s, d),
       Some("WITH " + minhashPairsSql + """,
             lsh AS (SELECT d1, d2 FROM pairs
                     WHERE d1 % 2 = 0 AND d2 % 2 = 0),
@@ -708,88 +761,117 @@ object LlmOps {
     * joins, per-round eager materialization). Shared by the clustering
     * query and the dedup-apply survivor selection.
     */
-  private[queries] def dedupClusters(s: SparkSession, d: String): DataFrame = {
-        // TEXT-grain label propagation (r14, the sf10 finding): vertices
-        // are distinct TEXTS in any near-dup relation — cross-text
-        // (pairsT) or multi-copy (≥2 docs share the text, a clique in the
-        // doc graph). The r13 loop propagated over doc-grain edges, whose
-        // count is quadratic in duplicate multiplicity (a 100×-re-crawl
-        // means 100² edges per text pair, per iteration); the text graph
-        // is multiplicity-free and the docs join the converged component
-        // label once at the end. The result is IDENTICAL to the doc-grain
-        // components: same-text docs are glued by construction, and the
-        // component's min doc_id equals the min over member texts'
-        // min-doc representatives (labels init to the text's rd).
-        val (docsT0, reps, pairsT) = minhashTextPairs(s, d)
-        val docsT = docsT0.localCheckpoint()
-        val p = pairsT.select(col("t1"), col("t2")).localCheckpoint()
-        val multi = docsT.groupBy(col("th")).agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2).select(col("th"))
-        val verts = p.select(col("t1").as("th"))
-          .unionByName(p.select(col("t2").as("th")))
-          .unionByName(multi).distinct()
-        val edges = p.select(col("t1").as("src"), col("t2").as("dst"))
-          .unionByName(p.select(col("t2").as("src"), col("t1").as("dst")))
+
+  /** TEXT-grain recall arm (r14, the sf10 finding) — see the scaladoc on
+    * minhashTextPairs; the truth, LSH and hit counts are computed once
+    * per distinct-text pair and expanded to doc-pair counts by
+    * multiplicity arithmetic (a cross-text pair (A,B) contributes eA*eB
+    * doc pairs; a multi-copy text contributes C(e,2) exact-duplicate
+    * pairs that both arms always contain).
+    */
+  private[graft] def minhashRecallTextGrain(s: SparkSession,
+      d: String): DataFrame = {
+        // truth is computed once per DISTINCT-text pair over the
+        // representative profiles — the r13 doc-grain inverted-index join
+        // put multiplicity² rows per shared shingle through the
+        // intersection groupBy (billions at a 100×-re-crawl) for counts
+        // that are pure multiplicity arithmetic: a cross-text pair (A,B)
+        // contributes eA·eB doc pairs (e = the text's docs inside the
+        // %2 query subset; each unordered doc pair counts once) and a
+        // multi-copy text contributes C(e,2) exact-duplicate pairs, which
+        // both the truth and the LSH arm always contain (identical
+        // signatures share every band; identical sets verify at jac 1).
+        val profFull = shingleProfile(s, d)
+        val (docsT, reps, pairsT) = minhashTextPairs(s, d,
+          prof = Some(profFull))
+        val evens = docsT.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("th")).agg(count(lit(1)).as("e"))
           .localCheckpoint()
-        var labels = verts
-          .join(reps.select(col("th"), col("rd")), "th")
-          .select(col("th").as("v"), col("rd").as("l")).localCheckpoint()
-        // coalesce: sum over an EMPTY vertex set (no near-dup pairs at all)
-        // is NULL — the loop must see 0, not NPE on the unbox
-        def labelSum(): Long = labels
-          .agg(coalesce(org.apache.spark.sql.functions.sum("l"), lit(0L)))
-          .first().getLong(0)
-        val maxRounds = 50
-        var prevSum = -1L
-        var sum = labelSum()
-        var rounds = 0
-        while (sum != prevSum && rounds < maxRounds) { // converges in O(diameter)
-          val nbrMin = edges.join(labels, edges("dst") === labels("v"))
-            .groupBy(edges("src").as("nv")).agg(min(col("l")).as("nl"))
-          labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
-            .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-            .localCheckpoint()
-          prevSum = sum
-          sum = labelSum()
-          rounds += 1
-        }
-        // fail loudly rather than emit intermediate (non-minimal) labels —
-        // a silent wrong answer would diverge from the recursive oracle
-        require(sum == prevSum,
-          s"label propagation did not converge in $maxRounds rounds")
-        // every doc of a labeled text gets the component label (the only
-        // multiplicity-sized step, and it is one equi-join)
-        docsT.join(labels, docsT("th") === labels("v"))
-          .select(col("doc_id"), col("l").as("cluster"))
+        val subReps = reps.join(evens, "th")
+        // exact text-grain truth: inverted-index intersection counts over
+        // representative shingle sets — group sizes scale with distinct
+        // CONTENT sharing a shingle, never with copy counts
+        val ex = subReps.select(col("th"), explode(col("hs")).as("x"))
+        val inter = ex.as("a")
+          .join(ex.as("b"), col("a.x") === col("b.x") &&
+            col("a.th") < col("b.th"))
+          .groupBy(col("a.th").as("t1"), col("b.th").as("t2"))
+          .agg(count(lit(1)).as("ic"))
+        val textTruth = inter
+          .join(subReps.select(col("th").as("t1"), col("c").as("ca"),
+            col("e").as("ea")), "t1")
+          .join(subReps.select(col("th").as("t2"), col("c").as("cb"),
+            col("e").as("eb")), "t2")
+          .filter(col("ic").cast(DoubleType)
+            / (col("ca") + col("cb") - col("ic")) >= 0.4)
+          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
+          .localCheckpoint()
+        // LSH arm at text grain, canonicalized to the truth's th order and
+        // weighted the same way (pairsT orients by representative doc id)
+        val textLsh = pairsT
+          .select(least(col("t1"), col("t2")).as("t1"),
+            greatest(col("t1"), col("t2")).as("t2"))
+          .join(evens.select(col("th").as("t1"), col("e").as("ea")), "t1")
+          .join(evens.select(col("th").as("t2"), col("e").as("eb")), "t2")
+          .select(col("t1"), col("t2"), (col("ea") * col("eb")).as("w"))
+          .localCheckpoint()
+        val sameW = evens.filter(col("e") >= 2)
+          .agg(coalesce(sum(expr("e * (e - 1) div 2")), lit(0L)).as("sw"))
+        val nt = textTruth.agg(coalesce(sum(col("w")), lit(0L)).as("tw"))
+        val nl = textLsh.agg(coalesce(sum(col("w")), lit(0L)).as("lw"))
+        val nh = textTruth.join(textLsh.select("t1", "t2"), Seq("t1", "t2"))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("hw"))
+        nt.crossJoin(nl).crossJoin(nh).crossJoin(sameW)
+          .select((col("tw") + col("sw")).as("n_truth"),
+            (col("lw") + col("sw")).as("n_lsh"),
+            (col("hw") + col("sw")).as("n_hit"))
+          .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+            when(col("n_truth") === 0, lit(null).cast(DoubleType))
+              .otherwise(col("n_hit").cast(DoubleType) / col("n_truth"))
+              .as("recall"))
   }
 
-  // def, not val: `all` initializes before this point in the object body
-  private def moreOps: Seq[(String, Q, Option[String])] = Seq(
+  /** Doc-grain recall arm (r15 adaptive grain, multiplicity ~= 1): the
+    * truth is the inverted-index intersection join directly on doc ids —
+    * group sizes scale with docs sharing a shingle, safe exactly because
+    * the probe bounded copy counts.
+    */
+  private[graft] def minhashRecallIdGrain(s: SparkSession,
+      d: String): DataFrame = {
+    val profFull = shingleProfile(s, d)
+    val sub = profFull.filter(col("doc_id") % 2 === 0)
+    val ex = sub.select(col("doc_id"), explode(col("hs")).as("x"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.x") === col("b.x") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("ic"))
+    val truth = inter
+      .join(sub.select(col("doc_id").as("d1"), col("c").as("ca")), "d1")
+      .join(sub.select(col("doc_id").as("d2"), col("c").as("cb")), "d2")
+      .filter(col("ic").cast(DoubleType)
+        / (col("ca") + col("cb") - col("ic")) >= 0.4)
+      .select("d1", "d2")
+    val lsh = minhashPairsIdGrain(s, d, prof = Some(profFull),
+      pairPred = Some((x, y) => x % 2 === 0 && y % 2 === 0))
+      .select("d1", "d2")
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nh = truth.join(lsh, Seq("d1", "d2"))
+      .agg(count(lit(1)).as("n_hit"))
+    nt.crossJoin(nl).crossJoin(nh)
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_hit").cast(DoubleType) / col("n_truth"))
+          .as("recall"))
+  }
 
-    // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
-    // bucketing on the signature gives near-dup candidates at scale.
-    // Cost shape: the 32 bit-values are derived once per distinct token
-    // (vocabulary) as an array; per-doc votes are an element-wise integer
-    // array sum — exact and order-independent, so identical to the oracle's
-    // naive per-(doc,token,bit) formulation.
-    ("llm_simhash",
-      (s, d) => simhashVotes(s, d)
-        .select(col("doc_id"), expr(
-          "array_join(transform(v, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
-          .as("sig")),
-      Some("WITH " + simhashVotesSql + """
-              SELECT doc_id,
-                     string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
-                                ORDER BY j) AS sig
-              FROM bits GROUP BY doc_id""")),
 
-    // SimHash near-dup JOIN: 32-bit integer signature, banded into 4 bytes.
-    // Pigeonhole completeness: a pair at hamming ≤ 3 flips at most 3 of the
-    // 4 bytes, so it MUST share one exact byte — candidate generation (a
-    // shuffle on (band, byte), never all-pairs) provably misses nothing at
-    // the threshold. Exact Hamming via bit_count(xor) on candidates only.
-    ("llm_simhash_neardup",
-      (s, d) => {
+  /** SimHash near-dup pairs, grain-dispatched (the query passes the
+    * multiplicity probe's verdict; AdaptiveGrainSpec pins both arms).
+    */
+  private[graft] def simhashNearDup(s: SparkSession, d: String,
+      idGrain: Boolean): DataFrame = {
         val sigs = simhashVotes(s, d)
           .select(col("doc_id"), expr(
             """aggregate(zip_with(v, sequence(0, 31),
@@ -798,6 +880,22 @@ object LlmOps {
                            ELSE CAST(0 AS BIGINT) END),
                  CAST(0 AS BIGINT), (a, b) -> a + b)""").as("sig"))
           .localCheckpoint() // feeds both sides of the band self-join
+        if (idGrain) {
+          // DOC grain (r15 adaptive, multiplicity ≈ 1): band doc ids
+          // directly — no signature-grain exchange, no expansion joins
+          val bands = sigs
+            .withColumn("b", explode(sequence(lit(0), lit(3))))
+            .withColumn("bv", expr("(sig >> (8 * b)) & 255"))
+          bands.as("x").join(bands.as("y"),
+              col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              col("x.sig").as("s1"), col("y.sig").as("s2"))
+            .dropDuplicates("d1", "d2")
+            .withColumn("ham", expr("bit_count(s1 ^ s2)").cast(IntegerType))
+            .filter(col("ham") <= 3)
+            .select("d1", "d2", "ham")
+        } else {
         // DISTINCT-SIGNATURE grain (r14, the sf10 finding): docs sharing a
         // 32-bit signature share every band, so banding DOC ids is
         // quadratic in duplicate multiplicity; banding distinct signature
@@ -830,7 +928,136 @@ object LlmOps {
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
             lit(0).cast(IntegerType).as("ham"))
         cross.unionByName(same)
-      },
+        }
+  }
+
+  /** Min-label propagation to convergence, shared by both grain arms:
+    * rounds of neighbor-min hash joins over (v, l) labels with per-round
+    * eager materialization, a label-sum fixpoint test, and a loud failure
+    * on non-convergence (a silent intermediate answer would diverge from
+    * the recursive oracle). O(component diameter) rounds.
+    */
+  private def minLabelLoop(labels0: DataFrame, edges0: DataFrame): DataFrame = {
+    // Size the loop's parallelism to the GRAPH, not the session default:
+    // the pair graph is bounded by the near-dup rate — orders of
+    // magnitude smaller than the corpus it came from. Each round is two
+    // hash joins + an aggregation + a fixpoint collect; at session
+    // parallelism a tiny graph pays 32-partition exchange/scheduling
+    // floors per round (r15: ~0.4 s of the sf0.1 dedup_clusters row was
+    // pure round overhead). Below ~2M edges the whole loop fits one
+    // partition — every round becomes a narrow single-task join chain —
+    // while a billion-edge graph keeps the partitioned shape unchanged.
+    val nEdges = edges0.count()
+    val (edges, labels1) =
+      if (nEdges < 2000000L)
+        (edges0.repartition(1).localCheckpoint(),
+          labels0.repartition(1).localCheckpoint())
+      else (edges0, labels0)
+    var labels = labels1
+    // coalesce: sum over an EMPTY vertex set (no near-dup pairs at all)
+    // is NULL — the loop must see 0, not NPE on the unbox
+    def labelSum(): Long = labels
+      .agg(coalesce(org.apache.spark.sql.functions.sum("l"), lit(0L)))
+      .first().getLong(0)
+    val maxRounds = 50
+    var prevSum = -1L
+    var sum = labelSum()
+    var rounds = 0
+    while (sum != prevSum && rounds < maxRounds) { // converges in O(diameter)
+      val nbrMin = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(edges("src").as("nv")).agg(min(col("l")).as("nl"))
+      labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint()
+      prevSum = sum
+      sum = labelSum()
+      rounds += 1
+    }
+    require(sum == prevSum,
+      s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /** Doc-grain clustering arm (r15 adaptive grain, multiplicity ≈ 1):
+    * vertices and edges straight off the id-grain pair stream.
+    */
+  private[graft] def dedupClustersIdGrain(s: SparkSession,
+      d: String): DataFrame = {
+    val p = minhashPairsIdGrain(s, d).select("d1", "d2").localCheckpoint()
+    val edges = p.unionByName(
+      p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").localCheckpoint()
+    val labels0 = edges.select(col("src").as("v")).distinct()
+      .withColumn("l", col("v")).localCheckpoint()
+    minLabelLoop(labels0, edges)
+      .select(col("v").as("doc_id"), col("l").as("cluster"))
+  }
+
+  private[queries] def dedupClusters(s: SparkSession, d: String): DataFrame =
+    if (textIdGrainOk(s, d)) dedupClustersIdGrain(s, d)
+    else dedupClustersTextGrain(s, d)
+
+  private[graft] def dedupClustersTextGrain(s: SparkSession,
+      d: String): DataFrame = {
+        // TEXT-grain label propagation (r14, the sf10 finding): vertices
+        // are distinct TEXTS in any near-dup relation — cross-text
+        // (pairsT) or multi-copy (≥2 docs share the text, a clique in the
+        // doc graph). The r13 loop propagated over doc-grain edges, whose
+        // count is quadratic in duplicate multiplicity (a 100×-re-crawl
+        // means 100² edges per text pair, per iteration); the text graph
+        // is multiplicity-free and the docs join the converged component
+        // label once at the end. The result is IDENTICAL to the doc-grain
+        // components: same-text docs are glued by construction, and the
+        // component's min doc_id equals the min over member texts'
+        // min-doc representatives (labels init to the text's rd).
+        val (docsT0, reps, pairsT) = minhashTextPairs(s, d)
+        val docsT = docsT0.localCheckpoint()
+        val p = pairsT.select(col("t1"), col("t2")).localCheckpoint()
+        val multi = docsT.groupBy(col("th")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select(col("th"))
+        val verts = p.select(col("t1").as("th"))
+          .unionByName(p.select(col("t2").as("th")))
+          .unionByName(multi).distinct()
+        val edges = p.select(col("t1").as("src"), col("t2").as("dst"))
+          .unionByName(p.select(col("t2").as("src"), col("t1").as("dst")))
+          .localCheckpoint()
+        val labels0 = verts
+          .join(reps.select(col("th"), col("rd")), "th")
+          .select(col("th").as("v"), col("rd").as("l")).localCheckpoint()
+        val labels = minLabelLoop(labels0, edges)
+        // every doc of a labeled text gets the component label (the only
+        // multiplicity-sized step, and it is one equi-join)
+        docsT.join(labels, docsT("th") === labels("v"))
+          .select(col("doc_id"), col("l").as("cluster"))
+  }
+
+  // def, not val: `all` initializes before this point in the object body
+  private def moreOps: Seq[(String, Q, Option[String])] = Seq(
+
+    // SimHash: 32-bit weighted-vote signature from token md5 bits. Hamming
+    // bucketing on the signature gives near-dup candidates at scale.
+    // Cost shape: the 32 bit-values are derived once per distinct token
+    // (vocabulary) as an array; per-doc votes are an element-wise integer
+    // array sum — exact and order-independent, so identical to the oracle's
+    // naive per-(doc,token,bit) formulation.
+    ("llm_simhash",
+      (s, d) => simhashVotes(s, d)
+        .select(col("doc_id"), expr(
+          "array_join(transform(v, x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+          .as("sig")),
+      Some("WITH " + simhashVotesSql + """
+              SELECT doc_id,
+                     string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY j) AS sig
+              FROM bits GROUP BY doc_id""")),
+
+    // SimHash near-dup JOIN: 32-bit integer signature, banded into 4 bytes.
+    // Pigeonhole completeness: a pair at hamming ≤ 3 flips at most 3 of the
+    // 4 bytes, so it MUST share one exact byte — candidate generation (a
+    // shuffle on (band, byte), never all-pairs) provably misses nothing at
+    // the threshold. Exact Hamming via bit_count(xor) on candidates only.
+    ("llm_simhash_neardup",
+      (s, d) => simhashNearDup(s, d, textIdGrainOk(s, d)),
       Some("WITH " + simhashVotesSql + """,
               sig AS (
                 SELECT doc_id,
@@ -1113,7 +1340,8 @@ object LlmOps {
     // the dedup-flavored companion of llm_ann_lsh (same LSH candidates).
     ("llm_embed_neardup",
       (s, d) => graft.llm.Similarity.nearDupPairs(embeddings(s, d),
-        dims = 64, nBits = 4, nTables = 2, tau = 0.2, roundScale = 4),
+        dims = 64, nBits = 4, nTables = 2, tau = 0.2, roundScale = 4,
+        idGrain = vecIdGrainOk(s, d)),
       Some(graft.llm.Similarity.nearDupOracleSql(
         dims = 64, nBits = 4, nTables = 2, tau = 0.2, roundScale = 4))),
 
