@@ -251,27 +251,39 @@ object Bench {
   }
 
   /** The prior-round board to cross-reference: SPARK_GRAFT_REF_BENCH if
-    * set, else the newest BENCH_r*.json in the working directory (the
-    * driver runs from the repo root, so its own boards self-chain).
-    * Ignored unless the board's sf tag names the same sf directory —
-    * comparing an sf1 run against an sf0.1 board would flag everything.
+    * set, else the most recently modified matching board from the
+    * working directory — `artifacts/bench_local_*.json` (our own
+    * committed one-line boards, preferred) and `BENCH_r*.json` (the
+    * driver's wrapper, whose payload arrives with escaped quotes and may
+    * be tail-truncated — unescaping lets a complete payload parse; a
+    * truncated one yields no queries marker and is skipped). A board is
+    * ignored unless its sf tag names the same sf directory — comparing
+    * an sf1 run against an sf0.1 board would flag everything.
     */
   private def referenceBoard(sfDir: String): Map[String, Double] =
     try {
-      import java.nio.file.{Files, Paths}
-      val path = sys.env.get("SPARK_GRAFT_REF_BENCH").map(Paths.get(_))
-        .orElse {
+      import java.nio.file.{Files, Paths, Path}
+      val base = (s: String) =>
+        s.split('/').filter(_.nonEmpty).lastOption.getOrElse(s)
+      def boardOf(p: Path): Map[String, Double] = {
+        val text = Files.readString(p).replace("\\\"", "\"")
+        val (qs, sf) = parseBoard(text)
+        if (qs.nonEmpty && base(sf) == base(sfDir)) qs
+        else Map.empty[String, Double]
+      }
+      sys.env.get("SPARK_GRAFT_REF_BENCH").map(Paths.get(_))
+        .filter(Files.isRegularFile(_)).map(boardOf).getOrElse {
           val cwd = Paths.get(".").toAbsolutePath.normalize
-          val boards = Files.list(cwd).iterator().asScala
-            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-            .toSeq.sortBy(_.getFileName.toString)
-          boards.lastOption
+          val dirs = Seq(cwd.resolve("artifacts"), cwd)
+          val candidates = dirs.filter(Files.isDirectory(_)).flatMap { d =>
+            Files.list(d).iterator().asScala.filter { p =>
+              val n = p.getFileName.toString
+              n.matches("bench_local_.*\\.json") || n.matches("BENCH_r\\d+\\.json")
+            }.toSeq
+          }.sortBy(p => -Files.getLastModifiedTime(p).toMillis)
+          candidates.iterator.map(boardOf).find(_.nonEmpty)
+            .getOrElse(Map.empty)
         }
-      path.filter(Files.isRegularFile(_)).map { p =>
-        val (qs, sf) = parseBoard(Files.readString(p))
-        val base = (s: String) => s.split('/').filter(_.nonEmpty).lastOption.getOrElse(s)
-        if (base(sf) == base(sfDir)) qs else Map.empty[String, Double]
-      }.getOrElse(Map.empty)
     } catch { case _: Exception => Map.empty }
 
   def main(args: Array[String]): Unit = {
