@@ -1013,22 +1013,28 @@ object Relational {
     // U3 — intersect, fused (r15). Spark's built-in Intersect lowers to
     // Distinct + left-semi join with BOTH full sides exchanged (r14 sf1:
     // 0.57 s / 5.7× — its siblings u4/u5 got their fusion a round
-    // earlier). Identity: A ∩ B (distinct) = distinct(A semi-join B).
-    // customer is the dimension side — broadcast it (duplicates on the
-    // build side don't matter to a semi join, so no pre-distinct), and
-    // the only exchange left is the distinct's partial-agg output:
-    // map-side combine collapses the ~10 orders/customer before the
-    // shuffle. <=> keeps the NULLs-compare-equal face INTERSECT
-    // prescribes. At dimension sizes past broadcast reach the same shape
-    // degrades to a shuffled semi join — still strictly less exchanged
-    // data than the built-in's two-sided distinct.
+    // earlier). The u4/u5 marker identity generalizes to two tables:
+    // union both key streams with a side marker and take ONE aggregation
+    // — k is in the intersection iff both markers appear. Map-side
+    // partial agg collapses each side to its distinct keys per partition
+    // BEFORE the single exchange, there is no broadcast build job (no
+    // driver collect, no small-side assumption — the shape that holds
+    // when both sides are fact-sized at 100 TB), and NULL keys group
+    // together, exactly the NULLs-compare-equal face INTERSECT
+    // prescribes. A semi-join challenger (broadcast dim side) measured
+    // 0.59 s at sf1 — the broadcast build job IS its floor; this form
+    // measures the scan + one exchange only.
     // ref: p48_tecnologias_generacion.py:88
     ("u3_intersect",
-      (s, d) => orders(s, d).select(col("o_custkey").as("k"))
-        .join(broadcast(customer(s, d).filter(col("c_acctbal") > 0)
-            .select(col("c_custkey").as("ck"))),
-          col("k") <=> col("ck"), "left_semi")
-        .distinct(),
+      (s, d) => orders(s, d)
+        .select(col("o_custkey").as("k"), lit(1).as("side"))
+        .unionByName(customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("k"), lit(2).as("side")))
+        .groupBy("k")
+        .agg(max(when(col("side") === 1, 1)).as("in_o"),
+          max(when(col("side") === 2, 1)).as("in_c"))
+        .filter(col("in_o") === 1 && col("in_c") === 1)
+        .select("k"),
       Some("""SELECT o_custkey AS k FROM orders
               INTERSECT
               SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0""")),
