@@ -65,9 +65,23 @@ object Quantiles {
     * count/mean AND quantiles from one groupBy) skip the second source
     * scan this method would otherwise pay. NULL values must already be
     * excluded.
+    *
+    * `extra` rides companion aggregates on the SAME final aggregation
+    * (one (name, aggExpr) pair per output column), so a stats row needing
+    * count/mean alongside the quantiles stays ONE job instead of
+    * checkpoint + two branches + join — at small scale each extra Spark
+    * job is a fixed ~0.15-0.3 s floor, and at cluster scale each is a
+    * scheduling round-trip. The expressions aggregate rows of the
+    * cumulative frame: one row per (keys, value) carrying `cnt` as
+    * `__cnt` plus the window columns `__n` (group total) and `__cum`
+    * (cumulative count in value order). Counts-grain identities hold
+    * exactly: sum(__cnt) is the row count and sum(value·__cnt)/sum(__cnt)
+    * is bit-equal to avg over raw rows whenever value is integer-valued
+    * (integer-valued double sums are exact below 2^53 in any order).
     */
   def groupedFromCounts(counts: DataFrame, keys: Seq[String], value: String,
-      cnt: String, ps: Seq[Double], names: Seq[String]): DataFrame = {
+      cnt: String, ps: Seq[Double], names: Seq[String],
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length,
       "one output name per quantile")
     val v = col(value)
@@ -87,7 +101,7 @@ object Quantiles {
         max(when(col("__cum") - col("__cnt") <= kh && kh < col("__cum"), v))
           .as(s"__vh_$i"),
         max(r).as(s"__r_$i"))
-    }
+    } ++ extra.map { case (n, c) => c.as(n) }
     val sel = keys.map(col) ++ ps.indices.map { i =>
       val r = col(s"__r_$i"); val kl = floor(r); val kh = ceil(r)
       when(kl === kh, col(s"__vl_$i").cast(DoubleType))
@@ -95,7 +109,7 @@ object Quantiles {
           (kh.cast(DoubleType) - r) * col(s"__vl_$i") +
             (r - kl.cast(DoubleType)) * col(s"__vh_$i"))
         .as(names(i))
-    }
+    } ++ extra.map { case (n, _) => col(n) }
     cum.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       .select(sel: _*)
   }

@@ -619,27 +619,37 @@ object Curation {
     // interpolation expression).
     ("llm_length_stats",
       (s, d) => {
-        // ONE text scan (r15): the count/mean arm and the quantile arm
-        // both reduce to the (source, n_tok) value-counts grain, so
-        // aggregate to it once and derive both from the checkpointed
-        // counts (|sources|×|distinct lengths| rows — bounded). The mean
-        // rides the counts exactly: n_tok is integer-valued, so
-        // sum(n_tok·cnt)/sum(cnt) is the same IEEE value as avg over the
-        // raw rows (integer sums are exact below 2^53, in any order).
+        // ONE text scan AND ONE job (r15): the count/mean arm and the
+        // quantile arm both reduce to the (source, n_tok) value-counts
+        // grain, so aggregate to it once and ride count/mean as companion
+        // aggregates on the quantile machinery's final aggregation
+        // (Quantiles.groupedFromCounts `extra`) — no checkpoint job, no
+        // broadcast-build job, no join. The mean rides the counts
+        // exactly: n_tok is integer-valued, so sum(n_tok·cnt)/sum(cnt)
+        // is the same IEEE value as avg over the raw rows (integer sums
+        // are exact below 2^53, in any order). The token count itself is
+        // allocation-free: for a single-space delimiter, len(split(text))
+        // ≡ (#spaces)+1 — split() keeps empty fields on both engines, so
+        // every space is a field boundary — and #spaces falls out of two
+        // length() calls instead of materializing the token array the
+        // split form allocates per document (the measured residual over
+        // the bare text-scan floor, bench_notes_r15.md). NULL text stays
+        // NULL through either form.
         val counts = documents(s, d)
           .select(col("source"),
-            size(split(col("text"), " ")).cast(DoubleType).as("n_tok"))
+            (length(col("text"))
+              - length(replace(col("text"), lit(" "), lit(""))) + 1)
+              .cast(DoubleType).as("n_tok"))
           .groupBy("source", "n_tok").agg(count(lit(1)).as("__cnt"))
-          .localCheckpoint()
-        val stats = counts.groupBy("source")
-          .agg(sum(col("__cnt")).as("n_docs"),
-            round(sum(col("n_tok") * col("__cnt")) / sum(col("__cnt")), 6)
-              .as("mean_tok"))
-        val q = graft.operators.Quantiles.groupedFromCounts(counts,
+        graft.operators.Quantiles.groupedFromCounts(counts,
           Seq("source"), "n_tok", "__cnt", Seq(0.5, 0.9),
-          Seq("p50_raw", "p90_raw"))
-        stats.join(broadcast(q), Seq("source"))
-          .select(col("source"), col("n_docs"), col("mean_tok"),
+          Seq("p50_raw", "p90_raw"),
+          extra = Seq(
+            "n_docs" -> sum(col("__cnt")),
+            "mean_raw" -> (sum(col("n_tok") * col("__cnt"))
+              / sum(col("__cnt")))))
+          .select(col("source"), col("n_docs"),
+            round(col("mean_raw"), 6).as("mean_tok"),
             round(col("p50_raw"), 6).as("p50_tok"),
             round(col("p90_raw"), 6).as("p90_tok"))
       },
