@@ -205,9 +205,13 @@ object Bench {
     //    sinks inside the measurement (write cost is the point, but it
     //    is not scan-plan cost)
     //  - query:         everything else — the plan-quality number
+    // contains, not endsWith: the twin rows pipeline_esios_e2e2 /
+    // pipeline_omie_mic_e2e2 are fixture-writing e2e rows too — an
+    // endsWith("_e2e") check silently billed them to the plan-quality
+    // family
     def family(n: String): String =
       if (n.contains("stream")) "streaming_e2e"
-      else if (n.endsWith("_e2e")) "fixture_e2e"
+      else if (n.contains("_e2e")) "fixture_e2e"
       else "query"
     // toSeq first: a pair-producing collect on a Map would collapse
     // same-family entries to the last one instead of keeping all rows
