@@ -176,6 +176,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"${other.sql}: ${other.dataType.sql}")
       })))
     ext.injectFunction((
+      new FunctionIdentifier("ascii_count"),
+      new ExpressionInfo(classOf[graft.functions.AsciiCount].getName,
+        "ascii_count"),
+      exact("ascii_count", 2)(c => c(1) match {
+        // the target char is part of the scan program — a literal
+        // single-character ASCII string only (multi-byte would need real
+        // UTF-8 decoding, the cost this expression exists to delete)
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)
+            if s != null && s.numBytes == 1 && s.getByte(0) >= 0 =>
+          graft.functions.AsciiCount(c(0), s.getByte(0))
+        case other => throw userError(
+          "ascii_count target must be a literal single ASCII character, " +
+            s"got ${other.sql}")
+      })))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[graft.functions.PiiScrub].getName,
         "pii_scrub"),

@@ -628,17 +628,15 @@ object Curation {
         // exactly: n_tok is integer-valued, so sum(n_tok·cnt)/sum(cnt)
         // is the same IEEE value as avg over the raw rows (integer sums
         // are exact below 2^53, in any order). The token count itself is
-        // allocation-free: for a single-space delimiter, len(split(text))
+        // zero-copy: for a single-space delimiter, len(split(text))
         // ≡ (#spaces)+1 — split() keeps empty fields on both engines, so
-        // every space is a field boundary — and #spaces falls out of two
-        // length() calls instead of materializing the token array the
-        // split form allocates per document (the measured residual over
-        // the bare text-scan floor, bench_notes_r15.md). NULL text stays
-        // NULL through either form.
+        // every space is a field boundary — and ascii_count counts the
+        // space BYTE over the raw UTF-8 in codegen, no token array, no
+        // replace()-copy (both measured above the bare text-scan floor,
+        // bench_notes_r15.md). NULL text stays NULL through either form.
         val counts = documents(s, d)
           .select(col("source"),
-            (length(col("text"))
-              - length(replace(col("text"), lit(" "), lit(""))) + 1)
+            (expr("ascii_count(text, ' ')") + 1)
               .cast(DoubleType).as("n_tok"))
           .groupBy("source", "n_tok").agg(count(lit(1)).as("__cnt"))
         graft.operators.Quantiles.groupedFromCounts(counts,

@@ -466,6 +466,47 @@ class NarrowStatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("vec_dot"))
   }
 
+  test("ascii_count: split identity, unicode bytes, null, rejections") {
+    // the identity llm_length_stats rides on: count(' ')+1 == len(split)
+    val texts = Seq(
+      "a b c", "", " ", "  ", "no-spaces", "trailing ", " leading",
+      "double  space", "ñ andú é", "漢字 テスト 漢", "a\tb c", "🎉 x 🎉🎉"
+    )
+    val df = texts.toDF("t")
+    val got = df.select(
+        (call_function("ascii_count", $"t", lit(" ")) + 1).as("a"),
+        size(split($"t", " ")).as("b"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (a, b) => assert(a == b, s"identity broke: $a != $b") }
+    // non-space target + exactness inside multi-byte neighborhoods: the
+    // ASCII byte 'x' never matches inside ñ/漢/🎉 UTF-8 sequences
+    val xs = Seq(("ñxñ", 1), ("xx漢x", 3), ("🎉", 0), ("", 0))
+    xs.foreach { case (t, n) =>
+      val c = Seq(t).toDF("t")
+        .select(call_function("ascii_count", $"t", lit("x")))
+        .as[Int].head()
+      assert(c == n, s"'$t' -> $c, want $n")
+    }
+    // null in → null out
+    val nl = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("ascii_count", $"t", lit(" ")))
+      .as[Option[Int]].head()
+    assert(nl.isEmpty)
+    // analysis-time rejections: non-literal, multi-char, non-ASCII target
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("ascii_count", $"t", $"t")).collect()
+    }
+    assert(e1.getMessage.contains("ascii_count"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("ascii_count", $"t", lit("ab"))).collect()
+    }
+    assert(e2.getMessage.contains("ascii_count"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("ascii_count", $"t", lit("ñ"))).collect()
+    }
+    assert(e3.getMessage.contains("ascii_count"))
+  }
+
   test("all narrow expressions participate in whole-stage codegen") {
     val docs = graft.Tables.documents(spark, sfDir)
     for ((fn, arg) <- Seq(
