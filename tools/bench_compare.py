@@ -38,8 +38,10 @@ print(f"\nTOTAL duckdb={tot_d:.1f}s spark={tot_s:.1f}s ratio={tot_s/tot_d:.2f}x"
 # is the plan-quality number; the two e2e families are fixture/stream
 # startup floors
 def family(n):
+    # contains, not endswith: pipeline_*_e2e2 twins are fixture rows too
+    # (mirrors Bench.scala family())
     if "stream" in n: return "streaming_e2e"
-    if n.endswith("_e2e"): return "fixture_e2e"
+    if "_e2e" in n: return "fixture_e2e"
     return "query"
 fams = {}
 for name, d, s in rows:
