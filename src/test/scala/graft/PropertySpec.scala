@@ -169,4 +169,25 @@ class PropertySpec extends SparkSpec {
     for ((id, fps) <- expected)
       assert(got(id) == fps, s"doc $id: got ${got(id)}, want $fps")
   }
+
+  test("property: ascii_count matches a String.count oracle on random unicode text") {
+    // strings mixing ASCII (incl. the target), multi-byte BMP and
+    // supplementary-plane code points — the byte-walk must never match an
+    // ASCII target inside a multi-byte UTF-8 sequence
+    val genChunk = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(" "), Gen.const("  "),
+      Gen.const("ñé漢字"), Gen.const("🎉🜁"), Gen.const("x x"),
+      Gen.const(""), Gen.const("\tx\n"))
+    val genText = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, genChunk).map(_.mkString))
+    val texts = samples(genText, 400)
+    for (target <- Seq(' ', 'x', '0')) {
+      val expected = texts.map(t => t.count(_ == target))
+      val got = texts.toDF("t")
+        .select(call_function("ascii_count", col("t"),
+          lit(target.toString)))
+        .as[Int].collect().toSeq
+      assert(got == expected, s"target '$target'")
+    }
+  }
 }

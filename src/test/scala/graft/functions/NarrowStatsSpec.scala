@@ -514,6 +514,7 @@ class NarrowStatsSpec extends SparkSpec {
         ("bigram_rep_stats", split(col("text"), " ")),
         ("shingle_codes", split(col("text"), " ")),
         ("winnow_prints", split(col("text"), " ")))) {
+      // (ascii_count asserted separately below — two-arg literal form)
       val plan = docs.select(call_function(fn, arg))
         .queryExecution.executedPlan.toString
       assert(plan.linesIterator.exists(l =>
@@ -526,5 +527,11 @@ class NarrowStatsSpec extends SparkSpec {
     assert(embPlan.linesIterator.exists(l =>
       l.toLowerCase.contains("int8quantstats") && l.trim.startsWith("*(")),
       s"int8_quant_stats not codegen'd:\n$embPlan")
+    val acPlan = docs
+      .select(call_function("ascii_count", col("text"), lit(" ")))
+      .queryExecution.executedPlan.toString
+    assert(acPlan.linesIterator.exists(l =>
+      l.contains("ascii_count") && l.trim.startsWith("*(")),
+      s"ascii_count not codegen'd:\n$acPlan")
   }
 }
