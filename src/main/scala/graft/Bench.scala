@@ -64,6 +64,47 @@ object Bench {
     val sentinel0 = (1 to 5).map(_ => sentinel()).min
     def quiet(s: Double): Boolean =
       s <= math.max(sentinel0 * 1.5, sentinel0 + 0.05)
+    // I/O SENTINEL (r16): the CPU probe above is BLIND to I/O windows —
+    // the r15 mid-round boards rode a 20-30% quiet disk window with the
+    // CPU sentinel flat at 0.109-0.155 s, and a human had to adjudicate
+    // boards after the fact (second round running: r14's a1_rollup was
+    // the same class). This probe is the I/O-side twin: a fixed-size
+    // parquet write+read of incompressible longs (multiplied ids — a
+    // bijection, so delta/dictionary encoding can't shrink it; one
+    // multiply per value keeps CPU out of the measurement) against the
+    // real disk (java.io.tmpdir, NOT spark.local.dir which is tmpfs
+    // here). It brackets the BOARD — min-of-3 after warm-up, min-of-3
+    // after the last query — and both values are compared against a
+    // COMMITTED calibration (artifacts/bench_calibration.json, or
+    // SPARK_GRAFT_IO_CALIB): a probe >20% off calibration in EITHER
+    // direction marks the whole board "io_flagged" in the JSON. Fast
+    // deviations flag too — the r15 incident was a QUIET window making
+    // the code look better than it is, not a noisy one making it look
+    // worse.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft_io_probe")
+    def ioSentinel(): Double = {
+      val out = ioDir.resolve("probe.parquet").toString
+      val t0 = System.nanoTime()
+      spark.range(0L, 4L << 20, 1, 8).selectExpr(
+          "xxhash64(id) AS a", "xxhash64(id, 1) AS b",
+          "xxhash64(id, 2) AS c", "xxhash64(id, 3) AS d")
+        .write.mode("overwrite").parquet(out)
+      // sum of a MODULO, not of the raw hashes: 4M pseudorandom longs
+      // overflow an ANSI-mode sum; the modulo keeps the read-back forced
+      // (count(*) alone would answer from parquet footers without
+      // touching a data page) while the accumulator stays bounded
+      spark.read.parquet(out).selectExpr("sum(a % 65536)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two discarded warm probes first: the initial parquet writes pay
+    // writer-path JIT (~40% measured on an otherwise-quiet host) that
+    // belongs to the JVM, not to the window — the board's own per-query
+    // warm-pass rule applied to the probe itself. Probe SIZE is a
+    // measured tradeoff: at 512 MB the probe fights its own dirty-page
+    // writeback (±25% self-noise); 128 MB writes clear the page cache
+    // without saturating it.
+    ioSentinel(); ioSentinel()
+    val ioSentinel0 = (1 to 3).map(_ => ioSentinel()).min
     // a slow probe gets one settle-and-retry before it counts as drift:
     // the heavy stateful rows (RocksDB e2e, localCheckpoint pipelines)
     // leave decaying JVM residue (async GC finalization, store cleanup)
@@ -158,9 +199,9 @@ object Bench {
     // spot — a host burst that spans the whole timed window but falls
     // between the two probes passes as "quiet" (r14's a1_rollup: 3.08 s
     // on two committed boards with noisy:[], real value 0.30 s). A prior
-    // board at the SAME sf sees what the bracket can't: any row now >3×
-    // its prior-round time (above an absolute floor, so micro-rows don't
-    // thrash) gets up to two fresh measured windows, the min stands, and
+    // board at the SAME sf sees what the bracket can't: any row now
+    // >1.75× its prior-round time (above an absolute floor, so micro-rows
+    // don't thrash) gets up to two fresh measured windows, the min stands, and
     // a row whose regression SURVIVES re-measurement is named in a
     // dedicated "regressed" JSON field — a stable slow value is a real
     // regression to adjudicate, not noise, so it must not hide in
@@ -190,6 +231,17 @@ object Bench {
           regressed += name
       }
     }
+    // closing I/O bracket + board adjudication against the committed
+    // calibration; the probe dir is deleted so repeated boards don't
+    // accumulate 128 MB probe files in /tmp
+    val ioSentinel1 = (1 to 3).map(_ => ioSentinel()).min
+    locally {
+      import java.nio.file.Files
+      Files.walk(ioDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+    val ioCalib = ioCalibration()
+    val ioFlagged = ioFlag(Seq(ioSentinel0, ioSentinel1), ioCalib)
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
@@ -205,13 +257,14 @@ object Bench {
     //    sinks inside the measurement (write cost is the point, but it
     //    is not scan-plan cost)
     //  - query:         everything else — the plan-quality number
-    // contains, not endsWith: the twin rows pipeline_esios_e2e2 /
-    // pipeline_omie_mic_e2e2 are fixture-writing e2e rows too — an
-    // endsWith("_e2e") check silently billed them to the plan-quality
-    // family
+    // anchored suffix match (r16, was contains): `_e2e` plus an optional
+    // twin digit at END of name — covers pipeline_esios_e2e2 /
+    // pipeline_omie_mic_e2e2 (the r15 fix) without the contains() hazard
+    // of a future "..._e2e_..." mid-name query row silently billing to
+    // fixture_e2e (ADVICE r15). Mirrored in tools/bench_compare.py.
     def family(n: String): String =
       if (n.contains("stream")) "streaming_e2e"
-      else if (n.contains("_e2e")) "fixture_e2e"
+      else if ("_e2e\\d*$".r.findFirstIn(n).isDefined) "fixture_e2e"
       else "query"
     // toSeq first: a pair-producing collect on a Map would collapse
     // same-family entries to the last one instead of keeping all rows
@@ -221,16 +274,57 @@ object Bench {
       .mkString("{", ",", "}")
     val ns = noisy.map(jq).mkString("[", ",", "]")
     val rs = regressed.map(jq).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},"passes":$passes,"sf":"$sfDir"}"""
+    val io = f""""io_sentinel":$ioSentinel0%.3f,"io_sentinel_end":$ioSentinel1%.3f,"io_calib":$ioCalib%.3f,"io_flagged":$ioFlagged"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},$io,"passes":$passes,"sf":"$sfDir"}"""
   }
+
+  /** Board-level I/O-window adjudication: flagged when any bracket probe
+    * deviates from the committed calibration by more than `tol` in EITHER
+    * direction (a quiet window flatters the code exactly as a loud one
+    * slanders it — r15's golden a-board was a FAST window). No committed
+    * calibration (calib <= 0) → never flagged: a fresh host has nothing
+    * to deviate from. Pure — unit-tested with injected windows in
+    * ContractSpec.
+    */
+  private[graft] def ioFlag(measured: Seq[Double], calib: Double,
+      tol: Double = 0.2): Boolean =
+    calib > 0 && measured.exists(m => m > 0 && math.abs(m - calib) / calib > tol)
+
+  /** The committed I/O calibration for this host: SPARK_GRAFT_IO_CALIB
+    * (a path) if set, else artifacts/bench_calibration.json under the
+    * working directory. Shape: {"io_sentinel": <sec>, ...}. Missing or
+    * unparsable → -1 (boards run unflagged but carry io_calib:-1, so a
+    * calibration-less board is visibly weaker evidence, not silently
+    * identical).
+    */
+  private def ioCalibration(): Double =
+    try {
+      import java.nio.file.{Files, Paths}
+      val p = sys.env.get("SPARK_GRAFT_IO_CALIB").map(Paths.get(_))
+        .getOrElse(Paths.get("artifacts/bench_calibration.json"))
+      if (!Files.isRegularFile(p)) -1.0
+      else """"io_sentinel"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+        .findFirstMatchIn(Files.readString(p))
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+        .getOrElse(-1.0)
+    } catch { case _: Exception => -1.0 }
 
   /** Rows whose current time is >`factor`× the reference board's time for
     * the same query AND above an absolute floor (micro-rows jitter across
     * boards without meaning anything). Pure — unit-tested with injected
     * noise in ContractSpec.
+    *
+    * factor 1.75 (r16, was 3.0): w11_rolling_fact (1.86×) and w31_twap
+    * (1.5×) drifted under the 3× bar on the r15 driver board and
+    * `regressed` stayed silent about them. 1.75 is the re-MEASURE
+    * trigger, not the accusation: a tripped row gets up to two fresh
+    * measured windows and only a drift that SURVIVES re-measurement is
+    * named — the fresh windows are the same-round second opinion that
+    * separates window noise (re-measures back down) from a real
+    * regression (stays slow).
     */
   private[graft] def regressionFlags(current: Map[String, Double],
-      reference: Map[String, Double], factor: Double = 3.0,
+      reference: Map[String, Double], factor: Double = 1.75,
       floorSec: Double = 0.25): Set[String] =
     current.collect { case (n, t)
         if t >= floorSec &&

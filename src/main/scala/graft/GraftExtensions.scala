@@ -180,17 +180,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.AsciiCount].getName,
         "ascii_count"),
       exact("ascii_count", 2)(c => c(1) match {
-        // the target char is part of the scan program — a literal
-        // single-character ASCII string only (multi-byte would need real
-        // UTF-8 decoding, the cost this expression exists to delete)
-        case org.apache.spark.sql.catalyst.expressions.Literal(
-            s: org.apache.spark.unsafe.types.UTF8String,
-            org.apache.spark.sql.types.StringType)
-            if s != null && s.numBytes == 1 && s.getByte(0) >= 0 =>
-          graft.functions.AsciiCount(c(0), s.getByte(0))
+        // the target char is part of the scan program — any FOLDABLE
+        // single-ASCII-character string (a bare literal, chr(32), a cast
+        // constant — ADVICE r15: raw-Literal-only rejected statically
+        // known constants), evaluated once at resolution time. Multi-byte
+        // targets stay rejected: they would need real UTF-8 decoding, the
+        // cost this expression exists to delete.
+        case e if e.foldable &&
+            e.dataType == org.apache.spark.sql.types.StringType =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String
+                if s.numBytes == 1 && s.getByte(0) >= 0 =>
+              graft.functions.AsciiCount(c(0), s.getByte(0))
+            case _ => throw userError(
+              "ascii_count target must fold to a single ASCII character, " +
+                s"got ${e.sql}")
+          }
         case other => throw userError(
-          "ascii_count target must be a literal single ASCII character, " +
-            s"got ${other.sql}")
+          "ascii_count target must be a foldable single-ASCII-character " +
+            s"string, got ${other.sql}: ${other.dataType.sql}")
       })))
     ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),

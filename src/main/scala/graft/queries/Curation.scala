@@ -1655,8 +1655,26 @@ object Curation {
           $iters"""
   }
 
-  private def lmModelArrays(s: SparkSession, d: String,
-      trainPred: Column): (Array[Long], Array[Double]) = {
+  /** Hard ceiling on the collected char-bigram LM model. The model is
+    * alphabet²-bounded — for the web-text corpora this scorer targets
+    * (latin + punctuation + digits, a few hundred distinct chars) that is
+    * tens of thousands of bigrams, and the broadcast-literal scoring pass
+    * depends on the model being small. But the bound is CORPUS-shaped,
+    * not structural: a CJK or adversarial corpus can mint millions of
+    * distinct bigrams, and an uncapped collect() would OOM the DRIVER —
+    * the one failure mode a 1000-executor cluster cannot absorb. 2^20
+    * entries (16 MB of key/logprob arrays, broadcast-safe) is ~100× the
+    * web-text envelope; past it we fail with a named, diagnosable error
+    * (the bitmap_distinct r14 pattern) instead of a driver heap dump.
+    */
+  private[queries] val LmModelMaxBigrams: Int = 1 << 20
+
+  // package-visible + injectable cap so CurationSpec can assert the
+  // named error against a tiny synthetic wide-alphabet corpus instead of
+  // manufacturing 2^20 real bigrams in a unit test
+  private[graft] def lmModelArrays(s: SparkSession, d: String,
+      trainPred: Column,
+      cap: Int = LmModelMaxBigrams): (Array[Long], Array[Double]) = {
     val grams = documents(s, d).filter(trainPred)
       .filter(length(col("text")) >= 2)
       .withColumn("cs", split(col("text"), "(?!^)"))
@@ -1669,7 +1687,17 @@ object Curation {
         Window.partitionBy(substring(col("g"), 1, 1))))
       .select(col("g"),
         log(col("n").cast(DoubleType) / col("np")).as("lp"))
-    val rows = model.collect()
+    // limit(cap + 1): under the cap this returns the WHOLE model (scores
+    // byte-identical to the uncapped collect — CurationSpec pins the
+    // hashes); one row over it proves the corpus is outside the scorer's
+    // alphabet envelope and we raise before the driver heap does
+    val rows = model.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"char-bigram LM model exceeds $cap distinct " +
+        "bigrams: the corpus alphabet is too wide for the " +
+        "broadcast-literal scorer (CJK or adversarial text?) — " +
+        "pre-filter by lang or prune low-count bigrams before scoring")
     (rows.map(r => graft.functions.BigramLm.packKey(r.getString(0))),
       rows.map(_.getDouble(1)))
   }

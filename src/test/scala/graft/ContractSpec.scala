@@ -101,6 +101,12 @@ class ContractSpec extends SparkSpec {
       s"bench errors: ${node.get("errors")}")
     val it = node.get("queries").elements()
     while (it.hasNext) assert(it.next().asDouble() >= 0)
+    // the I/O bracket rides every board: both probes measured, the
+    // calibration field present (-1 when no calibration is committed for
+    // this working dir), the verdict a real boolean
+    assert(node.get("io_sentinel").asDouble() > 0)
+    assert(node.get("io_sentinel_end").asDouble() > 0)
+    assert(node.has("io_calib") && node.has("io_flagged"))
   }
 
   test("Bench cross-reference flags injected noise vs a prior board") {
@@ -115,8 +121,30 @@ class ContractSpec extends SparkSpec {
       "q_zero" -> 0.50,    // prior time 0 (unmeasurable ref): ignore
       "q_new" -> 9.99)     // not on the prior board: ignore
     assert(Bench.regressionFlags(current, prior) == Set("a1_rollup"))
-    // within-3× drift does not flag
-    assert(Bench.regressionFlags(Map("a1_rollup" -> 0.80), prior).isEmpty)
+    // within-1.75× drift does not flag (0.50 / 0.30 ≈ 1.67×)
+    assert(Bench.regressionFlags(Map("a1_rollup" -> 0.50), prior).isEmpty)
+    // the r15 silent-drift shape (the reason the trigger moved from 3× to
+    // 1.75×): w11_rolling_fact read 0.755 s against a 0.406 s prior board
+    // (1.86×) and the 3× trigger never re-measured it
+    assert(Bench.regressionFlags(
+      Map("w11_rolling_fact" -> 0.755), Map("w11_rolling_fact" -> 0.406))
+      == Set("w11_rolling_fact"))
+  }
+
+  test("Bench.ioFlag adjudicates injected I/O windows against calibration") {
+    // r15 blind spot: a quiet host I/O window ran every I/O-heavy row
+    // 20-30% fast while the pure-CPU sentinel stayed flat, and a human
+    // had to adjudicate the boards. The I/O probe must flag BOTH
+    // directions of deviation from the committed calibration.
+    val calib = 0.50
+    assert(Bench.ioFlag(Seq(0.80, 0.52), calib), "slow window must flag")
+    assert(Bench.ioFlag(Seq(0.52, 0.35), calib),
+      "quiet (fast) window must flag — r15's golden a-board shape")
+    assert(!Bench.ioFlag(Seq(0.45, 0.58), calib),
+      "±20% band is normal machine, not a window")
+    assert(!Bench.ioFlag(Seq(0.80, 0.80), -1.0),
+      "no committed calibration → nothing to deviate from")
+    assert(!Bench.ioFlag(Seq.empty, calib))
   }
 
   test("Bench.parseBoard reads queries + sf out of a board line") {

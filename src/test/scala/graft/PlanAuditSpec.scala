@@ -363,4 +363,46 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("adaptive-grain arms keep their defining physical shapes") {
+    // The r15 router's entire value is PLAN-shaped: the id-grain arm has
+    // NO content-hash machinery (no exchange keyed on the md5 text-hash
+    // `th`, candidates broadcast into the verify joins), while the
+    // content arm MUST keep its th exchange — that indirection is what
+    // makes the sf10 multiplicity-100 regime linear instead of quadratic.
+    // AdaptiveGrainSpec pins the two arms to identical VALUES; this pins
+    // the physical difference that justifies having two arms at all, so
+    // a regression fails a test instead of a bench eyeball (r15 verdict
+    // ask #5).
+    // broadcast disabled for the whole test: at sf0.001 the planner
+    // broadcasts the tiny th-keyed expansion joins, which would make the
+    // content arm's th EXCHANGE invisible — at the bomb regime's scale
+    // those joins shuffle, and the shuffled form is what the pin is about.
+    // The id arm's candidate broadcast survives regardless: it is an
+    // explicit broadcast() hint, not a threshold decision.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val id = queries.LlmOps.minhashPairsIdGrain(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!id.contains("th#"),
+        s"id-grain arm grew content-hash machinery:\n$id")
+      assert(id.contains("BroadcastHashJoin"),
+        s"id-grain candidate set no longer broadcasts into the verify joins:\n$id")
+      val ct = queries.LlmOps.minhashPairsContentGrain(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(ct.contains("hashpartitioning(th#"),
+        s"content arm LOST its content-hash exchange (multiplicity bomb " +
+          s"protection gone):\n$ct")
+      // simhash twins: id arm bands doc ids directly (no signature-grain
+      // exchange); content arm groups to distinct signatures first
+      val sid = queries.LlmOps.simhashNearDup(spark, sfDir, idGrain = true)
+        .queryExecution.executedPlan.toString
+      assert(!sid.contains("hashpartitioning(sig#"),
+        s"simhash id arm grew a signature-grain exchange:\n$sid")
+      val sct = queries.LlmOps.simhashNearDup(spark, sfDir, idGrain = false)
+        .queryExecution.executedPlan.toString
+      assert(sct.contains("hashpartitioning(sig#"),
+        s"simhash content arm lost its distinct-signature exchange:\n$sct")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

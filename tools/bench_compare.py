@@ -3,7 +3,7 @@
 reference's query engine) vs Spark per-query wall times from a Bench JSON.
 Usage: python3 tools/bench_compare.py <sfDir> <verifyOutDir> <benchJson>
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, time, re
 import duckdb
 
 sfdir, vout, benchjson = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -38,10 +38,10 @@ print(f"\nTOTAL duckdb={tot_d:.1f}s spark={tot_s:.1f}s ratio={tot_s/tot_d:.2f}x"
 # is the plan-quality number; the two e2e families are fixture/stream
 # startup floors
 def family(n):
-    # contains, not endswith: pipeline_*_e2e2 twins are fixture rows too
+    # anchored suffix (r16): _e2e plus optional twin digit at end of name
     # (mirrors Bench.scala family())
     if "stream" in n: return "streaming_e2e"
-    if "_e2e" in n: return "fixture_e2e"
+    if re.search(r"_e2e\d*$", n): return "fixture_e2e"
     return "query"
 fams = {}
 for name, d, s in rows:
