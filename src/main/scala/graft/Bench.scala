@@ -69,9 +69,9 @@ object Bench {
     // CPU sentinel flat at 0.109-0.155 s, and a human had to adjudicate
     // boards after the fact (second round running: r14's a1_rollup was
     // the same class). This probe is the I/O-side twin: a fixed-size
-    // parquet write+read of incompressible longs (multiplied ids — a
-    // bijection, so delta/dictionary encoding can't shrink it; one
-    // multiply per value keeps CPU out of the measurement) against the
+    // parquet write+read of incompressible longs (xxhash64 of ids —
+    // pseudorandom, so delta/dictionary encoding can't shrink it; one
+    // hash per value keeps CPU out of the measurement) against the
     // real disk (java.io.tmpdir, NOT spark.local.dir which is tmpfs
     // here). It brackets the BOARD — min-of-3 after warm-up, min-of-3
     // after the last query — and both values are compared against a
