@@ -240,8 +240,15 @@ object Bench {
       Files.walk(ioDir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.deleteIfExists(p); () })
     }
-    val ioCalib = ioCalibration()
-    val ioFlagged = ioFlag(Seq(ioSentinel0, ioSentinel1), ioCalib)
+    // start and end probes carry SEPARATE calibrations: after a full
+    // board (~190 queries) the JVM runs the probe ~20% faster than at
+    // board start (deep C2 compilation of the parquet writer path, hot
+    // page cache) — measured 0.52-0.57 end vs 0.61-0.82 start on quiet
+    // full boards. One shared calibration would read normal end-of-board
+    // warmth as a quiet window.
+    val (ioCalib, ioCalibEnd) = ioCalibration()
+    val ioFlagged = ioFlag(Seq(ioSentinel0), ioCalib) ||
+      ioFlag(Seq(ioSentinel1), ioCalibEnd)
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
@@ -274,7 +281,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ns = noisy.map(jq).mkString("[", ",", "]")
     val rs = regressed.map(jq).mkString("[", ",", "]")
-    val io = f""""io_sentinel":$ioSentinel0%.3f,"io_sentinel_end":$ioSentinel1%.3f,"io_calib":$ioCalib%.3f,"io_flagged":$ioFlagged"""
+    val io = f""""io_sentinel":$ioSentinel0%.3f,"io_sentinel_end":$ioSentinel1%.3f,"io_calib":$ioCalib%.3f,"io_calib_end":$ioCalibEnd%.3f,"io_flagged":$ioFlagged"""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},$io,"passes":$passes,"sf":"$sfDir"}"""
   }
 
@@ -290,24 +297,31 @@ object Bench {
       tol: Double = 0.2): Boolean =
     calib > 0 && measured.exists(m => m > 0 && math.abs(m - calib) / calib > tol)
 
-  /** The committed I/O calibration for this host: SPARK_GRAFT_IO_CALIB
-    * (a path) if set, else artifacts/bench_calibration.json under the
-    * working directory. Shape: {"io_sentinel": <sec>, ...}. Missing or
-    * unparsable → -1 (boards run unflagged but carry io_calib:-1, so a
+  /** The committed I/O calibrations (board-start, board-end) for this
+    * host: SPARK_GRAFT_IO_CALIB (a path) if set, else
+    * artifacts/bench_calibration.json under the working directory. Shape:
+    * {"io_sentinel": <sec>, "io_sentinel_end": <sec>, ...}; a missing
+    * end value falls back to the start value. Missing or unparsable file
+    * → (-1, -1): boards run unflagged but carry io_calib:-1, so a
     * calibration-less board is visibly weaker evidence, not silently
-    * identical).
+    * identical.
     */
-  private def ioCalibration(): Double =
+  private def ioCalibration(): (Double, Double) =
     try {
       import java.nio.file.{Files, Paths}
       val p = sys.env.get("SPARK_GRAFT_IO_CALIB").map(Paths.get(_))
         .getOrElse(Paths.get("artifacts/bench_calibration.json"))
-      if (!Files.isRegularFile(p)) -1.0
-      else """"io_sentinel"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-        .findFirstMatchIn(Files.readString(p))
-        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
-        .getOrElse(-1.0)
-    } catch { case _: Exception => -1.0 }
+      if (!Files.isRegularFile(p)) (-1.0, -1.0)
+      else {
+        val text = Files.readString(p)
+        def field(name: String): Option[Double] =
+          (""""""" + name + """"\s*:\s*(-?[0-9][0-9.eE+-]*)""").r
+            .findFirstMatchIn(text)
+            .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+        val start = field("io_sentinel").getOrElse(-1.0)
+        (start, field("io_sentinel_end").getOrElse(start))
+      }
+    } catch { case _: Exception => (-1.0, -1.0) }
 
   /** Rows whose current time is >`factor`× the reference board's time for
     * the same query AND above an absolute floor (micro-rows jitter across
