@@ -12,6 +12,19 @@ object Bench {
 
   def run(spark: SparkSession, sfDir: String,
       only: Set[String] = Set.empty): String = {
+    // STEAL SENTINEL (r16): the r16 sf1 a-board ran 27% slow with BOTH
+    // probes inside tolerance and 25 rows "regressed" — because the
+    // hypervisor neighbor was stealing >50% of requested CPU for the
+    // whole board, a window the CPU sentinel's re-measures can't
+    // exonerate (they re-measure inside the same window) and the I/O
+    // probe only brushes. /proc/stat's steal counter measures it
+    // DIRECTLY: bracket the whole board and report stolen ticks as a
+    // share of CPU demand (user+nice+system+steal). Needs no committed
+    // calibration — quiet KVM hosts run 0-2%; the r16 incident measured
+    // 53% under a controlled burn. Absent counter (non-KVM, non-Linux)
+    // reports -1, never 0: "unmeasured" must stay distinguishable from
+    // "measured quiet".
+    val stealTicks0 = procStatTicks()
     // warm-up: exercise the scan/join/agg/window/regexp codegen paths once
     // so JVM + whole-stage-codegen compilation isn't billed to whichever
     // measured query happens to run first
@@ -240,6 +253,7 @@ object Bench {
       Files.walk(ioDir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.deleteIfExists(p); () })
     }
+    val stealPct = stealShare(stealTicks0, procStatTicks()) * 100
     // start and end probes carry SEPARATE calibrations: after a full
     // board (~190 queries) the JVM runs the probe ~20% faster than at
     // board start (deep C2 compilation of the parquet writer path, hot
@@ -282,7 +296,8 @@ object Bench {
     val ns = noisy.map(jq).mkString("[", ",", "]")
     val rs = regressed.map(jq).mkString("[", ",", "]")
     val io = f""""io_sentinel":$ioSentinel0%.3f,"io_sentinel_end":$ioSentinel1%.3f,"io_calib":$ioCalib%.3f,"io_calib_end":$ioCalibEnd%.3f,"io_flagged":$ioFlagged"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},$io,"passes":$passes,"sf":"$sfDir"}"""
+    val steal = f""""steal_pct":$stealPct%.1f,"steal_flagged":${stealFlag(stealPct)}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"errors":$es,"noisy":$ns,"regressed":$rs,"sentinel":${f"$sentinel0%.3f"},$io,$steal,"passes":$passes,"sf":"$sfDir"}"""
   }
 
   /** Board-level I/O-window adjudication: flagged when any bracket probe
@@ -296,6 +311,45 @@ object Bench {
   private[graft] def ioFlag(measured: Seq[Double], calib: Double,
       tol: Double = 0.2): Boolean =
     calib > 0 && measured.exists(m => m > 0 && math.abs(m - calib) / calib > tol)
+
+  /** Stolen share of the board's CPU DEMAND from bracketing /proc/stat
+    * samples: steal / (user+nice+system+steal). Demand-relative, not
+    * machine-relative — a local[4] board on a 32-cpu host leaves 28 cpus
+    * idle, so steal as a fraction of the whole machine would read 3%
+    * while the board's own threads lose half their cycles (the r16 sf1
+    * incident: 9.7 s steal vs 7.8 s user under an 8-thread burn = 53%
+    * of demand, 3% of machine). Tick layout per proc(5): user nice
+    * system idle iowait irq softirq steal. Returns -1 when the counter
+    * is unavailable or nothing ran between samples. Pure — unit-tested
+    * with injected tick vectors in ContractSpec.
+    */
+  private[graft] def stealShare(start: Seq[Long], end: Seq[Long]): Double = {
+    if (start.length < 8 || end.length < 8) -1.0
+    else {
+      val d = end.zip(start).map { case (e, s) => math.max(e - s, 0L) }
+      val demand = d(0) + d(1) + d(2) + d(7)
+      if (demand <= 0) -1.0 else d(7).toDouble / demand
+    }
+  }
+
+  /** Quiet KVM guests measure 0-2% demand-relative steal; a contended
+    * hypervisor neighbor is tens of percent (53% in the r16 incident).
+    * 10% is daylight between the two regimes. -1 (unmeasured) never
+    * flags — absence of evidence is reported as -1, not adjudicated.
+    */
+  private[graft] def stealFlag(stealPct: Double, tolPct: Double = 10.0): Boolean =
+    stealPct > tolPct
+
+  /** First line of /proc/stat as tick counters, empty when unreadable
+    * (non-Linux, sandboxed). Read via Files.readAllLines: /proc files
+    * report size 0, which trips streaming readers that pre-size on it.
+    */
+  private def procStatTicks(): Seq[Long] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      line.trim.split("\\s+").toSeq.drop(1).map(_.toLong)
+    } catch { case _: Exception => Seq.empty }
 
   /** The committed I/O calibrations (board-start, board-end) for this
     * host: SPARK_GRAFT_IO_CALIB (a path) if set, else

@@ -147,6 +147,27 @@ class ContractSpec extends SparkSpec {
     assert(!Bench.ioFlag(Seq.empty, calib))
   }
 
+  test("Bench.stealShare adjudicates injected hypervisor-steal windows") {
+    // r16 incident: a whole sf1 board ran 27% slow with io/cpu probes in
+    // tolerance because the hypervisor neighbor stole >50% of requested
+    // CPU — a window that same-window re-measures cannot exonerate. The
+    // steal share is demand-relative: steal/(user+nice+system+steal).
+    def ticks(user: Long, sys: Long, idle: Long, steal: Long) =
+      Seq(user, 0L, sys, idle, 0L, 0L, 0L, steal)
+    val t0 = ticks(1000, 100, 50000, 10)
+    // quiet window: 1000 user ticks, 10 steal → ~1% of demand
+    assert(Bench.stealShare(t0, ticks(2000, 150, 51000, 20)) < 0.02)
+    // the r16 shape: 776 user / 83 sys / 968 steal ≈ 53% of demand
+    val contended = Bench.stealShare(t0,
+      ticks(1000 + 776, 100 + 83, 52000, 10 + 968))
+    assert(math.abs(contended - 0.53) < 0.01, s"got $contended")
+    assert(Bench.stealFlag(contended * 100) && !Bench.stealFlag(1.0))
+    // unmeasured stays distinguishable from quiet: -1, never flagged
+    assert(Bench.stealShare(Seq.empty, Seq.empty) == -1.0)
+    assert(Bench.stealShare(t0, t0) == -1.0, "zero demand → unmeasured")
+    assert(!Bench.stealFlag(-100.0))
+  }
+
   test("Bench.parseBoard reads queries + sf out of a board line") {
     val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5,"b":1.0},"families":{"query":1.5},"errors":{},"noisy":[],"sf":"/root/testdata/sf0.1"}"""
     val (qs, sf) = Bench.parseBoard(line)
