@@ -189,16 +189,29 @@ object Bench {
         // after → the window was quiet, accept; else re-measure (the min
         // across attempts still stands if no attempt gets a quiet window).
         // Single-pass mode brackets but never re-measures.
+        // The window is ALSO bracketed by /proc/stat steal samples
+        // (r16): hypervisor-steal waves last minutes, so a full board
+        // can never dodge them — but each QUERY only needs a clean
+        // window of seconds. Three consecutive sf1 boards on a wave-y
+        // host came back 183-205 s with 22-33% board steal where the
+        // quiet-window value is ~160 s, with the CPU bracket blind to
+        // most of it (steal hits the measured run and the probe
+        // equally, so the probe still reads "quiet" RELATIVE to its
+        // own stolen calibration). A steal-dirty window re-measures
+        // exactly like a sentinel-dirty one; unmeasured hosts (-1)
+        // never re-measure.
         var best = Double.MaxValue
         var clean = false
         var tries = 0
         val maxTries = if (passes >= 2) 3 else 1
         while (!clean && tries < maxTries) {
           val s1 = probe()
+          val st0 = procStatTicks()
           val t = attempt()
+          val stealOk = !stealFlag(stealShare(st0, procStatTicks()) * 100)
           val s2 = probe()
           best = math.min(best, t)
-          clean = quiet(s1) && quiet(s2)
+          clean = quiet(s1) && quiet(s2) && stealOk
           tries += 1
         }
         if (!clean) noisy += name
@@ -230,12 +243,23 @@ object Bench {
         def once(): Unit =
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         var best = results(name)
+        // the regression verdict deserves 2 STEAL-CLEAN fresh windows:
+        // a re-measure landing inside a hypervisor-steal wave would
+        // confirm the "regression" the wave itself caused. Dirty
+        // windows don't consume the clean-window budget (their min
+        // still counts — a fast value under steal is a fortiori
+        // clean), bounded by a hard attempt cap so a fully-stolen
+        // host terminates.
+        var cleanExtra = 0
         var extra = 0
-        while (extra < 2 && regressionFlags(
+        while (cleanExtra < 2 && extra < 6 && regressionFlags(
             Map(name -> best), refBoard).nonEmpty) {
+          val st0 = procStatTicks()
           val t0 = System.nanoTime()
           once()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          if (!stealFlag(stealShare(st0, procStatTicks()) * 100))
+            cleanExtra += 1
           clear()
           extra += 1
         }
