@@ -21,7 +21,11 @@ object Profile {
       val fn = SparkEntry.queries(n)
       if (explain) {
         println(s"===== $n =====")
-        println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+        // formatted mode (guide §7.2): numbered operator list + per-node
+        // details (PushedFilters, ReadSchema, join build side, exchange
+        // partitioning) — the shape the plan artifacts under plans/ carry
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       } else (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

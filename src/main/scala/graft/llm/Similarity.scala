@@ -58,10 +58,19 @@ object Similarity {
     */
   def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       roundScale: Int, carry: Seq[String] = Nil,
-      pairPred: Column = lit(true)): DataFrame = {
-    val e = embeddings.select(col("vec_id") +: carry.map(col) :+
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"): _*)
-    val withNorm = e.withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      pairPred: Column = lit(true),
+      ePre: Option[DataFrame] = None): DataFrame = {
+    // a caller that already materialized the normalized (vec_id, v, nrm)
+    // frame (the recall rows run this exact arm NEXT TO an approximate arm
+    // over the same table) passes it in — one corpus scan instead of two.
+    // Only valid when no carry columns are requested (ePre carries none).
+    require(ePre.isEmpty || carry.isEmpty,
+      "ePre cannot be combined with carry columns")
+    val withNorm = ePre.getOrElse {
+      embeddings.select(col("vec_id") +: carry.map(col) :+
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"): _*)
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    }
     val q = withNorm.filter(queryPred)
       .select(col("vec_id").as("qid") +:
         carry.map(cc => col(cc).as(s"q_$cc")) :+
@@ -412,17 +421,27 @@ object Similarity {
       typedLit(cents.map(c => c.map(x => x * x).sum).toSeq))
   }
 
-  /** The strict-< argmin assignment fold over the literal centroids
-    * (ties → lowest list id, matching the SQL row_number ORDER BY d,
-    * c_id). Returns the full struct: `.i` is the assigned list, `.d` the
-    * winning ||c||² − 2·v·c.
+  /** Native argmin/argmax assignment against a driver-side codebook — the
+    * graft.functions.PqCodes expression bridged into the Column API (the
+    * FixedPointLong precedent). r16: this replaces the interpreted
+    * `aggregate(sequence, ...)` fold (argminFold) whose per-(row, centroid)
+    * lambda evaluation ran outside codegen — identical strict-< /
+    * ascending-position tiebreaks, identical left-assoc keys, but one
+    * fused codegen'd loop per row (see the PqCodes scaladoc).
     */
-  private def argminFold(nLists: Int): Column =
-    expr(s"""aggregate(sequence(0, ${nLists - 1}),
-        named_struct('i', -1, 'd', cast('Infinity' as double)),
-        (acc, i) -> CASE WHEN cn2[i] - 2D * vec_dot(v, cl[i]) < acc.d
-          THEN named_struct('i', i, 'd', cn2[i] - 2D * vec_dot(v, cl[i]))
-          ELSE acc END)""")
+  private def pqCodesCol(v: Column, cb: Array[Array[Array[Double]]],
+      useL2: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), cb, useL2))
+
+  /** The argmin-L2 list assignment over learned centroids, as a narrow
+    * codegen'd column: position of min(‖c‖² − 2·v·c) in ascending
+    * centroid order (ties → lowest list id, matching the SQL row_number
+    * ORDER BY d, c_id).
+    */
+  private def argminL2(v: Column, cents: Array[Array[Double]]): Column =
+    pqCodesCol(v, Array(cents), useL2 = true).getItem(0)
 
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       nLists: Int = 16, nProbe: Int = 3, k: Int = 5,
@@ -439,15 +458,15 @@ object Similarity {
     // Deterministic: hash-ordered sample (md5 of the id string — a hash
     // both engines compute identically, so the oracle replays the exact
     // same sample in the exact same order), first-k init, fixed iterations.
-    val (cents, cl, cn2) = trainedQuantizer(e, nLists, iters = 8,
+    val (cents, _, _) = trainedQuantizer(e, nLists, iters = 8,
       samplePerList = 64)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // full-table assignment: argmin Euclidean distance over the literal
-    // centroid array, evaluated as one fold per row — ||v−c||² ordering
-    // equals (||c||² − 2·v·c) ordering, ||v||² being row-constant
-    val assigned = e.withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("list_id", argminFold(nLists)("i")).drop("cl", "cn2")
+    // full-table assignment: argmin Euclidean distance over the codebook,
+    // one native codegen'd loop per row (r16: was the interpreted
+    // argminFold) — ||v−c||² ordering equals (||c||² − 2·v·c) ordering,
+    // ||v||² being row-constant
+    val assigned = e.withColumn("list_id", argminL2(col("v"), cents))
     // each query ranks the (tiny, broadcast) centroid dim and probes nProbe
     val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("c_id", "c_vec")
@@ -616,14 +635,18 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm2", expr("vec_dot(v, v)"))
       .localCheckpoint() // eager: the sample and the profile pass read it
-    val (_, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
-    // the shared strict-< argmin fold, KEEPING the struct:
-    // .i is the assigned list, .d the winning ||c||² − 2·v·c
-    e.withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("st", argminFold(nLists))
+    val (cents, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
+    // native argmin assignment (r16: was the interpreted argminFold), then
+    // the winning key re-derived by the SAME expression the fold computed
+    // — cn2[i] − 2·vec_dot(v, cl[i]) over the identical literal arrays, so
+    // the value is bit-identical — via one literal lookup at the winning
+    // position
+    e.withColumn("i", argminL2(col("v"), cents))
+      .withColumn("cl", cl).withColumn("cn2", cn2)
+      .withColumn("d", expr("cn2[i] - 2D * vec_dot(v, cl[i])"))
       // d2 = (||c||² − 2·v·c) + ||v||², micro-snapped to an exact long
-      .select(col("st.i").as("list_id"),
-        expr("CAST(floor((st.d + nrm2) * 1000000.0 + 0.5) AS BIGINT)")
+      .select(col("i").as("list_id"),
+        expr("CAST(floor((d + nrm2) * 1000000.0 + 0.5) AS BIGINT)")
           .as("d2u"))
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vecs"),
@@ -677,7 +700,7 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .localCheckpoint() // eager: the sample and the assignment read it
-    val (_, cl, cn2) = trainedQuantizer(e, nLists, iters, samplePerList)
+    val (cents, _, _) = trainedQuantizer(e, nLists, iters, samplePerList)
     // DISTINCT-VECTOR grain (r14, the sf10 finding): identical vectors
     // land in the same cluster (assignment is a pure function of v), so
     // the within-cluster self-join at ID grain pays multiplicity² cosine
@@ -693,8 +716,7 @@ object Similarity {
       .agg(min(struct(col("vec_id"), col("v"))).as("r"))
       .select(col("vh"), col("r.vec_id").as("rid"), col("r.v").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .withColumn("cl", cl).withColumn("cn2", cn2)
-      .withColumn("list_id", argminFold(nLists)("i")).drop("cl", "cn2")
+      .withColumn("list_id", argminL2(col("v"), cents))
       .localCheckpoint()
     val cosR = round(expr("vec_dot(a.v, b.v)")
       / (col("a.nrm") * col("b.nrm")), roundScale)
@@ -773,23 +795,82 @@ object Similarity {
     * full hash-checked DuckDB oracle. The learned-centroid variant keeps
     * its recall-vs-brute-force test; this one proves the pipeline.
     */
-  def ivfTopKFixed(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
-      nCentroids: Int, nProbe: Int, k: Int, roundScale: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
+  /** The normalized embedding frame every ANN/brute arm starts from:
+    * (vec_id, v: array<double>, nrm). Exposed so a composite row (the
+    * recall measurements run an exact arm AND an approximate arm over the
+    * SAME table) can materialize it once and share it — without sharing,
+    * each arm re-scans the corpus and re-derives the transform+norm pass
+    * (guide §1.2: don't compute things twice).
+    */
+  def normalized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .localCheckpoint() // feeds centroids, assignment and scoring
-    val cent = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val ranked = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cent))
+
+  /** Bounded fixed-quantizer collect: the (vec_id, v) rows with
+    * `vec_id < bound` — bound is a single-digit query constant
+    * (nCentroids / ksub), so the collect size is independent of |data|,
+    * the same boundedness class as trainedQuantizer's md5-ordered sample.
+    * Sorted by vec_id so position order == c_id order (the tiebreak the
+    * fixed oracles rank by).
+    */
+  private def collectFixed(e: DataFrame,
+      bound: Int): (Array[Long], Array[Array[Double]]) = {
+    val rows = e.filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("v")).orderBy("vec_id").limit(bound)
+      .collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Narrow argmax-dot assignment over the collected centroid set — the
+    * native PqCodes loop under the dot metric: rank 1 of (vec_dot DESC,
+    * c_id ASC) equals strict argmin of −2·dot in ascending position order
+    * (×−2 is exact and order-reversing on doubles, ties preserved).
+    * Returns the winning POSITION (0-based into the sorted centroid set).
+    */
+  private def argmaxDot(v: Column, cents: Array[Array[Double]]): Column =
+    pqCodesCol(v, Array(cents), useL2 = false).getItem(0)
+
+  def ivfTopKFixed(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nCentroids: Int, nProbe: Int, k: Int, roundScale: Int,
+      ePre: Option[DataFrame] = None): DataFrame = {
+    // feeds the centroid collect, the query side and the candidate side;
+    // a caller that already materialized the normalized frame (the recall
+    // composition) passes it in instead of re-deriving it
+    val e = ePre.getOrElse(normalized(embeddings).localCheckpoint())
+    val spark = e.sparkSession
+    import spark.implicits._
+    // r16: the fixed centroid set is BOUNDED by construction (vec_id <
+    // nCentroids, a single-digit constant), so collect it once and assign
+    // lists with a narrow fold over the literal array — the r8-r15 shape
+    // (crossJoin ×nCentroids + full-table Window rank) paid an Exchange +
+    // Sort over the whole corpus to pick each row's max dot product. The
+    // learned arm (ivfTopK) has used the literal-fold assignment since r8;
+    // this ports it, keeping rank-1 tiebreaks identical (strict-> fold in
+    // ascending c_id order == row_number over (cd DESC, c_id ASC)).
+    val (cids, cents) = collectFixed(e, nCentroids)
+    if (cents.isEmpty) {
+      // no centroid rows → every stage below is empty; preserve the shape
+      return e.filter(lit(false))
+        .select(col("vec_id").as("qid"), col("vec_id").as("cid"),
+          lit(0.0).as("cos_r"),
+          lit(0).cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+    }
+    val assigned = e
+      .withColumn("pos", argmaxDot(col("v"), cents))
+      .withColumn("list_id",
+        element_at(typedLit(cids.toSeq), col("pos") + 1))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    // per-QUERY probe ranking only (the bounded query set × nCentroids —
+    // tiny), instead of ranking every corpus row and filtering after
+    val cdf = cids.zip(cents).map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("c_id", "cv")
+    val probes = e.filter(queryPred)
+      .crossJoin(broadcast(cdf))
       .withColumn("cd", expr("vec_dot(v, cv)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cd").desc, col("c_id"))))
-    val assigned = ranked.filter(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
-      .localCheckpoint() // both the probe and candidate sides use it
-    val probes = ranked.filter(queryPred && col("rnk") <= nProbe)
+      .filter(col("rnk") <= nProbe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id").as("list_id"))
     val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv2"),
@@ -864,40 +945,52 @@ object Similarity {
     * scan) are intentional tiny-side broadcasts, same as IVF's centroid
     * probe.
     */
+  /** Narrow per-row PQ encode over the collected codebook: for each
+    * subspace j, the native PqCodes argmin over the ksub codebook rows by
+    * the expanded key ‖c_j‖² − 2·v_j·c_j (the dropped ‖v_j‖² is constant
+    * per (vector, subspace)); strict-< in ascending c_id order == the old
+    * hash-agg min(struct(key, c_id)) including tiebreaks. Returns
+    * array[m] of winning POSITIONS. r16: the r8-r15 encode exploded every
+    * vector ×m, joined the broadcast codebook and hash-aggregated the
+    * argmin — a full-corpus Exchange of m rows per vector that this
+    * narrow map removes outright (the codebook is bounded by
+    * construction: vec_id < ksub).
+    */
+  private def pqEncode(v: Column, cents: Array[Array[Double]], m: Int,
+      sub: Int): Column =
+    pqCodesCol(v,
+      (0 until m).map(j =>
+        cents.map(c => c.slice(j * sub, (j + 1) * sub))).toArray,
+      useL2 = true)
+
   def pqTopKFixed(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
       roundScale: Int): DataFrame = {
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
-    val e = embeddings.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val e = normalized(embeddings)
       .localCheckpoint() // feeds codebook, encode, ADC and refine
-    val cent = e.filter(col("vec_id") < ksub)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // ENCODE: per (vector, subspace) argmin L2 over the ksub codebook rows,
-    // ranked by the expanded key ‖c_j‖² − 2·v_j·c_j (argmin-equivalent: the
-    // dropped ‖v_j‖² is constant per (vector, subspace)). Everything stays
-    // in whole-stage codegen — the earlier aggregate(zip_with(...)) d2 ran
-    // interpreted per (vector, subspace, centroid) and measured 2× slower
-    // at sf0.1 — and the argmin itself is a hash-agg min(struct) instead of
-    // a row_number sort. The ORACLE ranks by the same expanded key
-    // (vec_dot's left-assoc fold ≡ the SQL chained `+`), so codes match
-    // bit-for-bit including c_id tiebreaks.
-    val centJ = cent
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("c_id"), col("j"),
-        expr(s"slice(cv, j * $sub + 1, $sub)").as("cj"))
-      .withColumn("nc2", expr("vec_dot(cj, cj)"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    // r16: the codebook is BOUNDED by construction (vec_id < ksub), so
+    // collect it once and encode with a narrow per-row native map
+    // (pqEncode) — the old explode ×m + broadcast join + hash-agg argmin
+    // paid a full-corpus Exchange of m rows per vector plus a
+    // localCheckpoint of the codes. Keys, argmin order and c_id tiebreaks
+    // are unchanged (see pqEncode), so codes match bit-for-bit.
+    val (pids, pcents) = collectFixed(e, ksub)
+    if (pcents.isEmpty) {
+      return e.filter(lit(false))
+        .select(col("vec_id").as("qid"), col("vec_id").as("cid"),
+          lit(0.0).as("cos_r"),
+          lit(0).cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+    }
+    // codes as POSITIONS into the sorted codebook (positions and c_ids
+    // rank identically — collectFixed sorts by vec_id); the LUT below is
+    // keyed the same way, so the join semantics are unchanged
     val coded = e.select(col("vec_id"), col("v"))
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("vj", expr(s"slice(v, j * $sub + 1, $sub)"))
-      .join(broadcast(centJ), Seq("j"))
-      .withColumn("key", expr("nc2 - 2 * vec_dot(vj, cj)"))
-      .groupBy("vec_id", "j")
-      .agg(min(struct(col("key"), col("c_id"))).as("mk"))
-      .select(col("vec_id"), col("j"), col("mk.c_id").as("code"))
-      .localCheckpoint() // the ADC scan reads it once per query batch
+      .withColumn("codes", pqEncode(col("v"), pcents, m, sub))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // ADC LOOKUP TABLE (the textbook formulation): the per-(query,
@@ -906,12 +999,15 @@ object Similarity {
     // codes to the table. The scan itself never touches a vector array or
     // evaluates a dot product again: per pair it reads m precomputed
     // doubles, which is what makes the m-bytes-per-vector scan real.
+    val cdf = pids.zip(pcents).zipWithIndex
+      .map { case ((_, c), pos) => (pos, c.toSeq) }.toSeq
+      .toDF("cpos", "cv")
     val lut = q.select(col("qid"), col("qv"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(cdf))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("pd", expr(
         s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(cv, j * $sub + 1, $sub))"))
-      .select(col("qid"), col("j"), col("c_id").as("code"), col("pd"))
+      .select(col("qid"), col("j"), col("cpos").as("code"), col("pd"))
     val est = coded
       .join(broadcast(lut), Seq("j", "code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -1018,58 +1114,65 @@ object Similarity {
   def ivfPqTopKFixed(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, nCentroids: Int, nProbe: Int,
       dims: Int, m: Int, ksub: Int, shortlist: Int, k: Int,
-      roundScale: Int): DataFrame = {
+      roundScale: Int, ePre: Option[DataFrame] = None): DataFrame = {
     val sub = dims / m
-    val e = embeddings.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-      .localCheckpoint()
-    // level 1 — coarse lists (ivfTopKFixed shape)
-    val cent = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val ranked = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cent))
+    val e = ePre.getOrElse(normalized(embeddings).localCheckpoint())
+    val spark = e.sparkSession
+    import spark.implicits._
+    // r16: both quantizer levels are BOUNDED by construction (vec_id <
+    // nCentroids / ksub single-digit constants), so both the coarse
+    // assignment and the PQ encode are narrow per-row folds over literal
+    // arrays — the r8-r15 shape paid (a) a full-corpus crossJoin ×
+    // nCentroids + Exchange + Window sort for the coarse rank-1, (b) a
+    // full-corpus explode ×m + hash-agg Exchange for the codes, and (c) a
+    // localCheckpoint of the coded table. All three collapse into one
+    // narrow projection over the checkpointed normalized frame. Rank-1 /
+    // argmin tiebreaks are identical (see argmaxDot / pqEncode).
+    val (cids, cents) = collectFixed(e, nCentroids)
+    val (pids, pcents) = collectFixed(e, ksub)
+    if (cents.isEmpty || pcents.isEmpty) {
+      return e.filter(lit(false))
+        .select(col("vec_id").as("qid"), col("vec_id").as("cid"),
+          lit(0.0).as("cos_r"),
+          lit(0).cast(org.apache.spark.sql.types.IntegerType).as("rn"))
+    }
+    // level 1 + level 2 in ONE narrow pass: coarse list by native
+    // argmax-dot, PQ codes by the native per-subspace argmin, exploded to
+    // the (vec_id, j, code, list_id) grain the ADC scan joins on
+    val coded = e.select(col("vec_id"), col("v"))
+      .withColumn("pos", argmaxDot(col("v"), cents))
+      .withColumn("list_id",
+        element_at(typedLit(cids.toSeq), col("pos") + 1))
+      .withColumn("codes", pqEncode(col("v"), pcents, m, sub))
+      .select(col("vec_id"), col("list_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+    // per-QUERY probe ranking only (bounded query set × nCentroids)
+    val cdf = cids.zip(cents).map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("c_id", "cv")
+    val q = e.filter(queryPred)
+      .crossJoin(broadcast(cdf))
       .withColumn("cd", expr("vec_dot(v, cv)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cd").desc, col("c_id"))))
-    val assigned = ranked.filter(col("rnk") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"))
-    // level 2 — PQ codes (pqTopKFixed shape)
-    val pqCent = e.filter(col("vec_id") < ksub)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"))
-    // same codegen encode as pqTopKFixed: expanded ‖c_j‖² − 2·v_j·c_j key,
-    // hash-agg min(struct) argmin (see the pqTopKFixed encode comment)
-    val pqCentJ = pqCent
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("p_id"), col("j"),
-        expr(s"slice(pv, j * $sub + 1, $sub)").as("pj"))
-      .withColumn("nc2", expr("vec_dot(pj, pj)"))
-    val coded = e.select(col("vec_id"), col("v"))
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("vj", expr(s"slice(v, j * $sub + 1, $sub)"))
-      .join(broadcast(pqCentJ), Seq("j"))
-      .withColumn("key", expr("nc2 - 2 * vec_dot(vj, pj)"))
-      .groupBy("vec_id", "j")
-      .agg(min(struct(col("key"), col("p_id"))).as("mk"))
-      .select(col("vec_id"), col("j"), col("mk.p_id").as("code"))
-      .join(assigned, "vec_id") // codes carry their list id
-      .localCheckpoint()
-    val q = ranked.filter(queryPred && col("rnk") <= nProbe)
-      .join(e.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
-        "vec_id")
-      .select(col("vec_id").as("qid"), col("qv"), col("qn"),
-        col("c_id").as("list_id"))
+      .filter(col("rnk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id").as("list_id"))
     // ADC scan restricted to the probed lists: shuffle on list_id, codes
     // only — the pruning IVF buys before PQ's compressed-domain estimate.
     // Partial dots come from the precomputed broadcast LOOKUP TABLE
     // (|q|·m·ksub rows), so the probed-list scan reads m doubles per pair
-    // and never re-evaluates a dot product.
+    // and never re-evaluates a dot product. Codes are POSITIONS into the
+    // sorted codebook (positions and p_ids rank identically), and the LUT
+    // is keyed the same way.
+    val pdf = pids.zip(pcents).zipWithIndex
+      .map { case ((_, c), pos) => (pos, c.toSeq) }.toSeq
+      .toDF("cpos", "pv")
     val lut = q.select(col("qid"), col("qv")).dropDuplicates("qid")
-      .crossJoin(broadcast(pqCent))
+      .crossJoin(broadcast(pdf))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("pd", expr(
         s"vec_dot(slice(qv, j * $sub + 1, $sub), slice(pv, j * $sub + 1, $sub))"))
-      .select(col("qid"), col("j"), col("p_id").as("code"), col("pd"))
+      .select(col("qid"), col("j"), col("cpos").as("code"), col("pd"))
     val est = coded
       .join(q.select(col("qid"), col("list_id")), Seq("list_id"))
       .filter(col("vec_id") =!= col("qid"))

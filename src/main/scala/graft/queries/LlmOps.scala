@@ -36,10 +36,19 @@ object LlmOps {
     * coalesce/denominator logic can never drift between the rows.
     */
   private def recallQuery(s: SparkSession, d: String,
-      approx: DataFrame): DataFrame = {
+      approxFrom: DataFrame => DataFrame): DataFrame = {
     val k = AnnRecallK
+    // ONE normalized+checkpointed corpus frame shared by the exact arm and
+    // the approximate arm (r16): each arm used to re-scan the parquet and
+    // re-derive the transform+norm pass — for a recall measurement that is
+    // by definition two arms over the SAME table, that is a duplicated
+    // corpus scan (guide §1.2).
+    val e0 = graft.llm.Similarity.normalized(embeddings(s, d))
+      .localCheckpoint()
+    val approx = approxFrom(e0)
     val exact = graft.llm.Similarity.bruteTopK(embeddings(s, d),
-      col("vec_id") < AnnQueryBound, k = k, roundScale = 4)
+      col("vec_id") < AnnQueryBound, k = k, roundScale = 4,
+      ePre = Some(e0))
       .select("qid", "cid")
     val hits = exact.join(approx.select("qid", "cid"), Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -1093,10 +1102,10 @@ object LlmOps {
     // intersection are deterministic (shared rounding + tiebreaks), so
     // the whole measurement is hash-gated.
     ("llm_ann_recall",
-      (s, d) => recallQuery(s, d,
+      (s, d) => recallQuery(s, d, e0 =>
         graft.llm.Similarity.ivfTopKFixed(embeddings(s, d),
           col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3,
-          k = AnnRecallK, roundScale = 4)),
+          k = AnnRecallK, roundScale = 4, ePre = Some(e0))),
       Some(recallOracleSql(graft.llm.Similarity.ivfFixedOracleSql(
         dims = 64, nCentroids = 8, nProbe = 3, k = AnnRecallK,
         roundScale = 4, queryIdBound = AnnQueryBound)))),
@@ -1326,11 +1335,11 @@ object LlmOps {
     // Same bounded-query-sample protocol, same deterministic
     // intersection, fully hash-gated.
     ("llm_ivfpq_recall",
-      (s, d) => recallQuery(s, d,
+      (s, d) => recallQuery(s, d, e0 =>
         graft.llm.Similarity.ivfPqTopKFixed(embeddings(s, d),
           col("vec_id") < AnnQueryBound, nCentroids = 8, nProbe = 3,
           dims = 64, m = 8, ksub = 16, shortlist = 40, k = AnnRecallK,
-          roundScale = 4)),
+          roundScale = 4, ePre = Some(e0))),
       Some(recallOracleSql(graft.llm.Similarity.ivfPqFixedOracleSql(
         dims = 64, nCentroids = 8, nProbe = 3, m = 8, ksub = 16,
         shortlist = 40, k = AnnRecallK, roundScale = 4,

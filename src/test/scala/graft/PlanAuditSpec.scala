@@ -405,4 +405,31 @@ class PlanAuditSpec extends SparkSpec {
         s"simhash content arm lost its distinct-signature exchange:\n$sct")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("fixed-quantizer ANN: assignment and encode are narrow native maps") {
+    // r16: the fixed arms' quantizer sides are bounded by construction
+    // (vec_id < nCentroids/ksub single-digit constants), so coarse-list
+    // assignment and PQ encode run as ONE native codegen'd projection
+    // (PqCodes) over the checkpointed corpus frame. The displaced shapes
+    // were full-corpus costs: a crossJoin ×nCentroids + Window rank-1
+    // (Exchange + Sort over every vector) for assignment, and an explode
+    // ×m + broadcast join + hash-agg min(struct) Exchange for the codes.
+    // Pin both removals so a regression fails a test, not a bench eyeball.
+    for (q <- Seq("llm_ann_ivf_fixed", "llm_ann_pq", "llm_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("pqcodes"),
+        s"$q lost the native quantizer map:\n$p")
+      // the encode argmin must not reappear as an aggregation
+      assert(!p.contains("partial_min"),
+        s"$q regressed to the hash-agg argmin encode:\n$p")
+    }
+    // the recall rows share ONE normalized checkpointed frame between the
+    // exact and approximate arms — a parquet scan reappearing means each
+    // arm went back to re-scanning the corpus for itself
+    for (q <- Seq("llm_ann_recall", "llm_ivfpq_recall")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q arms stopped sharing the checkpointed corpus frame:\n$p")
+    }
+  }
 }
