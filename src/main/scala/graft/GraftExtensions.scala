@@ -56,6 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramRepStats].getName, "bigram_rep_stats"),
       exact("bigram_rep_stats", 1)(c => BigramRepStats(c.head))))
     ext.injectFunction((
+      new FunctionIdentifier("bigram_counts"),
+      new ExpressionInfo(classOf[graft.functions.BigramCounts].getName,
+        "bigram_counts"),
+      exact("bigram_counts", 1)(c => graft.functions.BigramCounts(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_roll_hash"),
+      new ExpressionInfo(classOf[graft.functions.TokenRollHash].getName,
+        "token_roll_hash"),
+      exact("token_roll_hash", 1)(c => graft.functions.TokenRollHash(c.head))))
+    ext.injectFunction((
       new FunctionIdentifier("char_entropy_stats"),
       new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy_stats"),
       exact("char_entropy_stats", 1)(c => CharEntropyStats(c.head))))

@@ -544,10 +544,16 @@ object Curation {
         val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
         // ONE checkpointed md5+normalize pass over the corpus; every
         // downstream frame (dedup, band self-join, both expansions) reads
-        // the materialized 4-column projection, never the text again
+        // the materialized 4-column projection, never the text again.
+        // (r16: the checkpoint this comment promised was dropped in the
+        // r11 dedupe-first rewrite — the plan had grown to 16 parquet
+        // scans, each re-running lower+regexp+md5 over the corpus and
+        // re-aggregating the dropDuplicates, because every join consumer
+        // re-derived the frame. One materialization restores 16 scans → 1.)
         val withH = documents(s, d).select(md5(col("text")).as("h"),
           substring(norm, 1, 48).as("head"), length(norm).as("len"),
           col("doc_id"))
+          .localCheckpoint()
         val docsByH = withH.select(col("h"), col("doc_id"))
         val baseH = withH.select(col("h"), col("head"), col("len"))
           .dropDuplicates("h")
@@ -1408,8 +1414,10 @@ object Curation {
     // (the llm_lm_score precedent).
     ("llm_dsir_weights",
       (s, d) => {
-        val (kc, vc) = lmModelArrays(s, d, lit(true))
-        val (kt, vt) = lmModelArrays(s, d, col("lang") === "en")
+        // one fused training pass for BOTH models (r16) — see
+        // lmModelArraysDual; was two full corpus fan-outs
+        val ((kc, vc), (kt, vt)) =
+          lmModelArraysDual(s, d, col("lang") === "en")
         // an empty target domain would broadcast an empty model and
         // silently exclude EVERY document via the matched-set filter —
         // raise instead (VERDICT r11 4c)
@@ -1675,16 +1683,25 @@ object Curation {
   private[graft] def lmModelArrays(s: SparkSession, d: String,
       trainPred: Column,
       cap: Int = LmModelMaxBigrams): (Array[Long], Array[Double]) = {
+    // TRAINING fan-out at HISTOGRAM grain (r16): the instance-grain shape
+    // (split per code point → explode per position → 2-char concat per
+    // row) paid ~3 string allocations per corpus CHARACTER before the
+    // aggregation saw a row. bigram_counts emits each doc's
+    // (packed-key, count) histogram in one narrow codegen'd pass —
+    // per-doc-distinct rows into the partial agg, packed LONG keys
+    // through the exchange instead of 2-char strings — and sum(n) over
+    // histograms ≡ count(*) over instances, so the model (and every
+    // downstream score) is bit-identical. Keys arrive already packed
+    // (BigramLm.packKey's cp1·0x110000+cp2), so the per-first-codepoint
+    // denominator partitions on g div 0x110000 and the driver-side
+    // re-pack disappears.
     val grams = documents(s, d).filter(trainPred)
       .filter(length(col("text")) >= 2)
-      .withColumn("cs", split(col("text"), "(?!^)"))
-      .select(col("doc_id"),
-        explode(expr("sequence(1, size(cs) - 2)")).as("i"), col("cs"))
-      .select(col("doc_id"),
-        expr("concat(element_at(cs, i), element_at(cs, i+1))").as("g"))
-    val model = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(explode(expr("bigram_counts(text)")).as("gn"))
+      .select(col("gn.g").as("g"), col("gn.n").as("cnt"))
+    val model = grams.groupBy("g").agg(sum(col("cnt")).as("n"))
       .withColumn("np", sum(col("n")).over(
-        Window.partitionBy(substring(col("g"), 1, 1))))
+        Window.partitionBy(expr("g div 1114112"))))
       .select(col("g"),
         log(col("n").cast(DoubleType) / col("np")).as("lp"))
     // limit(cap + 1): under the cap this returns the WHOLE model (scores
@@ -1698,8 +1715,47 @@ object Curation {
         "bigrams: the corpus alphabet is too wide for the " +
         "broadcast-literal scorer (CJK or adversarial text?) — " +
         "pre-filter by lang or prune low-count bigrams before scoring")
-    (rows.map(r => graft.functions.BigramLm.packKey(r.getString(0))),
-      rows.map(_.getDouble(1)))
+    (rows.map(_.getLong(0)), rows.map(_.getDouble(1)))
+  }
+
+  /** BOTH DSIR models — corpus and target domain — from ONE training
+    * fan-out (r16): the two `lmModelArrays` calls each ran their own
+    * corpus-sized bigram pass and aggregation; the target model's counts
+    * are a conditional sum over the SAME gram stream, so one aggregation
+    * carries (n, n_target) and both per-first-codepoint denominators ride
+    * the same window. Counts — and therefore every log-prob — are
+    * bit-identical to two separate trainings: summing `cnt·en` over all
+    * docs ≡ counting instances over `lang = 'en'` docs, and the target
+    * denominator ignores zero-count grams by construction (they add
+    * nothing to the partition sum). Same cap, same named error.
+    */
+  private[graft] def lmModelArraysDual(s: SparkSession, d: String,
+      targetPred: Column, cap: Int = LmModelMaxBigrams)
+      : ((Array[Long], Array[Double]), (Array[Long], Array[Double])) = {
+    val grams = documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .select(when(targetPred, 1L).otherwise(0L).as("en"),
+        explode(expr("bigram_counts(text)")).as("gn"))
+      .select(col("gn.g").as("g"), col("gn.n").as("cnt"), col("en"))
+    val w = Window.partitionBy(expr("g div 1114112"))
+    val model = grams.groupBy("g")
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("en")).as("ne"))
+      .withColumn("np", sum(col("n")).over(w))
+      .withColumn("npe", sum(col("ne")).over(w))
+      .select(col("g"),
+        log(col("n").cast(DoubleType) / col("np")).as("lp"),
+        when(col("ne") > 0,
+          log(col("ne").cast(DoubleType) / col("npe"))).as("lpe"))
+    val rows = model.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"char-bigram LM model exceeds $cap distinct " +
+        "bigrams: the corpus alphabet is too wide for the " +
+        "broadcast-literal scorer (CJK or adversarial text?) — " +
+        "pre-filter by lang or prune low-count bigrams before scoring")
+    val target = rows.filter(!_.isNullAt(2))
+    ((rows.map(_.getLong(0)), rows.map(_.getDouble(1))),
+      (target.map(_.getLong(0)), target.map(_.getDouble(2))))
   }
 
   /** Shared char-bigram LM scorer (llm_lm_score / llm_ppl_buckets): one

@@ -1447,12 +1447,15 @@ object LlmOps {
       (s, d) => documents(s, d).select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(split(col("text"), " "))), ","))
           .as("fp"),
-        expr("""CAST(aggregate(filter(split(text, ' '), t -> t != ''), '0',
-                     (acc, t) -> CAST((CAST(acc AS BIGINT) * 131
-                        + (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
-                        + instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1)
-                                      % 1000000007 AS STRING))
-                AS BIGINT)""").as("rh")),
+        // r16: the rh fold ran INTERPRETED with a string accumulator —
+        // per token it allocated the split token, the md5 hex string, two
+        // substrings and round-tripped acc through CAST(STRING)/
+        // CAST(BIGINT) (4.0 s at sf1, 1.7× the DuckDB twin of the same
+        // fold). token_roll_hash walks the raw UTF-8 bytes once with a
+        // long accumulator — same per-token md5-byte code, same mod-1e9+7
+        // fold, bit-identical (TokenRollHashSpec differential vs the
+        // composed form over the corpus + unicode/edge cases)
+        expr("token_roll_hash(text)").as("rh")),
       Some("""SELECT doc_id,
                      md5(array_to_string(list_sort(list_distinct(
                          string_split(text, ' '))), ',')) AS fp,

@@ -431,17 +431,30 @@ object Relational {
         val P = 2147483647L; val W = 1024
         val A = Seq(1103515245L, 1232937849L, 1654435769L, 999999937L)
         val C = Seq(12345L, 362437L, 521288629L, 668265263L)
-        val toks = documents(s, d)
+        // VOCABULARY-grain (r16): the r12 shape exploded token INSTANCES
+        // into both the cell aggregation and the exact-count aggregation —
+        // two full scan+explode+md5 passes over the corpus (4 parquet
+        // scans in the plan), with md5/conv evaluated once per instance.
+        // Token frequencies collapse to the vocabulary first (ONE
+        // scan+explode, map-side partials bound each task's output by
+        // |vocab|), md5 runs once per DISTINCT token, and the tiny
+        // vocab-grain frame is checkpointed so the cell sum and the top-10
+        // read one materialization. Cell counts are identical: summing
+        // per-token counts per (j,b) ≡ counting instances per (j,b).
+        val vocab = documents(s, d)
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("exact_n"))
           .withColumn("x",
             expr("CAST(conv(substr(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+          .localCheckpoint()
         def rows(c: org.apache.spark.sql.Column) = array((0 until 4).map(j =>
           struct(lit(j).as("j"), (((c * A(j)) + C(j)) % P % W).as("b"))): _*)
-        val cells = toks.select(explode(rows(col("x"))).as("jb"))
+        val cells = vocab.select(explode(rows(col("x"))).as("jb"),
+            col("exact_n"))
           .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-        val top = toks.groupBy("tok", "x").agg(count(lit(1)).as("exact_n"))
+          .agg(sum(col("exact_n")).as("c"))
+        val top = vocab
           .orderBy(col("exact_n").desc, col("tok")).limit(10)
         top.select(col("tok"), col("exact_n"),
             explode(rows(col("x"))).as("jb"))
