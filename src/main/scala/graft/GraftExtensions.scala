@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramRepStats].getName, "bigram_rep_stats"),
       exact("bigram_rep_stats", 1)(c => BigramRepStats(c.head))))
     ext.injectFunction((
+      new FunctionIdentifier("token_runs"),
+      new ExpressionInfo(classOf[graft.functions.TokenRuns].getName,
+        "token_runs"),
+      exact("token_runs", 1)(c => graft.functions.TokenRuns(c.head))))
+    ext.injectFunction((
       new FunctionIdentifier("bigram_counts"),
       new ExpressionInfo(classOf[graft.functions.BigramCounts].getName,
         "bigram_counts"),

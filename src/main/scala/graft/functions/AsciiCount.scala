@@ -72,3 +72,67 @@ case class AsciiCount(child: Expression, target: Byte)
   override protected def withNewChildInternal(newChild: Expression): AsciiCount =
     copy(child = newChild)
 }
+
+/** `token_runs(text)` — the number of maximal runs of non-space bytes,
+  * i.e. exactly `size(regexp_extract_all(text, '[^ ]+', 0))`, counted
+  * zero-copy over the UTF-8 bytes ([[AsciiCount]]'s rule: 0x20 never
+  * occurs inside a multi-byte sequence, so byte-level spaces ARE
+  * code-point spaces).
+  *
+  * Why: the whitespace token count appears on eight query hot paths
+  * (quality weighting, corpus tallies, source mix, LM metadata, sampling
+  * weights), each paying a full regexp pass that materializes every
+  * token as a fresh UTF8String only to take the array's length. This is
+  * one branchy byte loop, no allocation. NULL text → NULL, matching
+  * `size(regexp_extract_all(NULL, ...))` under the engine's non-legacy
+  * size(NULL) semantics.
+  */
+case class TokenRuns(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_runs expects string, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_runs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0
+    var prevSpace = true
+    var i = 0
+    while (i < n) {
+      val isSpace = s.getByte(i) == 0x20.toByte
+      if (!isSpace && prevSpace) cnt += 1
+      prevSpace = isSpace
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cnt = ctx.freshName("cnt")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val prevSpace = ctx.freshName("prevSpace")
+    val isSpace = ctx.freshName("isSpace")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |int $cnt = 0;
+         |int $n = $t.numBytes();
+         |boolean $prevSpace = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  boolean $isSpace = $t.getByte($i) == (byte) 0x20;
+         |  if (!$isSpace && $prevSpace) $cnt++;
+         |  $prevSpace = $isSpace;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRuns =
+    copy(child = newChild)
+}

@@ -494,7 +494,7 @@ object Curation {
       (s, d) => {
         val u = expr("""CAST(conv(substr(md5(text), 1, 13), 16, 10)
                         AS BIGINT) / 4503599627370496.0D""")
-        val w = size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+        val w = expr("token_runs(text)")
           .cast(DoubleType)
         val scored = documents(s, d)
           .select(col("doc_id"), w.as("w"),
@@ -798,8 +798,11 @@ object Curation {
     ("llm_exact_substr",
       (s, d) => {
         val L = 12
+        // materialized once (r16): the copy counts and the final span →
+        // doc expansion each re-ran the corpus scan + per-doc md5
         val docsH = documents(s, d)
           .select(col("doc_id"), md5(col("text")).as("th"))
+          .localCheckpoint()
         val copies = docsH.groupBy("th").agg(count(lit(1)).as("c"))
         val windows = documents(s, d)
           .select(md5(col("text")).as("th"), split(col("text"), " ").as("l"))
@@ -868,7 +871,7 @@ object Curation {
         val base = documents(s, d)
           .withColumn("norm", cleaned)
           .withColumn("n_tok",
-            size(regexp_extract_all(col("norm"), lit("[^ ]+"), lit(0))))
+            expr("token_runs(norm)"))
           .filter(col("n_tok") >= 20)
           .withColumn("h", md5(col("norm")))
         val kept = base
@@ -954,14 +957,20 @@ object Curation {
           .withColumn("rn", row_number().over(
             Window.partitionBy("h").orderBy("doc_id")))
           .filter(col("rn") === 1).select("doc_id", "n_tok")
+        // ONE shingle-profile materialization (r16): the clustering and
+        // the decontamination stages each built their own — the full
+        // profile (with signatures) serves both; decontamination reads
+        // only (doc_id, hs, c) off the shared checkpoint
+        val prof = LlmOps.shingleProfile(s, d)
         val lab = exk
-          .join(LlmOps.dedupClusters(s, d), Seq("doc_id"), "left")
+          .join(LlmOps.dedupClusters(s, d, prof = Some(prof)),
+            Seq("doc_id"), "left")
           .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
         val keepers = lab.groupBy("cluster")
           .agg(min(col("doc_id")).as("keeper"))
         val nd = lab.join(keepers, "cluster")
           .filter(col("doc_id") === col("keeper"))
-        val codes = LlmOps.shingleProfile(s, d, withSignature = false)
+        val codes = prof
         val benchVocab = codes.filter(col("doc_id") % 50 === 0)
           .select(explode(col("hs")).as("x")).distinct()
         val contaminated = codes.filter(col("doc_id") % 50 =!= 0)
@@ -1096,7 +1105,7 @@ object Curation {
         val prof = LlmOps.shingleProfile(s, d, keepTokens = true)
         val base = documents(s, d).agg(
           count(lit(1)).as("n_docs"),
-          sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+          sum(expr("token_runs(text)")
             .cast(LongType)).as("n_tok"),
           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
         val pairs = LlmOps.minhashPairs(s, d, prof = Some(prof))
@@ -1146,7 +1155,7 @@ object Curation {
         documents(s, d)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+            sum(expr("token_runs(text)")
               .cast(LongType)).as("n_tok"))
           .select(col("source"), col("n_docs"), col("n_tok"),
             round(col("n_tok").cast(DoubleType) / sum(col("n_tok")).over(w), 6)
@@ -1774,7 +1783,7 @@ object Curation {
     val (ks, vs) = lmModelArrays(s, d, lit(true))
     documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+        expr("token_runs(text)")
           .cast(LongType).as("n_tok"),
         call_function("bigram_lm_stats", col("text"),
           typedlit(ks), typedlit(vs)).as("st"))

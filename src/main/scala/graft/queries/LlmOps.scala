@@ -732,7 +732,7 @@ object LlmOps {
       (s, d) => {
         val clusters = dedupClusters(s, d)
         val qual = documents(s, d).select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+          expr("token_runs(text)")
             .as("ntok"))
         val keepers = clusters.join(qual, "doc_id")
           .groupBy("cluster")
@@ -991,8 +991,9 @@ object LlmOps {
     * vertices and edges straight off the id-grain pair stream.
     */
   private[graft] def dedupClustersIdGrain(s: SparkSession,
-      d: String): DataFrame = {
-    val p = minhashPairsIdGrain(s, d).select("d1", "d2").localCheckpoint()
+      d: String, prof: Option[DataFrame] = None): DataFrame = {
+    val p = minhashPairsIdGrain(s, d, prof = prof)
+      .select("d1", "d2").localCheckpoint()
     val edges = p.unionByName(
       p.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").localCheckpoint()
@@ -1002,12 +1003,17 @@ object LlmOps {
       .select(col("v").as("doc_id"), col("l").as("cluster"))
   }
 
-  private[queries] def dedupClusters(s: SparkSession, d: String): DataFrame =
-    if (textIdGrainOk(s, d)) dedupClustersIdGrain(s, d)
-    else dedupClustersTextGrain(s, d)
+  /** `prof`: a caller that already materialized the shingle profile (the
+    * full-curation pipeline needs it AGAIN for decontamination) passes it
+    * in — one profile checkpoint instead of two (r16).
+    */
+  private[queries] def dedupClusters(s: SparkSession, d: String,
+      prof: Option[DataFrame] = None): DataFrame =
+    if (textIdGrainOk(s, d)) dedupClustersIdGrain(s, d, prof)
+    else dedupClustersTextGrain(s, d, prof)
 
   private[graft] def dedupClustersTextGrain(s: SparkSession,
-      d: String): DataFrame = {
+      d: String, prof: Option[DataFrame] = None): DataFrame = {
         // TEXT-grain label propagation (r14, the sf10 finding): vertices
         // are distinct TEXTS in any near-dup relation — cross-text
         // (pairsT) or multi-copy (≥2 docs share the text, a clique in the
@@ -1019,7 +1025,7 @@ object LlmOps {
         // components: same-text docs are glued by construction, and the
         // component's min doc_id equals the min over member texts'
         // min-doc representatives (labels init to the text's rd).
-        val (docsT0, reps, pairsT) = minhashTextPairs(s, d)
+        val (docsT0, reps, pairsT) = minhashTextPairs(s, d, prof = prof)
         val docsT = docsT0.localCheckpoint()
         val p = pairsT.select(col("t1"), col("t2")).localCheckpoint()
         val multi = docsT.groupBy(col("th")).agg(count(lit(1)).as("n"))
@@ -1357,7 +1363,7 @@ object LlmOps {
     // Token counting: whitespace tokens + regex word tokens + char length
     ("llm_token_count",
       (s, d) => documents(s, d).select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("n_tok_ws"),
+        expr("token_runs(text)").as("n_tok_ws"),
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_tok_re"),
         length(col("text")).as("n_chars_calc")),
       Some("""SELECT doc_id,
@@ -1370,7 +1376,7 @@ object LlmOps {
     ("llm_quality_score",
       (s, d) => documents(s, d)
         .withColumn("n_chars_calc", length(col("text")))
-        .withColumn("n_tok", size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
+        .withColumn("n_tok", expr("token_runs(text)"))
         .withColumn("n_stop", size(regexp_extract_all(col("text"), lit(" the "), lit(0))))
         .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))))
         .withColumn("avg_word_len", col("n_chars_calc").cast(DoubleType) / col("n_tok"))
@@ -1532,8 +1538,12 @@ object LlmOps {
         // distinct content, quadratically less in copy multiplicity. The
         // hot-fingerprint cap stays DOC-level exact: buckets carry each
         // text's copy count and the cap tests the copy-weighted size.
+        // materialized once (r16): five consumers below (copy counts +
+        // two expansion joins per pair arm) each re-ran the corpus scan
+        // and per-doc md5 — the llm_fuzzy_match lost-checkpoint shape
         val hashed = documents(s, d)
           .select(col("doc_id"), md5(col("text")).as("h"))
+          .localCheckpoint()
         val counts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
         val fpsByText = documents(s, d)
           .select(md5(col("text")).as("h"), split(col("text"), " ").as("l"))

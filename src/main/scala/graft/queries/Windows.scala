@@ -21,19 +21,34 @@ object Windows {
     * (user_id, min-ts) aggregate — map-side partials shrink every branch
     * to ≤|users| rows per task before its exchange.
     */
-  private def funnelSteps(s: SparkSession, d: String)
+  private[graft] def funnelSteps(s: SparkSession, d: String,
+      materialize: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
+    // `materialize = false` exposes the pre-checkpoint stage plans so
+    // PlanAuditSpec can pin the pushed-down step predicate and map-side
+    // partial min — properties that execute inside the checkpoint jobs
+    // and are invisible in the post-checkpoint consumer plans
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     def step(t: String) = events(s, d)
       .filter(col("event_type") === t)
       .select(col("user_id"), col("ts"))
-    val s1 = step("signup")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val s2 = step("click")
+    // each stage materialized once (r16): the stages NEST (s3's plan
+    // contains s2's contains s1's) and both consumers (w16's three
+    // counts, w26's two delta joins × two aggregates) re-derived every
+    // stage per reference — w26's plan had grown to 16 pushed-down event
+    // scans. The checkpointed frames are ≤|users| rows × 2 narrow
+    // columns (the map-side partial-min bound), so the materialization
+    // is user-table-sized at any corpus scale; scans drop to one per
+    // step.
+    val s1 = mat(step("signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1")))
+    val s2 = mat(step("click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val s3 = step("purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("t2")))
+    val s3 = mat(step("purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3")))
     (s1, s2, s3)
   }
 
@@ -740,14 +755,22 @@ object Windows {
     // integers; pct is integer-derived IEEE division.
     ("w17_retention",
       (s, d) => {
+        // dedupe-first (r16, the oracle's own shape): the raw event
+        // stream collapses to DISTINCT (user_id, day) BEFORE the cohort
+        // join — the r15 plan shipped every event row through the join
+        // and deduped the join output ((cohort_day, offset, user_id)
+        // distinct ≡ (user_id, day) distinct under the 1-row-per-user
+        // cohort map, so the output is identical), and re-scanned events
+        // for each side. One materialized distinct frame feeds both.
         val ev = events(s, d)
           .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+          .localCheckpoint()
         val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
         val grid = ev.join(cohort, "user_id")
           .select(col("cohort_day"),
             datediff(col("day"), col("cohort_day")).as("day_offset"),
             col("user_id"))
-          .distinct()
           .groupBy("cohort_day", "day_offset")
           .agg(count(lit(1)).as("n_active"))
         val w = Window.partitionBy("cohort_day")

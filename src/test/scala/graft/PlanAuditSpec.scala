@@ -227,10 +227,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("w16 funnel pushes the step predicate to the scan and keeps " +
       "map-side partial mins") {
-    val p = plan("w16_funnel")
-    assert(p.contains("EqualTo(event_type,signup)"),
-      s"w16 step filter not pushed to parquet:\n$p")
-    assert(p.contains("partial_min"), s"w16 lost map-side combine:\n$p")
+    // the funnel stages are materialized once (r16) so the consumer plan
+    // reads checkpointed RDDs — the pushdown/partial-min properties live
+    // in the STAGE plans, exposed pre-checkpoint for this pin
+    val (s1, _, s3) = graft.queries.Windows
+      .funnelSteps(spark, sfDir, materialize = false)
+    val p1 = s1.queryExecution.executedPlan.toString
+    assert(p1.contains("EqualTo(event_type,signup)"),
+      s"w16 step filter not pushed to parquet:\n$p1")
+    assert(p1.contains("partial_min"), s"w16 lost map-side combine:\n$p1")
+    // the nested stage keeps both properties through the join chain
+    val p3 = s3.queryExecution.executedPlan.toString
+    assert(p3.contains("EqualTo(event_type,purchase)"),
+      s"w16 s3 filter not pushed:\n$p3")
+    assert(p3.contains("partial_min"), s"w16 s3 lost map-side combine:\n$p3")
+    // and the consumer itself stays checkpoint-fed: exactly one scan per
+    // step ⇒ no parquet re-scan in the w16 consumer plan
+    assert(!plan("w16_funnel").contains("Scan parquet"),
+      "w16 consumer re-scans parquet instead of the materialized stages")
   }
 
   test("w17 retention reuses the user_id partitioning for join + dedup") {

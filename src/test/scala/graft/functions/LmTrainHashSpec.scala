@@ -125,6 +125,22 @@ class LmTrainHashSpec extends SparkSpec {
     assert(edge(2).isNullAt(1) && edge(2).isNullAt(2))
   }
 
+  test("token_runs ≡ size(regexp_extract_all(text, '[^ ]+')) on corpus + edges") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text"))
+      .unionByName(edgeTexts.map(_._2).toDF("text"))
+    val bad = corpus.select(
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("want"),
+        expr("token_runs(text)").as("got"))
+      .filter(col("want") =!= col("got")).count()
+    assert(bad == 0L)
+    // null text → null on both forms
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+        .as("want"), expr("token_runs(text)").as("got")).collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("token_roll_hash randomized differential (unicode tokens)") {
     val rnd = new scala.util.Random(16)
     val alphabet = "ab España ñ 𝕏 z".split(" ")
